@@ -1,0 +1,191 @@
+"""NER stage: sentences → token labels → mentions (SURVEY.md §2.7 M1-M4,
+§3.2 inference chain).
+
+One ``mapInPandas`` over the sentences table. Inside each Arrow batch:
+
+1. encode every sentence (featurizer + dict lookup — string work, pure
+   Python but O(tokens), no Spark round-trips);
+2. bucket sentences by length and run the CRF decode VECTORIZED across
+   each bucket (``decode_batch``; mirrors the reference's batched
+   recursion, neural_lib.py:637-646) — the O(T·K²) DP never crosses the
+   Python/row boundary;
+3. emit mention rows from BIO spans (sighan_ner.py:404-443 chunking).
+
+Weights ship to executors as a module-level lazy singleton keyed by path
+(loaded from an ``--py-files``/``SparkFiles`` artifact or an absolute
+path). Loading once per executor ≪ broadcasting a Python object per task.
+
+Length-1 sentences reproduce the reference's ``[0]``-label quirk
+(crf_ner.py:28) inside ``classify_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..model.crf import decode_batch, pad_features
+from ..model.features import encode_sentence
+from ..model.weights import NerWeights
+
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("sent_idx", IntegerType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("surface", StringType()),
+        StructField("etype", StringType()),
+        StructField("ntype", StringType()),
+    ]
+)
+
+LABELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("sent_idx", IntegerType()),
+        StructField("labels_json", StringType()),
+    ]
+)
+
+_WEIGHTS_CACHE: dict = {}
+
+
+def _load_weights(path: str) -> NerWeights:
+    w = _WEIGHTS_CACHE.get(path)
+    if w is None:
+        resolved = path
+        try:
+            import os
+
+            if not os.path.exists(resolved):
+                from pyspark import SparkFiles
+
+                cand = SparkFiles.get(os.path.basename(path))
+                if os.path.exists(cand):
+                    resolved = cand
+        except Exception:
+            pass
+        w = NerWeights.load(resolved)
+        _WEIGHTS_CACHE[path] = w
+    return w
+
+
+def classify_batch(weights: NerWeights, texts: List[str]) -> List[List[str]]:
+    """Vectorized classify of a batch of sentence strings → label strings.
+
+    Equivalent to per-sentence ``NerWeights.classify`` (tested), but the
+    CRF recursion runs batched per length bucket.
+    """
+    n = len(texts)
+    out: List[Optional[List[str]]] = [None] * n
+    k = weights.n_labels
+    idx2label = weights.idx2label
+    pad_id = weights.pad_id
+
+    # encode all, compute emissions per sentence (ragged), bucket by length
+    buckets: dict = {}
+    for i, text in enumerate(texts):
+        chars = list(text or "")
+        t_len = len(chars)
+        if t_len == 0:
+            out[i] = []
+            continue
+        if t_len == 1:
+            out[i] = [idx2label[0]]
+            continue
+        feat_ids, word_ids = encode_sentence(
+            chars, weights.features2idx, weights.words2idx, weights.mode
+        )
+        fp = pad_features(feat_ids, pad_id)
+        em = weights.w_feat[fp].sum(axis=1)
+        if weights.use_emb:
+            em = em + weights.w_emb[np.asarray(word_ids)] @ weights.lin_n + weights.lin_b
+        buckets.setdefault(t_len, []).append((i, em.astype(np.float32)))
+
+    for t_len, items in buckets.items():
+        ems = np.stack([em for _, em in items])
+        lengths = np.full(len(items), t_len, dtype=np.int64)
+        paths = decode_batch(ems, lengths, weights.a, weights.viterbi)
+        for (i, _), path in zip(items, paths):
+            out[i] = [idx2label[int(p)] for p in path]
+    return out  # type: ignore[return-value]
+
+
+def extract_mentions(sentences: DataFrame, weights_path: str) -> DataFrame:
+    """sentences(doc_id, span_idx, sent_idx, text, offset) → mentions.
+
+    Narrow (no shuffle): the NER kernel is a map over sentence rows.
+    ``start``/``end`` are char offsets WITHIN the sentence; global doc
+    offsets are ``offset + start``.
+    """
+    from ..model.evaluation import bio_spans
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = _load_weights(weights_path)
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            labels = classify_batch(w, texts)
+            rows = []
+            for (doc_id, span_idx, sent_idx, text), labs in zip(
+                pdf[["doc_id", "span_idx", "sent_idx", "text"]].itertuples(
+                    index=False, name=None
+                ),
+                labels,
+            ):
+                for s, e, etype, ntype in bio_spans(labs):
+                    rows.append(
+                        (doc_id, span_idx, sent_idx, s, e, text[s:e], etype, ntype)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MENTIONS_SCHEMA.fields]
+            )
+
+    return sentences.mapInPandas(run, MENTIONS_SCHEMA)
+
+
+def tag_sentences(sentences: DataFrame, weights_path: str) -> DataFrame:
+    """Debug/parity variant: per-sentence predicted label sequence (JSON)."""
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = _load_weights(weights_path)
+        for pdf in batches:
+            labels = classify_batch(w, pdf["text"].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_idx": pdf["span_idx"],
+                    "sent_idx": pdf["sent_idx"],
+                    "labels_json": [json.dumps(l, ensure_ascii=False) for l in labels],
+                }
+            )
+
+    return sentences.mapInPandas(run, LABELS_SCHEMA)
+
+
+def mentions_with_ids(mentions: DataFrame) -> DataFrame:
+    """Stable mention_id + global offsets; still narrow."""
+    return mentions.withColumn(
+        "mention_id",
+        F.concat_ws(
+            "#",
+            "doc_id",
+            F.col("span_idx").cast("string"),
+            F.col("sent_idx").cast("string"),
+            F.col("start").cast("string"),
+            F.col("end").cast("string"),
+        ),
+    )

@@ -1,0 +1,120 @@
+"""Sentence segmentation (SURVEY.md §2.3 T1) and the documents→sentences
+stage.
+
+``segment_sentences`` re-derives the reference segmenter's semantics
+(icwb.py:100-130):
+
+* split on runs of 。？！，：；
+* a split piece that strips to a single closing quote/bracket (" ” 』) is
+  re-attached to the previous sentence (rstripped);
+* each piece then absorbs the trailing run of enders that followed it;
+* a piece that strips to nothing but enders is appended to the previous
+  sentence;
+* character offsets are tracked (the reference finds them with
+  ``content.index``; we carry them directly — same values, since pieces
+  are located left-to-right).
+
+The Spark stage keeps everything declarative except the per-span string
+scan, which runs as an Arrow-batched pandas UDF returning
+``array<struct<text,start>>`` — then ``posexplode`` so downstream stages
+see one row per sentence while the (doc_id, span_idx, sent_idx) key
+preserves exact reassembly order (the span-sequence invariant,
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_ENDERS = "。？！，：；"
+_ENDER_SET = set(_ENDERS)
+_WRAPPERS = {'"', "”", "』"}
+_SPLIT_RE = re.compile("[%s]+" % _ENDERS)
+
+
+def segment_sentences(content: str) -> List[Tuple[str, int]]:
+    """content → [(sentence_text, char_start)], reference semantics."""
+    out: List[Tuple[str, int]] = []
+    cursor = 0
+    for piece in _SPLIT_RE.split(content):
+        if not piece:
+            continue
+        stripped = piece.strip()
+        if len(stripped) == 1 and stripped in _WRAPPERS:
+            if out:
+                out[-1] = (out[-1][0] + piece.rstrip(), out[-1][1])
+            else:
+                out.append((piece.rstrip(), content.index(piece[0], cursor)))
+            continue
+        start = content.index(piece[0], cursor)
+        end = start + len(piece)
+        while end < len(content) and content[end] in _ENDER_SET:
+            piece += content[end]
+            end += 1
+        cursor = end
+        if stripped and all(c in _ENDER_SET for c in stripped):
+            if out:
+                out[-1] = (out[-1][0] + piece, out[-1][1])
+                continue
+        out.append((piece, start))
+    return out
+
+
+_SENT_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("text", StringType()),
+            StructField("start", IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_SENT_SCHEMA)
+def _segment_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: [
+            {"text": s, "start": st} for s, st in segment_sentences(t or "")
+        ]
+    )
+
+
+def documents_to_sentences(documents: DataFrame) -> DataFrame:
+    """Interleaved documents → sentences table.
+
+    documents: (doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+    returns:   (doc_id, span_idx, sent_idx, text, offset)
+
+    Narrow transforms only (posexplode ×2 + one pandas UDF): no shuffle —
+    at 100 TB this stage is a pure map over the scan, and Parquet column
+    pruning drops media payload columns entirely.
+    """
+    spans = documents.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).where(F.col("span.kind") == "text")
+    segged = spans.select(
+        "doc_id",
+        "span_idx",
+        F.col("span.offset").alias("span_offset"),
+        F.posexplode(_segment_udf(F.col("span.text"))).alias("sent_idx", "sent"),
+    )
+    return segged.select(
+        "doc_id",
+        "span_idx",
+        "sent_idx",
+        F.col("sent.text").alias("text"),
+        (F.col("span_offset") + F.col("sent.start")).cast("int").alias("offset"),
+    )

@@ -1,0 +1,62 @@
+"""Train the frozen NER weights fixture on the reference corpus.
+
+Offline, one-shot (SURVEY.md §7 Phase 2): dictionaries over
+train+dev+test (closed vocab, sighan_ner.py:45-58), best-on-dev
+checkpointing, final report on dev and test. Writes
+fixtures/ner_weights.npz.
+
+Usage: python tools/train_fixture.py [--epochs 60] [--no-emb] [--2nd]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from golden_horse_spark.model.evaluation import span_eval
+from golden_horse_spark.model.train import train_ner
+from golden_horse_spark.sources.conll import read_conll
+
+DATA = Path("/root/reference/data")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--no-emb", action="store_true")
+    ap.add_argument("--2nd", dest="second", action="store_true",
+                    help="use the revised weiboNER_2nd_conll splits")
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "fixtures/ner_weights.npz"))
+    args = ap.parse_args()
+
+    stem = "weiboNER_2nd_conll" if args.second else "weiboNER.conll"
+    train = read_conll(DATA / f"{stem}.train")
+    dev = read_conll(DATA / f"{stem}.dev")
+    test = read_conll(DATA / f"{stem}.test")
+    print(f"{stem}: {len(train)}/{len(dev)}/{len(test)} sentences")
+
+    model = train_ner(
+        train,
+        dev,
+        extra_dict_corpora=[test],
+        use_emb=not args.no_emb,
+        epochs=args.epochs,
+        verbose=True,
+    )
+    for name, split in (("dev", dev), ("test", test)):
+        pred = [model.classify(chars) for chars, _ in split]
+        res = span_eval(pred, [labels for _, labels in split])
+        print(
+            f"FINAL {name}: micro P={res['p']:.4f} R={res['r']:.4f} "
+            f"F1={res['f1']:.4f} macro={tuple(round(m,4) for m in res['macro'])}"
+        )
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    model.save(args.out)
+    print("saved", args.out)
+
+
+if __name__ == "__main__":
+    main()
