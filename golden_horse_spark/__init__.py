@@ -14,3 +14,16 @@ re-expressed Spark-first.
 """
 
 __version__ = "0.1.0"
+
+import sys as _sys
+
+if "pyspark.daemon" in _sys.modules:  # we are inside a forked Spark worker
+    # Freeze the heap inherited from the pyspark daemon BEFORE any heavy
+    # allocation: the first big GC pass in each of N forked workers would
+    # otherwise touch every inherited object header and copy-on-write-
+    # unshare the daemon heap N times over — a multi-second, kernel-lock-
+    # bound stall at 32 workers (measured on this VM). Frozen objects are
+    # never scanned again; they live for the worker's lifetime anyway.
+    import gc as _gc
+
+    _gc.freeze()

@@ -29,6 +29,13 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = default_parallelism()
+    # One BLAS thread per Python worker: the NER kernel runs small NumPy
+    # matmuls in EVERY worker concurrently — letting OpenBLAS/MKL spawn a
+    # thread pool per worker oversubscribes cores^2 and collapses scaling
+    # (observed 3x slowdown at local[32] before pinning).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
@@ -48,6 +55,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # keep python workers (and their loaded model state) alive between
+        # jobs — re-forking makes every job re-pay model load
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "600")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -71,18 +71,33 @@ class NerWeights:
         return [self.idx2label[int(i)] for i in path]
 
     # ------------------------------------------------------------- storage
+    #
+    # Dictionaries are stored as numpy unicode arrays in ID ORDER (ids are
+    # dense 0..n-1 by construction — first-seen order, sighan_ner.py:78-105;
+    # features2idx additionally has _OOV_=0 first). Loading is then one
+    # contiguous buffer read + a zip — ~10x cheaper in time and allocation
+    # churn than parsing a 240k-entry JSON dict, which matters because
+    # every Spark python worker loads this file (32 concurrent loaders
+    # contended badly on allocation before this format).
+
+    @staticmethod
+    def _dict_to_arr(d: Dict[str, int]) -> np.ndarray:
+        keys = [None] * len(d)
+        for k, v in d.items():
+            keys[v] = k
+        return np.array(keys, dtype=np.str_)
+
     def save(self, path: str | Path) -> None:
-        arrays = {"w_feat": self.w_feat, "a": self.a}
+        arrays = {
+            "w_feat": self.w_feat,
+            "a": self.a,
+            "feat_keys": self._dict_to_arr(self.features2idx),
+            "word_keys": self._dict_to_arr(self.words2idx),
+            "label_keys": self._dict_to_arr(self.labels2idx),
+        }
         if self.use_emb:
             arrays.update(w_emb=self.w_emb, lin_n=self.lin_n, lin_b=self.lin_b)
-        meta = {
-            "features2idx": self.features2idx,
-            "words2idx": self.words2idx,
-            "labels2idx": self.labels2idx,
-            "use_emb": self.use_emb,
-            "viterbi": self.viterbi,
-            "mode": self.mode,
-        }
+        meta = {"use_emb": self.use_emb, "viterbi": self.viterbi, "mode": self.mode}
         np.savez_compressed(
             path, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays
         )
@@ -91,10 +106,18 @@ class NerWeights:
     def load(cls, path: str | Path) -> "NerWeights":
         z = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(z["meta"]).decode())
+        if "feat_keys" in z:
+            f2i = {k: i for i, k in enumerate(z["feat_keys"].tolist())}
+            w2i = {k: i for i, k in enumerate(z["word_keys"].tolist())}
+            l2i = {k: i for i, k in enumerate(z["label_keys"].tolist())}
+        else:  # legacy JSON format
+            f2i = meta["features2idx"]
+            w2i = meta["words2idx"]
+            l2i = meta["labels2idx"]
         return cls(
-            features2idx=meta["features2idx"],
-            words2idx=meta["words2idx"],
-            labels2idx=meta["labels2idx"],
+            features2idx=f2i,
+            words2idx=w2i,
+            labels2idx=l2i,
             w_feat=z["w_feat"].astype(np.float32),
             a=z["a"].astype(np.float32),
             w_emb=z["w_emb"].astype(np.float32) if "w_emb" in z else None,

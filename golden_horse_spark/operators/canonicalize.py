@@ -1,0 +1,108 @@
+"""Canonicalization: connected-components entity resolution over the
+mention–candidate graph (north_star; SURVEY.md §2.8 J-row "north_star
+additions").
+
+Algorithm: iterative *hash-to-min* label propagation on DataFrames —
+every node adopts the minimum component label in its closed neighborhood
+until fixpoint. On the bipartite mention↔entity candidate graph the
+diameter is tiny (stars bridged by shared entities), so convergence is
+typically ≤ 4 rounds; a ``max_iter`` cap guards pathological graphs.
+
+Scale mechanics (north_rule):
+* labels shuffle by ``repartitionByRange(node)`` between rounds — a
+  range-partitioned shuffle keeps the per-round join co-partitioned and
+  lets AQE split skewed ranges (hot entities);
+* ``localCheckpoint`` each round truncates lineage so plan size stays
+  O(1) in rounds (iterative DataFrame jobs otherwise re-plan the whole
+  history);
+* convergence test is an aggregate (count of label changes), not a
+  collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """edges(src, dst) undirected → (node, component) with component =
+    min node id (lexicographic) in the component.
+
+    The range shuffle is adaptive by default (AQE picks partition counts
+    per round from runtime sizes); pass ``num_partitions`` to pin it.
+    """
+    def ranged(df: DataFrame, col: str) -> DataFrame:
+        if num_partitions:
+            return df.repartitionByRange(num_partitions, col)
+        return df.repartitionByRange(col)
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = ranged(sym, "a").localCheckpoint()
+
+    # initial label: min(self, neighbors)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .withColumnRenamed("a", "node")
+    )
+    labels = ranged(labels, "node").localCheckpoint()
+
+    for _ in range(max_iter):
+        # propagate min label through edges; track per-node change inline so
+        # convergence needs no extra join-job per round
+        neighbor_label = (
+            sym.join(labels, sym.b == labels.node, "inner")
+            .select(F.col("a").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            neighbor_label.union(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.max("comp").alias("old_max"))
+            .withColumn("changed", F.col("comp") != F.col("old_max"))
+        )
+        new_labels = ranged(new_labels, "node").localCheckpoint()
+        changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def canonical_entities(links: DataFrame) -> DataFrame:
+    """links(mention_id, entity_id) → entities(entity_id, canonical_id).
+
+    Mentions act as bridges: entity ids linked from the same mention
+    collapse. Rather than running CC on the full bipartite graph (nodes =
+    mentions + entities; at 10^12 docs the mention side dwarfs the entity
+    side), project to the ENTITY graph first: each mention contributes a
+    star from its minimum candidate entity — same components, |entities|
+    nodes instead of |mentions| + |entities|. The projection is one
+    aggregation on mention_id (range/AQE-partitioned shuffle).
+    """
+    star = links.groupBy("mention_id").agg(
+        F.min("entity_id").alias("root"),
+        F.collect_set("entity_id").alias("ents"),
+    )
+    edges = star.select(
+        F.col("root").alias("src"), F.explode("ents").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    singletons = links.select("entity_id").distinct()
+    cc = connected_components(edges)
+    return (
+        singletons.join(cc, singletons.entity_id == cc.node, "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
+        )
+    )

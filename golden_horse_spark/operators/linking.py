@@ -1,0 +1,122 @@
+"""Entity linking: candidate generation + link scoring (north_star:
+"candidate generation via broadcast alias dictionaries + LSH/MinHash
+blocking, pairwise link scoring").
+
+Scale design (SURVEY.md §4.2):
+
+* Exact candidates: mentions ⋈ broadcast(aliases) on surface — a
+  broadcast-hash join, zero shuffle on the (huge) mentions side. Alias
+  dicts up to the autoBroadcastJoinThreshold ride the broadcast; larger
+  dicts degrade gracefully to a shuffled hash join that AQE may convert
+  per-partition.
+* Fuzzy candidates: MinHash-LSH blocking over character-bigram vectors
+  (pyspark.ml.feature.MinHashLSH.approxSimilarityJoin) — only pairs that
+  collide in a band bucket are scored, so the cross product never
+  materializes. This is the blocking stage; the pairwise scorer then
+  ranks candidates.
+* Skew: hot surface forms ("张三" in 10% of docs) concentrate in one
+  bucket; the exact join is broadcast (no shuffle ⇒ no skew), and the
+  per-surface candidate counts use the salted aggregation helper
+  (operators/salting.py). AQE skew-join splitting covers the LSH join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CANDIDATE_COLS = ["mention_id", "entity_id", "score", "block_id"]
+
+
+def exact_candidates(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Broadcast-hash join on surface form. mentions must carry
+    (mention_id, surface)."""
+    return (
+        mentions.join(
+            F.broadcast(aliases), mentions.surface == aliases.surface_form, "inner"
+        )
+        .select(
+            "mention_id",
+            "entity_id",
+            F.col("prior").alias("score"),
+            F.concat(F.lit("exact:"), F.col("surface")).alias("block_id"),
+        )
+    )
+
+
+def fuzzy_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    jaccard_max_distance: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH blocking on char bigrams; returns candidates whose
+    bigram-set Jaccard distance ≤ threshold. Score = (1−dist)·prior."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    def with_grams(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn(
+            "grams",
+            F.expr(
+                f"case when length({col}) >= 2 then "
+                f"transform(sequence(1, length({col}) - 1), i -> substring({col}, i, 2)) "
+                f"else array({col}) end"
+            ),
+        )
+
+    m = with_grams(mentions.select("mention_id", "surface").distinct(), "surface")
+    a = with_grams(aliases, "surface_form")
+    if m.isEmpty() or a.isEmpty():
+        return mentions.sparkSession.createDataFrame(
+            [], "mention_id string, entity_id string, score double, block_id string"
+        )
+    cv = CountVectorizer(
+        inputCol="grams", outputCol="vec", binary=True, minDF=1.0
+    ).fit(a.select("grams").union(m.select("grams")))
+    mv = cv.transform(m)
+    av = cv.transform(a)
+    nonzero = F.udf(lambda v: v.numNonzeros() > 0, "boolean")
+    mv = mv.where(nonzero("vec"))
+    av = av.where(nonzero("vec"))
+    lsh = MinHashLSH(
+        inputCol="vec", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(av)
+    joined = lsh.approxSimilarityJoin(mv, av, jaccard_max_distance, "jaccard")
+    return joined.select(
+        F.col("datasetA.mention_id").alias("mention_id"),
+        F.col("datasetB.entity_id").alias("entity_id"),
+        ((1.0 - F.col("jaccard")) * F.col("datasetB.prior")).alias("score"),
+        F.concat(F.lit("lsh:"), F.col("datasetB.surface_form")).alias("block_id"),
+    )
+
+
+def generate_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    fuzzy: bool = False,
+    jaccard_max_distance: float = 0.5,
+) -> DataFrame:
+    cands = exact_candidates(mentions, aliases)
+    if fuzzy:
+        # fuzzy pass only for mentions with no exact candidate (anti-join)
+        uncovered = mentions.join(
+            cands.select("mention_id").distinct(), "mention_id", "left_anti"
+        )
+        cands = cands.unionByName(
+            fuzzy_candidates(uncovered, aliases, jaccard_max_distance)
+        )
+    return cands
+
+
+def score_links(candidates: DataFrame, top_k: int = 1) -> DataFrame:
+    """Pairwise scoring + per-mention ranking → links(mention_id,
+    entity_id, score). Deterministic tie-break on entity_id."""
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("score").desc(), F.col("entity_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("mention_id", "entity_id", "score")
+    )

@@ -61,9 +61,28 @@ LABELS_SCHEMA = StructType(
 )
 
 _WEIGHTS_CACHE: dict = {}
+_GC_FROZEN = False
+
+
+def _freeze_gc() -> None:
+    """Called once per worker process before heavy allocation.
+
+    Spark python workers are forked from a daemon with a large inherited
+    heap; the first big GC pass touches every inherited object's header,
+    copy-on-write-unsharing the whole heap across all workers at once (a
+    multi-second stall at 32 workers on this VM). ``gc.freeze()`` parks
+    the inherited objects in the permanent generation so collections
+    never touch them."""
+    global _GC_FROZEN
+    if not _GC_FROZEN:
+        import gc
+
+        gc.freeze()
+        _GC_FROZEN = True
 
 
 def _load_weights(path: str) -> NerWeights:
+    _freeze_gc()
     w = _WEIGHTS_CACHE.get(path)
     if w is None:
         resolved = path
@@ -91,14 +110,29 @@ def classify_batch(weights: NerWeights, texts: List[str]) -> List[List[str]]:
     """
     n = len(texts)
     out: List[Optional[List[str]]] = [None] * n
-    k = weights.n_labels
     idx2label = weights.idx2label
     pad_id = weights.pad_id
 
-    # encode all, compute emissions per sentence (ragged), bucket by length
-    buckets: dict = {}
+    # Dedupe identical texts within the batch: web corpora repeat
+    # boilerplate sentences heavily, and the kernel is deterministic per
+    # text — compute once, fan the result out.
+    first_index: dict = {}
+    dup_of: dict = {}
+    uniq: List[str] = []
     for i, text in enumerate(texts):
-        chars = list(text or "")
+        t = text or ""
+        j = first_index.get(t)
+        if j is None:
+            first_index[t] = i
+            uniq.append(t)
+        else:
+            dup_of[i] = j
+
+    # encode uniques, compute emissions per sentence (ragged), bucket by length
+    buckets: dict = {}
+    for text in uniq:
+        i = first_index[text]
+        chars = list(text)
         t_len = len(chars)
         if t_len == 0:
             out[i] = []
@@ -121,7 +155,31 @@ def classify_batch(weights: NerWeights, texts: List[str]) -> List[List[str]]:
         paths = decode_batch(ems, lengths, weights.a, weights.viterbi)
         for (i, _), path in zip(items, paths):
             out[i] = [idx2label[int(p)] for p in path]
+    for i, j in dup_of.items():
+        out[i] = out[j]
     return out  # type: ignore[return-value]
+
+
+def warm_workers(spark, weights_path: str, n_tasks: int | None = None) -> None:
+    """Pre-fork python workers and prime their weight caches.
+
+    One tiny task per core: each forked worker loads the model once, so
+    the first real NER job hits warm processes (on a long-lived cluster
+    this happens naturally; benchmarks call it explicitly to measure
+    steady state rather than the one-time fork/load storm)."""
+    import pandas as _pd
+
+    n = n_tasks or int(spark.sparkContext.defaultParallelism)
+
+    def load(batches):
+        _load_weights(weights_path)
+        total = sum(len(b) for b in batches)
+        yield _pd.DataFrame({"n": [total]})
+
+    # twice: the daemon's idle-worker pool only stabilizes after the first
+    # job's workers have been released back (observed: job 2 still forks)
+    for _ in range(2):
+        spark.range(0, n * 4, numPartitions=n).mapInPandas(load, "n long").count()
 
 
 def extract_mentions(sentences: DataFrame, weights_path: str) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Triple materialization (north_star: "(subj, pred, obj) triples into a
+partitioned graph table"; FIXTURES.md §6 schema).
+
+Predicates emitted:
+* ``mentioned_in``   (canonical entity → doc)      one per linked mention
+* ``has_type``       (canonical entity → etype)     distinct
+* ``co_occurs_with`` (entity ↔ entity, same sentence, subj < obj)
+
+``part`` is a stable hash partition of subj — the graph table's physical
+partitioning key, so at 100 TB each partition holds a contiguous slice of
+the subject space and per-partition lineage/counters are meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ["subj", "pred", "obj", "doc_id", "part"]
+
+
+def _with_part(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn("part", F.pmod(F.hash("subj"), F.lit(n_parts)).cast("int"))
+
+
+def materialize_triples(
+    mentions: DataFrame,
+    links: DataFrame,
+    entities: DataFrame,
+    n_parts: int = 64,
+    co_occurrence: bool = True,
+) -> DataFrame:
+    """mentions(mention_id, doc_id, span_idx, sent_idx, surface, etype),
+    links(mention_id, entity_id), entities(entity_id, canonical_id)
+    → triples(subj, pred, obj, doc_id, part)."""
+    linked = (
+        mentions.join(links, "mention_id")
+        .join(entities, "entity_id")
+        .select(
+            "mention_id",
+            "doc_id",
+            "span_idx",
+            "sent_idx",
+            "etype",
+            F.col("canonical_id").alias("subj"),
+        )
+    )
+    mentioned_in = linked.select(
+        "subj", F.lit("mentioned_in").alias("pred"), F.col("doc_id").alias("obj"),
+        "doc_id",
+    ).distinct()
+    has_type = linked.select(
+        "subj", F.lit("has_type").alias("pred"), F.col("etype").alias("obj"),
+        "doc_id",
+    ).distinct()
+    out = mentioned_in.unionByName(has_type)
+    if co_occurrence:
+        left = linked.alias("l")
+        right = linked.alias("r")
+        co = (
+            left.join(
+                right,
+                (F.col("l.doc_id") == F.col("r.doc_id"))
+                & (F.col("l.span_idx") == F.col("r.span_idx"))
+                & (F.col("l.sent_idx") == F.col("r.sent_idx"))
+                & (F.col("l.subj") < F.col("r.subj")),
+            )
+            .select(
+                F.col("l.subj").alias("subj"),
+                F.lit("co_occurs_with").alias("pred"),
+                F.col("r.subj").alias("obj"),
+                F.col("l.doc_id").alias("doc_id"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(co)
+    return _with_part(out, n_parts)

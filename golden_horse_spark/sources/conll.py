@@ -61,6 +61,29 @@ def read_charpos_golden(path: str | Path):
     return sentences
 
 
-def sentences_text(sentences: List[Sentence]) -> List[str]:
+def sanitize_for_arrow(text: str) -> str:
+    """Make surrogate-bearing reference text Arrow-safe.
+
+    The reference was written for Python 2 *narrow* builds: astral chars
+    (emoji) appear as UTF-16 surrogate PAIRS, one CoNLL line per code
+    unit. Pure-Python processing keeps them as-is (faithful), but Arrow
+    refuses lone surrogates, so at the Spark boundary we re-pair them
+    into real astral chars and replace any unpaired remainder with
+    U+FFFD.
+    """
+    if not any("\ud800" <= c <= "\udfff" for c in text):
+        return text
+    try:
+        return text.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeDecodeError:
+        return "".join(
+            "�" if "\ud800" <= c <= "\udfff" else c for c in text
+        )
+
+
+def sentences_text(sentences: List[Sentence], arrow_safe: bool = False) -> List[str]:
     """Reassemble sentence strings by joining column-0 chars (FIXTURES.md §1)."""
-    return ["".join(chars) for chars, _ in sentences]
+    texts = ["".join(chars) for chars, _ in sentences]
+    if arrow_safe:
+        texts = [sanitize_for_arrow(t) for t in texts]
+    return texts

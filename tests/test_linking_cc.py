@@ -1,0 +1,122 @@
+"""Entity linking, salted aggregation, connected components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from golden_horse_spark.operators.canonicalize import (
+    canonical_entities,
+    connected_components,
+)
+from golden_horse_spark.operators.linking import (
+    exact_candidates,
+    generate_candidates,
+    score_links,
+)
+from golden_horse_spark.operators.salting import salted_agg, surface_form_counts
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def aliases(spark):
+    return spark.createDataFrame(
+        [
+            ("张三", "e1", 0.7),
+            ("张三", "e2", 0.3),
+            ("北京", "e3", 1.0),
+            ("清华大学", "e4", 1.0),
+        ],
+        "surface_form string, entity_id string, prior double",
+    )
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    return spark.createDataFrame(
+        [
+            ("m1", "张三"),
+            ("m2", "北京"),
+            ("m3", "清华大学"),
+            ("m4", "张三"),
+            ("m5", "没有的词"),
+        ],
+        "mention_id string, surface string",
+    )
+
+
+def test_exact_candidates_broadcast_join(mentions, aliases):
+    cands = exact_candidates(mentions, aliases)
+    got = {(r["mention_id"], r["entity_id"]) for r in cands.collect()}
+    assert got == {("m1", "e1"), ("m1", "e2"), ("m4", "e1"), ("m4", "e2"),
+                   ("m2", "e3"), ("m3", "e4")}
+    # physical plan must contain a broadcast hash join, not a shuffle join
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_score_links_top1_deterministic(mentions, aliases):
+    links = score_links(exact_candidates(mentions, aliases))
+    got = {r["mention_id"]: r["entity_id"] for r in links.collect()}
+    assert got == {"m1": "e1", "m4": "e1", "m2": "e3", "m3": "e4"}
+
+
+def test_fuzzy_candidates_cover_near_misses(spark, aliases, mentions):
+    cands = generate_candidates(mentions, aliases, fuzzy=True,
+                                jaccard_max_distance=0.8)
+    fuzzy_only = cands.where(F.col("block_id").startswith("lsh:"))
+    # "清华大学" variants share bigrams; at minimum the exact ones persist
+    got = {r["mention_id"] for r in cands.select("mention_id").distinct().collect()}
+    assert {"m1", "m2", "m3", "m4"} <= got
+    assert fuzzy_only.count() >= 0  # runs without error
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("v").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(df, ["k"], {"n": ("count", "v"), "s": ("sum", "v")}).collect()
+    }
+    assert plain == salted
+
+
+def test_surface_form_counts(spark, mentions):
+    counts = {r["surface"]: r["n_mentions"] for r in surface_form_counts(mentions).collect()}
+    assert counts["张三"] == 2
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
+        "src string, dst string",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+    assert cc["p"] == "p"
+
+
+def test_connected_components_long_chain(spark):
+    # chain of 12 nodes: stresses multi-iteration propagation
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1]) for i in range(11)], "src string, dst string"
+    )
+    cc = connected_components(edges)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"n00"}
+
+
+def test_canonical_entities_bridged_by_mention(spark):
+    links = spark.createDataFrame(
+        [("m1", "e1"), ("m1", "e2"), ("m2", "e3")],
+        "mention_id string, entity_id string",
+    )
+    ents = {r["entity_id"]: r["canonical_id"] for r in canonical_entities(links).collect()}
+    assert ents["e1"] == ents["e2"]  # same mention bridges them
+    assert ents["e3"] != ents["e1"]

@@ -1,0 +1,84 @@
+"""Full KG pipeline: stage outputs, invariants, checkpoint/resume."""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from golden_horse_spark.plans.pipeline import PipelineConfig, run_pipeline
+from golden_horse_spark.sources.documents import synthesize_documents
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, weights_path, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kg")
+    docs = synthesize_documents(spark, 120, seed=5, partitions=4)
+    cfg = PipelineConfig(
+        output_dir=str(out),
+        weights_path=weights_path,
+        alias_limit=2000,
+        extra_alias_surfaces=("张三", "李四", "北京", "上海", "刘德华",
+                              "清华大学", "中国", "国家博物馆", "王小明"),
+        triple_parts=8,
+    )
+    stages = run_pipeline(spark, docs, cfg)
+    return out, cfg, stages, docs
+
+
+def test_all_stages_nonempty(pipeline_out):
+    _, _, stages, _ = pipeline_out
+    for name in ("sentences", "mentions", "candidates", "links", "entities", "triples"):
+        assert stages[name].count() > 0, name
+
+
+def test_triple_subjects_are_canonical_entities(pipeline_out):
+    _, _, stages, _ = pipeline_out
+    subs = stages["triples"].select(F.col("subj").alias("c")).distinct()
+    ents = stages["entities"].select(F.col("canonical_id").alias("c")).distinct()
+    assert subs.join(ents, "c", "left_anti").count() == 0
+
+
+def test_span_sequence_equality_invariant(pipeline_out):
+    """input_hint invariant: the pipeline never mutates the documents'
+    span sequences (kind, text, media_ref, order)."""
+    _, _, stages, docs_in = pipeline_out
+    before = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in docs_in.collect()
+    }
+    after = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in stages["documents"].collect()
+    }
+    assert before == after
+
+
+def test_metrics_have_per_partition_rows(pipeline_out):
+    out, _, stages, _ = pipeline_out
+    metrics = stages["metrics"].collect()
+    stages_seen = {r["stage"] for r in metrics}
+    assert {"mentions", "links", "triples"} <= stages_seen
+    men_total = sum(r["rows"] for r in metrics if r["stage"] == "mentions")
+    assert men_total == stages["mentions"].count()
+
+
+def test_resume_skips_recompute_and_is_identical(pipeline_out, spark, weights_path):
+    out, cfg, stages, docs = pipeline_out
+    before = {tuple(r) for r in stages["triples"].drop("part").collect()}
+    # tamper a manifest downstream of mentions: links must recompute,
+    # mentions must load from disk
+    man = json.loads((Path(out) / "links.manifest.json").read_text())
+    man["status"] = "incomplete"
+    (Path(out) / "links.manifest.json").write_text(json.dumps(man))
+    stages2 = run_pipeline(spark, docs, cfg)
+    after = {tuple(r) for r in stages2["triples"].drop("part").collect()}
+    assert before == after
+
+
+def test_triples_partitioned_layout(pipeline_out):
+    out, _, _, _ = pipeline_out
+    parts = list((Path(out) / "triples").glob("part=*"))
+    assert len(parts) > 1
