@@ -63,7 +63,8 @@ _FALLBACK_POOL = [
 
 def _make_doc(rng: np.random.Generator, doc_id: str, pool: List[str],
               media_fraction: float, hot_text: Optional[str],
-              hot_fraction: float, mean_sents: float) -> list:
+              hot_fraction: float, mean_sents: float,
+              mutate_fraction: float = 0.0) -> list:
     n_sent = 1 + min(int(rng.zipf(2.0)), 30) + int(rng.poisson(mean_sents))
     spans = []
     offset = 0
@@ -77,6 +78,13 @@ def _make_doc(rng: np.random.Generator, doc_id: str, pool: List[str],
             offset += 1
             continue
         text = pool[int(rng.integers(len(pool)))]
+        if mutate_fraction and rng.random() < mutate_fraction and len(text) > 3:
+            # deterministic char swap: makes most sentences globally
+            # distinct, modelling the unique-text tail of web corpora
+            a, b = rng.integers(0, len(text), size=2)
+            lst = list(text)
+            lst[a], lst[b] = lst[b], lst[a]
+            text = "".join(lst)
         if hot_text and rng.random() < hot_fraction:
             text = hot_text + "，" + text
         spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
@@ -94,6 +102,7 @@ def synthesize_documents(
     hot_fraction: float = 0.1,
     mean_sents: float = 3.0,
     partitions: Optional[int] = None,
+    mutate_fraction: float = 0.0,
 ) -> DataFrame:
     pool = sentence_pool or _FALLBACK_POOL
     sc = spark.sparkContext
@@ -111,7 +120,8 @@ def synthesize_documents(
                         "doc_id": f"d{did:012d}",
                         "spans": _make_doc(
                             rng, f"d{did:012d}", p, media_fraction,
-                            hot_text, hot_fraction, mean_sents
+                            hot_text, hot_fraction, mean_sents,
+                            mutate_fraction,
                         ),
                     }
                 )

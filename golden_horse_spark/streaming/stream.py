@@ -1,0 +1,90 @@
+"""Structured-Streaming variant of the extraction front-end.
+
+The reference is batch-only (SURVEY.md §2.12); the north rule requires
+batch + resumable checkpoints, so streaming is an additive capability:
+continuous ingestion of interleaved documents with exactly-once sinks.
+
+* ``stream_documents`` — file-source stream over a parquet directory of
+  ``documents`` (new files = new micro-batch; at production scale the
+  same code points at a Kafka/queue source).
+* ``stream_mentions`` — the identical NER kernel applied per micro-batch
+  (mapInPandas works unchanged on streaming DataFrames).
+* ``windowed_mention_counts`` — event-time tumbling-window counts per
+  entity type with a watermark for late data.
+* ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
+  then stop: deterministic for tests/benchmarks) into a parquet sink
+  with checkpointing — kill/restart resumes from the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ner import MENTIONS_SCHEMA, extract_mentions
+from ..operators.sentence_seg import documents_to_sentences
+from ..sources.documents import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_mentions(docs_stream: DataFrame, weights_path: str) -> DataFrame:
+    sentences = documents_to_sentences(docs_stream)
+    return extract_mentions(sentences, weights_path)
+
+
+def with_event_time(mentions: DataFrame, base_ts: str = "2026-01-01 00:00:00") -> DataFrame:
+    """Synthesizes an event-time column from the doc id (deterministic)
+    so windowed aggregations are testable without a clock."""
+    return mentions.withColumn(
+        "event_ts",
+        F.to_timestamp(F.lit(base_ts))
+        + F.make_interval(secs=F.pmod(F.xxhash64("doc_id"), F.lit(3600)).cast("double")),
+    )
+
+
+def windowed_mention_counts(
+    mentions_with_ts: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window + watermark: late mentions beyond the
+    watermark are dropped, state is bounded — the standard late-data
+    contract at web scale."""
+    return (
+        mentions_with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "etype")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "etype",
+            "n_mentions",
+        )
+    )
+
+
+def run_to_sink(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain all available input into a parquet sink (exactly-once via
+    the checkpoint), then stop. Restart-safe: rerunning resumes from the
+    checkpoint and skips already-committed files."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
