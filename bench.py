@@ -172,14 +172,14 @@ def main() -> None:
 def run_scaling() -> None:
     """north rule scaling evidence: the identical job at N and 4N cores.
 
-    Default pair is local[4] → local[16]. This sandbox is a virtualized
+    Default pair is local[2] → local[8]. This sandbox is a virtualized
     32-vCPU box whose >16-concurrent-python-worker regime hits kernel-
     level fork/alloc contention unrelated to the engine (documented in
     BENCH.md); 4→16 measures the engine's scaling inside the machine's
     linear region. Override with SPARK_GRAFT_SCALING_CORES="8,32".
     """
     pair = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     )
     n_lo, n_hi = pair
     out = {}

@@ -54,3 +54,41 @@ def build_dicts(
                 if f not in features2idx and freq[f] > feature_thresh:
                     features2idx[f] = len(features2idx)
     return features2idx, words2idx, labels2idx
+
+
+# ---------------------------------------------------------------------------
+# Dictionary union / remap (A4 — jointSegNER.py:244-275): used when two
+# tasks (CWS + NER) share one embedding vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def combine_word_dicts(dict1: Dict[str, int], dict2: Dict[str, int]) -> Dict[str, int]:
+    """Union keeping dict1's ids, appending dict2-only words in dict2
+    iteration order (jointSegNER.py:244-251)."""
+    combined = dict(dict1)
+    for k in dict2:
+        if k not in combined:
+            combined[k] = len(combined)
+    return combined
+
+
+def get_index_map(dict1: Dict[str, int], dict2: Dict[str, int]) -> List[int]:
+    """old-id → new-id vector for re-encoding, with the BOS/EOS specials
+    mapped to the LAST two slots of dict1 (jointSegNER.py:254-268):
+    idx_map[-1] = |dict1|-1, idx_map[-2] = |dict1|-2; unknown keys → 0."""
+    assert len(dict1) >= len(dict2)
+    idx_map = [0] * (len(dict2) + 2)
+    for k, v in dict2.items():
+        idx_map[v] = dict1.get(k, 0)
+    idx_map[-1] = len(dict1) - 1
+    idx_map[-2] = len(dict1) - 2
+    return idx_map
+
+
+def convert_word_idx(
+    corpus_word: List[List[int]],
+    idx2word_old: Dict[int, str],
+    word2idx_new: Dict[str, int],
+) -> List[List[int]]:
+    """Re-encode a corpus from old ids to new ids (jointSegNER.py:271-275)."""
+    return [[word2idx_new[idx2word_old[i]] for i in line] for line in corpus_word]

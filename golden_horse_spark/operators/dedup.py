@@ -93,28 +93,37 @@ def minhash_dup_pairs(
     k: int = 3,
 ) -> DataFrame:
     """LSH banding: docs sharing ALL hashes within any band become a
-    candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    Shape: signatures → explode one (band, key) row per band → ONE
+    self-join on (band, key). Signatures are computed once (checkpointed:
+    md5-min over shingles is the expensive part; a per-band join tree
+    would recompute it 2·bands times)."""
     sig = minhash_signatures(docs, text_col, num_hashes, k)
     rows_per_band = num_hashes // bands
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        banded = sig.select("doc_id", key)
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pair_frames.append(
-            left.join(right, "band_key")
-            .where(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(
-                F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                )
+            ).alias("key"),
         )
-    pairs = pair_frames[0]
-    for f in pair_frames[1:]:
-        pairs = pairs.unionByName(f)
-    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded.localCheckpoint(eager=False)
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
 
 
 # --------------------------------------------------------------- SimHash

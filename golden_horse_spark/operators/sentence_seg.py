@@ -64,7 +64,10 @@ def segment_sentences(content: str) -> List[Tuple[str, int]]:
             piece += content[end]
             end += 1
         cursor = end
-        if stripped and all(c in _ENDER_SET for c in stripped):
+        # post-absorb: a piece that strips to exactly one ender char is
+        # glued to the previous sentence (icwb.py:123-125; the reference
+        # membership test is against the set of single ender chars)
+        if piece.strip() in _ENDER_SET:
             if out:
                 out[-1] = (out[-1][0] + piece, out[-1][1])
                 continue
@@ -72,23 +75,67 @@ def segment_sentences(content: str) -> List[Tuple[str, int]]:
     return out
 
 
-_SENT_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("text", StringType()),
-            StructField("start", IntegerType()),
-        ]
-    )
-)
+# ---------------------------------------------------------------------------
+# JVM-side segmentation: identical semantics expressed as one SQL aggregate
+# fold, so the documents→sentences stage needs NO python worker at all
+# (whole-stage codegen feeds the explode directly). Split keeps delimiter
+# runs attached to the left piece via lookbehind/lookahead, so pieces tile
+# the string exactly and offsets are running sums. Parity with
+# ``segment_sentences`` is fuzz-tested (tests/test_sentence_seg.py).
+# ---------------------------------------------------------------------------
+
+_E = "。？！，：；"
+_SEG_SQL = f"""
+aggregate(
+  filter(split({{col}}, '(?<=[{_E}])(?![{_E}])'), p -> p != ''),
+  named_struct(
+    'sents', cast(array() as array<struct<text:string,start:int>>),
+    'pos', 0),
+  (acc, p) -> named_struct(
+    'sents',
+    CASE
+      -- whitespace-only piece (no enders): plain append
+      WHEN trim(p) = '' THEN
+        concat(acc.sents, array(named_struct('text', p, 'start', acc.pos)))
+      -- pure leading ender-run: dropped (re.split consumes it)
+      WHEN substring(p, 1, 1) rlike '[{_E}]' THEN acc.sents
+      -- piece stripping to exactly ONE ender char: glue to previous
+      WHEN length(trim(p)) = 1 AND trim(p) rlike '[{_E}]' THEN
+        CASE
+          WHEN size(acc.sents) = 0 THEN
+            concat(acc.sents, array(named_struct('text', p, 'start', acc.pos)))
+          ELSE concat(
+            slice(acc.sents, 1, size(acc.sents) - 1),
+            array(named_struct(
+              'text', concat(element_at(acc.sents, -1).text, p),
+              'start', element_at(acc.sents, -1).start)))
+        END
+      -- piece whose core is a single closing quote/bracket: re-attach
+      WHEN length(trim(regexp_replace(p, '[{_E}]+$', ''))) = 1
+           AND trim(regexp_replace(p, '[{_E}]+$', '')) IN ('"', '”', '』') THEN
+        CASE
+          WHEN size(acc.sents) = 0 THEN
+            concat(acc.sents, array(named_struct(
+              'text', rtrim(regexp_replace(p, '[{_E}]+$', '')),
+              'start', acc.pos)))
+          ELSE concat(
+            slice(acc.sents, 1, size(acc.sents) - 1),
+            array(named_struct(
+              'text', concat(element_at(acc.sents, -1).text,
+                             rtrim(regexp_replace(p, '[{_E}]+$', ''))),
+              'start', element_at(acc.sents, -1).start)))
+        END
+      ELSE concat(acc.sents, array(named_struct('text', p, 'start', acc.pos)))
+    END,
+    'pos', acc.pos + length(p)),
+  acc -> acc.sents)
+"""
 
 
-@F.pandas_udf(_SENT_SCHEMA)
-def _segment_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(
-        lambda t: [
-            {"text": s, "start": st} for s, st in segment_sentences(t or "")
-        ]
-    )
+def segment_sentences_col(col_name: str):
+    """Column expression: text column → array<struct<text,start>> with
+    the exact ``segment_sentences`` semantics, fully JVM-side."""
+    return F.expr(_SEG_SQL.format(col=col_name))
 
 
 def documents_to_sentences(documents: DataFrame) -> DataFrame:
@@ -109,7 +156,12 @@ def documents_to_sentences(documents: DataFrame) -> DataFrame:
         "doc_id",
         "span_idx",
         F.col("span.offset").alias("span_offset"),
-        F.posexplode(_segment_udf(F.col("span.text"))).alias("sent_idx", "sent"),
+        F.col("span.text").alias("span_text"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "span_offset",
+        F.posexplode(segment_sentences_col("span_text")).alias("sent_idx", "sent"),
     )
     return segged.select(
         "doc_id",

@@ -41,6 +41,82 @@ def test_roundtrip_concat_covers_all_non_dropped_chars():
 
 
 @pytest.mark.spark
+def test_sql_segmenter_matches_python_fuzz(spark):
+    """The JVM-side aggregate fold must agree with segment_sentences on
+    adversarial inputs: random mixes of enders, wrappers, whitespace, and
+    text, plus the whole weiboNER dev corpus."""
+    import random
+
+    from golden_horse_spark.operators.sentence_seg import segment_sentences_col
+    from golden_horse_spark.sources.conll import read_conll, sanitize_for_arrow
+
+    rng = random.Random(13)
+    alphabet = list("。？！，：；”』\" abc中文x，。")
+    cases = ["", "。", " ", "。 。", "a。”a b。", "他说：“走吧。”",
+             "。abc", "abc。。。", "”", "  。", "x，，y"]
+    for _ in range(600):
+        n = rng.randint(1, 14)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    corpus = read_conll("/root/reference/data/weiboNER.conll.dev")
+    cases += [sanitize_for_arrow("".join(c)) for c, _ in corpus[:270]]
+
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = df.select("t", segment_sentences_col("t").alias("s")).collect()
+    import re as _re
+
+    def segment_fixed_cursor(content):
+        """The python port with ONE fix: the cursor advances past wrapper
+        pieces. The reference leaves it stale (icwb.py:111-114), so a
+        later piece whose first char repeats earlier gets a wrong offset
+        and a wrong ender-absorb position — a reference bug. The JVM
+        implementation (exact string tiling) equals THIS variant
+        everywhere, and equals the uncorrected port wherever the bug
+        doesn't fire."""
+        enders = set("。？！，：；")
+        wrappers = {'"', "”", "』"}
+        out, cursor = [], 0
+        for piece in _re.split("[。？！，：；]+", content):
+            if not piece:
+                continue
+            stripped = piece.strip()
+            if len(stripped) == 1 and stripped in wrappers:
+                start = content.index(piece[0], cursor)
+                cursor = start + len(piece)  # the fix
+                if out:
+                    out[-1] = (out[-1][0] + piece.rstrip(), out[-1][1])
+                else:
+                    out.append((piece.rstrip(), start))
+                continue
+            start = content.index(piece[0], cursor)
+            end = start + len(piece)
+            while end < len(content) and content[end] in enders:
+                piece += content[end]
+                end += 1
+            cursor = end
+            if piece.strip() in enders:
+                if out:
+                    out[-1] = (out[-1][0] + piece, out[-1][1])
+                    continue
+            out.append((piece, start))
+        return out
+
+    n_buggy = 0
+    for r in got:
+        content = r["t"]
+        want = segment_sentences(content)
+        fixed = segment_fixed_cursor(content)
+        have = [(x["text"], x["start"]) for x in r["s"]]
+        assert have == fixed, (repr(content), have, fixed)
+        if want != fixed:
+            n_buggy += 1
+    # the stale-cursor corner must stay an adversarial-fuzz rarity and
+    # never fire on the real corpus (the last 270 cases)
+    assert n_buggy < len(cases) * 0.2
+    for content in cases[-270:]:
+        assert segment_sentences(content) == segment_fixed_cursor(content)
+
+
+@pytest.mark.spark
 def test_documents_to_sentences_order_invariant(spark):
     from golden_horse_spark.sources.documents import synthesize_documents
 
