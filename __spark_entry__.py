@@ -263,6 +263,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_part_brand_stats"] = q_part_brand_stats
 
+    def q_semi_join(spark, sf):
+        cust, orders = _tables(spark, sf, "customer", "orders")
+        return cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).select("c_custkey", "c_name")
+
+    q["q_semi_join"] = q_semi_join
+
+    def q_anti_join(spark, sf):
+        part, li = _tables(spark, sf, "part", "lineitem")
+        return part.join(
+            li, part.p_partkey == li.l_partkey, "left_anti"
+        ).select("p_partkey", "p_name")
+
+    q["q_anti_join"] = q_anti_join
+
+    def q_intersect(spark, sf):
+        cust, orders = _tables(spark, sf, "customer", "orders")
+        building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("custkey")
+        )
+        with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+        return building.intersect(with_orders)
+
+    q["q_intersect"] = q_intersect
+
+    def q_date_rollup(spark, sf):
+        (orders,) = _tables(spark, sf, "orders")
+        return (
+            orders.groupBy(
+                F.year("o_orderdate").alias("yr"),
+                F.month("o_orderdate").alias("mo"),
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+
+    q["q_date_rollup"] = q_date_rollup
+
+    def q_conditional_agg(spark, sf):
+        (li,) = _tables(spark, sf, "lineitem")
+        return li.groupBy("l_linestatus").agg(
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)),
+                2,
+            ).alias("returned_qty"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)), 2
+            ).alias("n_discounted"),
+        )
+
+    q["q_conditional_agg"] = q_conditional_agg
+
+    def q_cube_events(spark, sf):
+        (ev,) = _tables(spark, sf, "events")
+        return (
+            ev.cube("event_type", F.hour("ts").alias("hr"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                F.coalesce("hr", F.lit(-1)).alias("hr"),
+                "n",
+            )
+        )
+
+    q["q_cube_events"] = q_cube_events
+
+    def q_q2b_classes(spark, sf):
+        from golden_horse_spark.operators.normalize import char_class_col, q2b_col
+
+        _ship(spark)
+        (docs,) = _tables(spark, sf, "documents")
+        first_char = F.substring(q2b_col(F.col("text")), 1, 1)
+        return (
+            docs.select(char_class_col(first_char).alias("cls"))
+            .groupBy("cls")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["q_q2b_classes"] = q_q2b_classes
+
     def q_salted_counts(spark, sf):
         from golden_horse_spark.operators.salting import salted_agg
 
@@ -490,7 +573,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from golden_horse_spark.operators.normalize import (
+        _NUM_EXTRA,
+        _PUNC,
+        _Q2B_DST,
+        _Q2B_SRC,
+    )
+
+    punc = "".join(sorted(_PUNC)).replace("'", "''")
+    nums = "".join(sorted(c for c in _NUM_EXTRA if len(c) == 1))
+    q2b_src = _Q2B_SRC.replace("'", "''")
+    q2b_dst = _Q2B_DST.replace("'", "''")
     return {
+        "q_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "q_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "q_date_rollup": """
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1, 2
+        """,
+        "q_conditional_agg": """
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS returned_qty,
+                   round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 2) AS n_discounted
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "q_cube_events": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(hr, -1) AS hr, n
+            FROM (SELECT event_type, hour(ts) AS hr, count(*) AS n
+                  FROM events GROUP BY CUBE (event_type, hr))
+        """,
+        "q_q2b_classes": f"""
+            SELECT CASE
+                     WHEN strpos('{punc}', c) > 0 THEN 'P'
+                     WHEN (c BETWEEN '0' AND '9') OR strpos('{nums}', c) > 0 THEN 'N'
+                     WHEN strpos('日月年', c) > 0 THEN 'D'
+                     WHEN regexp_matches(c, '^[A-Za-z]$') THEN 'E'
+                     WHEN NOT regexp_matches(c, '^[一-龥]$') THEN 'S'
+                     ELSE 'O'
+                   END AS cls,
+                   count(*) AS n
+            FROM (SELECT substring(translate(text, '{q2b_src}', '{q2b_dst}'), 1, 1) AS c
+                  FROM documents)
+            GROUP BY 1
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -78,6 +78,34 @@ def test_resume_skips_recompute_and_is_identical(pipeline_out, spark, weights_pa
     assert before == after
 
 
+def test_full_pipeline_deterministic_across_partitionings(spark, weights_path):
+    """Same seed + input at different partition counts ⇒ identical triples
+    (SURVEY.md §5.2.5). Exercises determinism of every stage incl. CC
+    min-labels and link tie-breaks."""
+    from golden_horse_spark.operators.canonicalize import canonical_entities
+    from golden_horse_spark.operators.linking import generate_candidates, score_links
+    from golden_horse_spark.operators.ner import extract_mentions, mentions_with_ids
+    from golden_horse_spark.operators.sentence_seg import documents_to_sentences
+    from golden_horse_spark.operators.triples import materialize_triples
+
+    aliases = spark.createDataFrame(
+        [{"surface_form": s, "entity_id": f"e{i}", "prior": 1.0}
+         for i, s in enumerate(["张三", "北京", "上海", "刘德华", "中国"])]
+    )
+
+    def run(partitions):
+        docs = synthesize_documents(spark, 80, seed=3, partitions=partitions)
+        mentions = mentions_with_ids(
+            extract_mentions(documents_to_sentences(docs), weights_path)
+        )
+        links = score_links(generate_candidates(mentions, aliases))
+        entities = canonical_entities(links)
+        triples = materialize_triples(mentions, links, entities, n_parts=8)
+        return {tuple(r) for r in triples.collect()}
+
+    assert run(2) == run(9)
+
+
 def test_triples_partitioned_layout(pipeline_out):
     out, _, _, _ = pipeline_out
     parts = list((Path(out) / "triples").glob("part=*"))
