@@ -214,6 +214,61 @@ def extract_mentions(sentences: DataFrame, weights_path: str) -> DataFrame:
     return sentences.mapInPandas(run, MENTIONS_SCHEMA)
 
 
+def extract_mentions_global_dedup(
+    sentences: DataFrame, weights_path: str
+) -> DataFrame:
+    """Corpus-level variant of ``extract_mentions``: run the NER kernel
+    once per DISTINCT sentence text, then fan results back out.
+
+    At web scale most sentence mass is duplicated boilerplate; this
+    trades one shuffle (distinct) + one join for skipping the kernel on
+    every duplicate. The join key is ``xxhash64(text)`` so the shuffle
+    carries 8-byte keys instead of full strings (collision-safe enough at
+    64 bits for dedup-of-compute; outputs still carry the real text).
+    Output is identical to ``extract_mentions`` (tested)."""
+    from ..model.evaluation import bio_spans
+
+    per_text_schema = StructType(
+        [
+            StructField("text_key", _long_type()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("surface", StringType()),
+            StructField("etype", StringType()),
+            StructField("ntype", StringType()),
+        ]
+    )
+
+    keyed = sentences.withColumn("text_key", F.xxhash64("text"))
+    distinct = keyed.select("text_key", "text").dropDuplicates(["text_key"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = _load_weights(weights_path)
+        for pdf in batches:
+            labels = classify_batch(w, pdf["text"].tolist())
+            rows = []
+            for (key, text), labs in zip(
+                pdf[["text_key", "text"]].itertuples(index=False, name=None), labels
+            ):
+                for s, e, etype, ntype in bio_spans(labs):
+                    rows.append((key, s, e, text[s:e], etype, ntype))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in per_text_schema.fields]
+            )
+
+    per_text = distinct.mapInPandas(run, per_text_schema)
+    return keyed.join(per_text, "text_key").select(
+        "doc_id", "span_idx", "sent_idx", "start", "end", "surface",
+        "etype", "ntype",
+    )
+
+
+def _long_type():
+    from pyspark.sql.types import LongType
+
+    return LongType()
+
+
 def tag_sentences(sentences: DataFrame, weights_path: str) -> DataFrame:
     """Debug/parity variant: per-sentence predicted label sequence (JSON)."""
     import json

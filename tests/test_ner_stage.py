@@ -36,6 +36,27 @@ def test_fixture_quality_on_dev(model, dev_corpus):
 
 
 @pytest.mark.spark
+def test_global_dedup_variant_identical(spark, weights_path, dev_corpus):
+    """extract_mentions_global_dedup (compute once per distinct sentence,
+    join back) must produce EXACTLY the per-row results."""
+    from golden_horse_spark.operators.ner import (
+        extract_mentions,
+        extract_mentions_global_dedup,
+    )
+    from golden_horse_spark.operators.sentence_seg import documents_to_sentences
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, 100, seed=21, partitions=5)
+    sentences = documents_to_sentences(docs)
+    base = {tuple(r) for r in extract_mentions(sentences, weights_path).collect()}
+    dedup = {
+        tuple(r)
+        for r in extract_mentions_global_dedup(sentences, weights_path).collect()
+    }
+    assert dedup == base and len(base) > 0
+
+
+@pytest.mark.spark
 def test_spark_mentions_match_local_port(spark, weights_path, model, dev_corpus):
     """End-to-end agreement metric (BASELINE.md target P/R ≥ 0.95): the
     Spark pipeline must reproduce the local port's spans EXACTLY (=1.0),
