@@ -16,7 +16,7 @@ Semantics re-derived from the reference loaders (train_util.py:90-113,
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

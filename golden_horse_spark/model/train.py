@@ -19,10 +19,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .crf import forward_backward, pad_features, emission_scores
+from .crf import forward_backward, pad_features
 from .dicts import build_dicts
 from .evaluation import span_eval
-from .features import encode_sentence, representations
+from .features import encode_sentence
 from .weights import NerWeights
 
 Sentence = Tuple[Sequence[str], Sequence[str]]

@@ -27,16 +27,8 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 _ENDERS = "。？！，：；"
 _ENDER_SET = set(_ENDERS)

@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ner import MENTIONS_SCHEMA, extract_mentions
+from ..operators.ner import extract_mentions
 from ..operators.sentence_seg import documents_to_sentences
 from ..sources.documents import DOCUMENTS_SCHEMA
 
