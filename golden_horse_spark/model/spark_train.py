@@ -1,0 +1,336 @@
+"""Distributed CRF training on Spark (SURVEY.md §2.11 R1/M5, scaled out).
+
+The reference trains with a single-process per-sentence SGD loop
+(crf_ner.py:46-90, train_util.py:267-286). Two standard data-parallel
+schemes are provided here, both built on ``sentence_grad``/``sgd_pass``
+from train.py so the objective is bit-identical to the local trainer:
+
+* ``batch_gd`` — exact synchronous full-batch gradient descent: every
+  partition computes the SUM of per-sentence gradients over its shard
+  inside one ``mapInPandas`` pass (Arrow-batched, NumPy kernel, no
+  per-row Python crossing), emits ONE row holding the serialized partial
+  (loss, n, dense grads); the driver reduces partials in partition order
+  and applies an AdaGrad step (lr≈0.5 scale; per-parameter adaptation is
+  required because the summed transition gradient is ~500× the typical
+  feature gradient — the same reason the reference ships AdaDelta/RMSProp,
+  train_util.py:289-424). The full-batch gradient is the sum of
+  per-sentence gradients, so the result is independent of partitioning
+  (up to float association) — tested at 2 vs 8 partitions and against a
+  driver-side loop. At cluster scale the collect is a tree-reduce over
+  O(model size) blobs, the classic AllReduce shape; the model
+  (~|F|·K float32) is a few hundred MB at web vocabularies — still
+  driver-feasible; beyond that, switch the w_feat partial to its sparse
+  touched-rows form (the ids each partition touches are bounded by its
+  shard's feature support).
+
+* ``ipm`` — iterative parameter mixing (McDonald, Hall & Mann,
+  NAACL 2010, "Distributed Training Strategies for the Structured
+  Perceptron"): each epoch broadcasts the current weights, every
+  partition runs the reference's sequential SGD pass over its own shard
+  (seeded shuffle derived from (seed, epoch, partition_id)), and the
+  driver averages the resulting weight vectors weighted by shard
+  sentence count. Converges in far fewer epochs than batch GD at the
+  same per-epoch cost, at the price of partition-count-dependent (but
+  seed-deterministic) trajectories.
+
+Input is a DataFrame of raw (sent_id, chars, labels) rows — encoding to
+feature/word ids happens INSIDE the partition kernel with broadcast
+dicts, so nothing larger than the weights ever sits on the driver and
+the same code path works when the corpus is a 100 TB table. Dictionaries
+stay driver/broadcast-built as in train.py (closed vocab per
+sighan_ner.py:45-58); at web scale swap in the distributed first-seen
+dict build (__spark_entry__.q_word_first_seen pattern).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dicts import build_dicts
+from .evaluation import span_eval
+from .features import encode_sentence
+from .train import Sentence, sentence_grad, sgd_pass
+from .weights import NerWeights
+
+_PARTIAL_SCHEMA = "loss double, n long, blob binary"
+
+
+# ------------------------------------------------------------- serialization
+
+
+def _pack(arrays: Sequence[np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, *[np.ascontiguousarray(a) for a in arrays])
+    return buf.getvalue()
+
+
+def _unpack(blob: bytes) -> List[np.ndarray]:
+    z = np.load(io.BytesIO(blob), allow_pickle=False)
+    return [z[k] for k in z.files]
+
+
+def sentences_to_df(
+    spark: SparkSession, sentences: Sequence[Sentence], parts: int = 8
+) -> DataFrame:
+    """(chars, labels) pairs → DataFrame(sent_id, chars, labels)."""
+    rows = [
+        (i, list(chars), list(labels)) for i, (chars, labels) in enumerate(sentences)
+    ]
+    return spark.createDataFrame(
+        rows, "sent_id long, chars array<string>, labels array<string>"
+    ).repartition(parts, "sent_id")
+
+
+# ------------------------------------------------------------ batch gradient
+
+
+def _grad_kernel(bc, use_emb: bool):
+    """Returns the mapInPandas body computing one partial-gradient row.
+    ``bc`` is a Broadcast of the params dict (one copy per executor,
+    not per task)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = bc.value
+        w_feat = params["w_feat"]
+        a = params["a"]
+        w_emb = params.get("w_emb")
+        lin_n = params.get("lin_n")
+        lin_b = params.get("lin_b")
+        f2i, w2i, l2i = params["f2i"], params["w2i"], params["l2i"]
+        mode = params["mode"]
+        g_feat = np.zeros_like(w_feat)
+        g_a = np.zeros_like(a)
+        g_emb = np.zeros_like(w_emb) if use_emb else np.zeros(1)
+        g_n = np.zeros_like(lin_n) if use_emb else np.zeros(1)
+        g_b = np.zeros_like(lin_b) if use_emb else np.zeros(1)
+        loss = 0.0
+        n = 0
+        for pdf in batches:
+            for chars, labels in zip(pdf["chars"], pdf["labels"]):
+                if len(chars) < 2:  # crf_ner.py:56-58 skip
+                    continue
+                feat_ids, word_ids = encode_sentence(list(chars), f2i, w2i, mode)
+                word_ids = np.asarray(word_ids, dtype=np.int32)
+                y = np.asarray([l2i[lb] for lb in labels], dtype=np.int32)
+                s_loss, fp, d_em, d_a = sentence_grad(
+                    feat_ids, word_ids, y, w_feat, a, w_emb, lin_n, lin_b, use_emb
+                )
+                loss += s_loss
+                n += 1
+                np.add.at(g_feat, fp.ravel(), np.repeat(d_em, fp.shape[1], axis=0))
+                g_a += d_a
+                if use_emb:
+                    x = w_emb[word_ids]
+                    g_n += x.T @ d_em
+                    g_b += d_em.sum(axis=0)
+                    np.add.at(g_emb, word_ids, d_em @ lin_n.T)
+        g_feat[-1] = 0.0  # pad row is not a parameter
+        yield pd.DataFrame(
+            {"loss": [loss], "n": [n], "blob": [_pack([g_feat, g_a, g_emb, g_n, g_b])]}
+        )
+
+    return body
+
+
+def batch_gradient(
+    df: DataFrame, params: dict, use_emb: bool
+) -> Tuple[float, int, List[np.ndarray]]:
+    """Exact full-batch (loss, n_sentences, [g_feat, g_a, g_emb, g_n, g_b])
+    summed over every sentence in ``df``. Deterministic: partials are
+    reduced in partition-id order."""
+    bc = df.sparkSession.sparkContext.broadcast(params)
+    rows = (
+        df.mapInPandas(_grad_kernel(bc, use_emb), schema=_PARTIAL_SCHEMA)
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    bc.destroy()
+    rows.sort(key=lambda r: r["pid"])
+    total_loss, total_n = 0.0, 0
+    grads: Optional[List[np.ndarray]] = None
+    for r in rows:
+        if r["n"] == 0 and r["loss"] == 0.0:
+            continue
+        part = _unpack(r["blob"])
+        grads = part if grads is None else [g + p for g, p in zip(grads, part)]
+        total_loss += r["loss"]
+        total_n += r["n"]
+    if grads is None:
+        raise ValueError("empty training corpus")
+    return total_loss, total_n, grads
+
+
+# ----------------------------------------------------- iterative param mixing
+
+
+def ipm_order(n: int, seed: int, epoch: int, pid: int) -> np.ndarray:
+    """Deterministic per-(seed, epoch, partition) shuffle order."""
+    rng = np.random.RandomState((seed * 1_000_003 + epoch * 9_973 + pid) % 2**31)
+    order = np.arange(n)
+    rng.shuffle(order)
+    return order
+
+
+def _ipm_kernel(bc, use_emb: bool, lr: float, l2: float, seed: int,
+                epoch: int):
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        params = bc.value
+        w_feat = params["w_feat"].copy()
+        a = params["a"].copy()
+        w_emb = params["w_emb"].copy() if use_emb else None
+        lin_n = params["lin_n"].copy() if use_emb else None
+        lin_b = params["lin_b"].copy() if use_emb else None
+        f2i, w2i, l2i = params["f2i"], params["w2i"], params["l2i"]
+        mode = params["mode"]
+        enc = []
+        for pdf in batches:
+            for chars, labels in zip(pdf["chars"], pdf["labels"]):
+                feat_ids, word_ids = encode_sentence(list(chars), f2i, w2i, mode)
+                enc.append(
+                    (
+                        feat_ids,
+                        np.asarray(word_ids, dtype=np.int32),
+                        np.asarray([l2i[lb] for lb in labels], dtype=np.int32),
+                    )
+                )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        loss = sgd_pass(
+            w_feat, a, w_emb, lin_n, lin_b, enc,
+            ipm_order(len(enc), seed, epoch, pid), lr, l2, use_emb,
+        )
+        arrays = [w_feat, a] + (
+            [w_emb, lin_n, lin_b] if use_emb else [np.zeros(1)] * 3
+        )
+        yield pd.DataFrame(
+            {"loss": [loss], "n": [len(enc)], "blob": [_pack(arrays)]}
+        )
+
+    return body
+
+
+def _ipm_epoch(
+    df: DataFrame, params: dict, use_emb: bool, lr: float, l2: float,
+    seed: int, epoch: int,
+) -> Tuple[float, List[np.ndarray]]:
+    """One IPM round: local SGD per partition, count-weighted average."""
+    bc = df.sparkSession.sparkContext.broadcast(params)
+    rows = df.mapInPandas(
+        _ipm_kernel(bc, use_emb, lr, l2, seed, epoch), schema=_PARTIAL_SCHEMA
+    ).collect()
+    bc.destroy()
+    total_n = sum(r["n"] for r in rows)
+    total_loss = sum(r["loss"] for r in rows)
+    avg: Optional[List[np.ndarray]] = None
+    for r in rows:
+        if r["n"] == 0:
+            continue
+        w = r["n"] / total_n
+        part = [p * w for p in _unpack(r["blob"])]
+        avg = part if avg is None else [g + p for g, p in zip(avg, part)]
+    if avg is None:
+        raise ValueError("empty training corpus")
+    return total_loss, avg
+
+
+# ------------------------------------------------------------------- trainer
+
+
+def train_ner_spark(
+    spark: SparkSession,
+    train: List[Sentence],
+    dev: Optional[List[Sentence]] = None,
+    strategy: str = "ipm",
+    parts: int = 8,
+    feature_thresh: int = 0,
+    mode: str = "char",
+    use_emb: bool = True,
+    emb_dim: int = 100,
+    lr: float = 0.05,
+    epochs: int = 20,
+    seed: int = 1,
+    l2: float = 0.0,
+    verbose: bool = True,
+) -> NerWeights:
+    """Distributed counterpart of train.train_ner. ``strategy`` is
+    ``"ipm"`` (parameter mixing; default; ``lr`` on the reference's
+    per-sentence 0.05 scale) or ``"batch_gd"`` (exact synchronous
+    full-batch gradient + AdaGrad; pass ``lr``≈0.5). Dev eval + best-model selection
+    happen driver-side exactly as in the local trainer."""
+    dict_corpus = list(train) + list(dev or [])
+    f2i, w2i, l2i = build_dicts(dict_corpus, feature_thresh, mode)
+    n_feat, n_lab = len(f2i), len(l2i)
+    rng = np.random.RandomState(seed)
+    w_feat = np.zeros((n_feat + 1, n_lab))
+    a = (rng.rand(n_lab, n_lab) - 0.5) / n_lab
+    w_emb = lin_n = lin_b = None
+    if use_emb:
+        w_emb = (rng.rand(len(w2i), emb_dim) - 0.5) / emb_dim
+        lin_n = (rng.rand(emb_dim, n_lab) - 0.5) / np.sqrt(emb_dim)
+        lin_b = np.zeros(n_lab)
+
+    df = sentences_to_df(spark, train, parts).cache()
+    df.count()  # materialize once; every epoch reuses the cached shards
+    gold_dev = [list(labels) for _, labels in (dev or [])]
+
+    def snapshot() -> NerWeights:
+        return NerWeights(
+            features2idx=f2i, words2idx=w2i, labels2idx=l2i,
+            w_feat=w_feat.astype(np.float32), a=a.astype(np.float32),
+            w_emb=None if w_emb is None else w_emb.astype(np.float32),
+            lin_n=None if lin_n is None else lin_n.astype(np.float32),
+            lin_b=None if lin_b is None else lin_b.astype(np.float32),
+            use_emb=use_emb, viterbi=False, mode=mode,
+        )
+
+    best: Tuple[float, Optional[NerWeights]] = (-1.0, None)
+    # AdaGrad accumulators for batch_gd (the reference itself reaches for
+    # adaptive per-parameter steps — AdaDelta/RMSProp, train_util.py:289-424
+    # — because CRF gradient scales are wildly skewed: the transition
+    # gradient sums pairwise marginals over every TOKEN, ~500× the typical
+    # per-feature gradient; one global step either crawls or saturates).
+    acc: Optional[List[np.ndarray]] = None
+    for epoch in range(epochs):
+        params = {
+            "w_feat": w_feat, "a": a, "w_emb": w_emb, "lin_n": lin_n,
+            "lin_b": lin_b, "f2i": f2i, "w2i": w2i, "l2i": l2i, "mode": mode,
+        }
+        if strategy == "batch_gd":
+            loss, n, grads = batch_gradient(df, params, use_emb)
+            if acc is None:
+                acc = [np.zeros_like(g) for g in grads]
+            tgt = [w_feat, a] + ([w_emb, lin_n, lin_b] if use_emb else [])
+            for w, g, ac in zip(tgt, grads, acc):
+                ac += g * g
+                w -= lr * g / np.sqrt(ac + 1e-8)  # AdaGrad step
+            w_feat[n_feat] = 0.0
+        elif strategy == "ipm":
+            loss, avg = _ipm_epoch(df, params, use_emb, lr, l2, seed, epoch)
+            w_feat, a = avg[0], avg[1]
+            if use_emb:
+                w_emb, lin_n, lin_b = avg[2], avg[3], avg[4]
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        if dev:
+            model = snapshot()
+            pred = [model.classify(chars) for chars, _ in dev]
+            res = span_eval(pred, gold_dev)
+            if verbose:
+                print(
+                    f"[{strategy}] epoch {epoch}: loss={loss:.1f} "
+                    f"dev f1={res['f1']:.4f} p={res['p']:.4f} r={res['r']:.4f}"
+                )
+            if res["f1"] > best[0]:
+                best = (res["f1"], model)
+        elif verbose:
+            print(f"[{strategy}] epoch {epoch}: loss={loss:.1f}")
+    df.unpersist()
+    return best[1] if best[1] is not None else snapshot()

@@ -37,6 +37,73 @@ def _encode_corpus(sentences, features2idx, words2idx, labels2idx, mode):
     return enc
 
 
+def sentence_grad(
+    feat_ids, word_ids, y, w_feat, a, w_emb, lin_n, lin_b, use_emb: bool
+):
+    """Exact gradient of -(gold score - logZ) for ONE sentence.
+
+    Returns (loss, fp, d_em, d_a) where ``fp`` is the (T, Fmax) padded
+    feature-id matrix — the caller scatter-adds ``d_em`` rows at ``fp``
+    into the w_feat gradient — plus the dense transition gradient.
+    Shared by the local SGD loop and the Spark data-parallel trainer
+    (spark_train.py) so both optimize the identical objective.
+    """
+    n_feat = w_feat.shape[0] - 1
+    t_len = len(y)
+    fp = pad_features(feat_ids, n_feat)
+    em = w_feat[fp].sum(axis=1)
+    if use_emb:
+        x = w_emb[word_ids]
+        em = em + x @ lin_n + lin_b
+    log_z, unary, pair = forward_backward(em, a)
+    gold_un = np.zeros_like(unary)
+    gold_un[np.arange(t_len), y] = 1.0
+    loss = log_z - float(em[np.arange(t_len), y].sum()) - float(
+        a[y[:-1], y[1:]].sum()
+    )
+    d_em = unary - gold_un  # (T, K) dL/d emission
+    d_a = pair.sum(axis=0)
+    np.subtract.at(d_a, (y[:-1], y[1:]), 1.0)
+    return loss, fp, d_em, d_a
+
+
+def sgd_pass(
+    w_feat, a, w_emb, lin_n, lin_b, enc, order, lr: float, l2: float,
+    use_emb: bool,
+) -> float:
+    """One in-place SGD sweep over ``enc`` in ``order`` (the reference's
+    per-sentence update, crf_ner.py:54-90 / train_util.py:267-286).
+    Mutates the weight arrays; returns total loss. Shared by train_ner
+    and the IPM partitions of spark_train.py."""
+    n_feat = w_feat.shape[0] - 1
+    total_loss = 0.0
+    for si in order:
+        feat_ids, word_ids, y = enc[si]
+        t_len = len(y)
+        if t_len < 2:  # crf_ner.py:56-58 skip
+            continue
+        loss, fp, d_em, d_a = sentence_grad(
+            feat_ids, word_ids, y, w_feat, a, w_emb, lin_n, lin_b, use_emb
+        )
+        total_loss += loss
+        # feature weights: scatter-add d_em rows at each feature id
+        np.add.at(w_feat, fp.ravel(), -lr * np.repeat(d_em, fp.shape[1], axis=0))
+        w_feat[n_feat] = 0.0  # keep pad row zero
+        a -= lr * d_a
+        if use_emb:
+            x = w_emb[word_ids]
+            d_lin = x.T @ d_em
+            d_b = d_em.sum(axis=0)
+            d_x = d_em @ lin_n.T
+            np.add.at(w_emb, word_ids, -lr * d_x)
+            lin_n -= lr * d_lin
+            lin_b -= lr * d_b
+        if l2:
+            w_feat *= 1.0 - lr * l2
+            a *= 1.0 - lr * l2
+    return total_loss
+
+
 def train_ner(
     train: List[Sentence],
     dev: Optional[List[Sentence]] = None,
@@ -97,41 +164,9 @@ def train_ner(
     for epoch in range(epochs):
         t0 = time.time()
         rng.shuffle(order)
-        total_loss = 0.0
-        for si in order:
-            feat_ids, word_ids, y = enc_train[si]
-            t_len = len(y)
-            if t_len < 2:  # crf_ner.py:56-58 skip
-                continue
-            fp = pad_features(feat_ids, n_feat)
-            em = w_feat[fp].sum(axis=1)
-            if use_emb:
-                x = w_emb[word_ids]
-                em = em + x @ lin_n + lin_b
-            log_z, unary, pair = forward_backward(em, a)
-            gold_un = np.zeros_like(unary)
-            gold_un[np.arange(t_len), y] = 1.0
-            total_loss += log_z - float(em[np.arange(t_len), y].sum()) - float(
-                a[y[:-1], y[1:]].sum()
-            )
-            d_em = unary - gold_un  # (T, K) dL/d emission
-            # feature weights: scatter-add d_em rows at each feature id
-            np.add.at(w_feat, fp.ravel(), -cur_lr * np.repeat(d_em, fp.shape[1], axis=0))
-            w_feat[n_feat] = 0.0  # keep pad row zero
-            # transitions
-            d_a = pair.sum(axis=0)
-            np.subtract.at(d_a, (y[:-1], y[1:]), 1.0)
-            a -= cur_lr * d_a
-            if use_emb:
-                d_lin = x.T @ d_em
-                d_b = d_em.sum(axis=0)
-                d_x = d_em @ lin_n.T
-                np.add.at(w_emb, word_ids, -cur_lr * d_x)
-                lin_n -= cur_lr * d_lin
-                lin_b -= cur_lr * d_b
-            if l2:
-                w_feat *= 1.0 - cur_lr * l2
-                a *= 1.0 - cur_lr * l2
+        total_loss = sgd_pass(
+            w_feat, a, w_emb, lin_n, lin_b, enc_train, order, cur_lr, l2, use_emb
+        )
         if dev:
             model = snapshot()
             pred = [model.classify(chars) for chars, _ in dev]
