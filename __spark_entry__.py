@@ -82,7 +82,7 @@ def _kg_stages(spark: SparkSession, n_docs: int = 200) -> dict:
          for i, s in enumerate(_ALIASES)]
     )
     candidates = generate_candidates(mentions, aliases)
-    links = score_links(candidates)
+    links = score_links(candidates, mentions=mentions)
     entities = canonical_entities(links)
     triples = materialize_triples(mentions, links, entities, n_parts=16)
     return {

@@ -104,7 +104,9 @@ def run_pipeline_bench(spark) -> dict:
     # doc lengths before the compute-heavy stage
     sentences = documents_to_sentences(docs).repartition(max(2 * n_cores, 8))
     mentions = mentions_with_ids(extract_mentions(sentences, e.WEIGHTS)).cache()
-    links = score_links(generate_candidates(mentions, aliases)).cache()
+    links = score_links(
+        generate_candidates(mentions, aliases), mentions=mentions
+    ).cache()
     entities = canonical_entities(links)
     triples = materialize_triples(mentions, links, entities, n_parts=64)
     n_triples = triples.count()

@@ -109,14 +109,53 @@ def generate_candidates(
     return cands
 
 
-def score_links(candidates: DataFrame, top_k: int = 1) -> DataFrame:
+def score_links(
+    candidates: DataFrame,
+    mentions: DataFrame | None = None,
+    top_k: int = 1,
+    w_prior: float = 1.0,
+    w_coherence: float = 0.5,
+) -> DataFrame:
     """Pairwise scoring + per-mention ranking → links(mention_id,
-    entity_id, score). Deterministic tie-break on entity_id."""
+    entity_id, score). Deterministic tie-break on entity_id.
+
+    Base signal is the candidate ``score`` (alias prior, ×string-sim on
+    the fuzzy path). When ``mentions`` (mention_id, doc_id, …) is given,
+    a document-coherence term is added: candidates whose entity is also
+    supported by OTHER mentions in the same document get
+    ``w_coherence·log1p(support-1)`` — the classic collective-linking
+    signal, computed relationally (no UDF):
+
+        candidates ⋈ mentions → groupBy(doc_id, entity_id)
+                              → countDistinct(mention_id) ⟶ support
+
+    Scale: both the join and the agg are keyed shuffles on
+    (doc_id, entity_id); per-doc candidate counts are bounded (docs have
+    bounded mentions × bounded candidates per surface), so no hot keys —
+    skew lives in surface forms, which this never groups by.
+    """
+    scored = candidates
+    if mentions is not None and "doc_id" in mentions.columns:
+        with_doc = candidates.join(
+            mentions.select("mention_id", "doc_id"), "mention_id"
+        )
+        support = with_doc.groupBy("doc_id", "entity_id").agg(
+            F.countDistinct("mention_id").alias("support")
+        )
+        scored = (
+            with_doc.join(support, ["doc_id", "entity_id"])
+            .withColumn(
+                "score",
+                w_prior * F.col("score")
+                + w_coherence * F.log1p(F.col("support") - 1),
+            )
+            .drop("doc_id", "support")
+        )
     w = Window.partitionBy("mention_id").orderBy(
         F.col("score").desc(), F.col("entity_id")
     )
     return (
-        candidates.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("mention_id", "entity_id", "score")
     )

@@ -139,9 +139,9 @@ def run_pipeline(
         lambda: generate_candidates(mentions, aliases, fuzzy=cfg.fuzzy_linking),
     )
 
-    fp_links = store.fingerprint("links", fp_cand)
+    fp_links = store.fingerprint("links", fp_cand + "coh")
     links = store.load_or_compute(
-        "links", fp_links, lambda: score_links(candidates)
+        "links", fp_links, lambda: score_links(candidates, mentions=mentions)
     )
 
     fp_ent = store.fingerprint("entities", fp_links)

@@ -60,6 +60,36 @@ def test_score_links_top1_deterministic(mentions, aliases):
     assert got == {"m1": "e1", "m4": "e1", "m2": "e3", "m3": "e4"}
 
 
+def test_score_links_doc_coherence_flips_prior(spark):
+    """Collective linking: an entity supported by other mentions in the
+    same document beats a higher-prior but unsupported candidate."""
+    aliases = spark.createDataFrame(
+        [
+            ("华盛顿", "per_washington", 0.6),  # prior favors the person
+            ("华盛顿", "gpe_washington", 0.4),
+            ("白宫", "gpe_washington", 1.0),   # co-mention anchors the GPE
+        ],
+        "surface_form string, entity_id string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "d1", "华盛顿"), ("m2", "d1", "白宫"), ("m3", "d2", "华盛顿")],
+        "mention_id string, doc_id string, surface string",
+    )
+    cands = exact_candidates(mentions, aliases)
+    # without coherence the prior wins everywhere
+    plain = {r["mention_id"]: r["entity_id"] for r in score_links(cands).collect()}
+    assert plain["m1"] == "per_washington" and plain["m3"] == "per_washington"
+    # with coherence, d1's 华盛顿 flips to the co-supported GPE entity;
+    # d2 (no supporting co-mention) keeps the prior choice
+    coh = {
+        r["mention_id"]: r["entity_id"]
+        for r in score_links(cands, mentions=mentions).collect()
+    }
+    assert coh["m1"] == "gpe_washington"
+    assert coh["m2"] == "gpe_washington"
+    assert coh["m3"] == "per_washington"
+
+
 def test_fuzzy_candidates_cover_near_misses(spark, aliases, mentions):
     cands = generate_candidates(mentions, aliases, fuzzy=True,
                                 jaccard_max_distance=0.8)
