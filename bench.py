@@ -127,15 +127,84 @@ def run_pipeline_bench(spark) -> dict:
     }
 
 
+def run_cc_bench(spark, n_nodes: int | None = None) -> dict:
+    """Connected components at graph scale (the canonicalization stage in
+    isolation). Synthesizes a skewed entity graph entirely JVM-side:
+
+    * star clusters of 50 nodes (each node → its cluster root) — the
+      shape alias-candidate graphs take (entities bridged by mentions);
+    * cluster roots bridged in groups of 4 (diameter ~4, a few label-
+      propagation rounds);
+    * one hot hub wired to 1% of nodes — the skewed-degree case the
+      range-partitioned shuffle + AQE must absorb (north_rule hot keys).
+
+    The hub collapses every component it touches, so the result is one
+    giant component + the untouched cluster-groups; correctness of CC
+    itself is pytest territory (tests/test_linking_cc.py) — this measures
+    round latency and end-to-end time.
+    """
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.canonicalize import connected_components
+
+    n = n_nodes or int(os.environ.get("SPARK_GRAFT_CC_NODES", "2000000"))
+    c = 50  # cluster size
+    nodes = spark.range(n)
+    stars = nodes.select(
+        F.col("id").alias("src"),
+        ((F.col("id") / c).cast("long") * c).alias("dst"),
+    ).where("src != dst")
+    bridges = spark.range(n // c).select(
+        (F.col("id") * c).alias("src"),
+        ((F.col("id") - F.col("id") % 4) * c).alias("dst"),
+    ).where("src != dst")
+    hub = spark.range(n // 100).select(
+        F.lit(0).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("dst"),
+    ).where("src != dst")
+    edges = stars.union(bridges).union(hub).cache()
+    n_edges = edges.count()  # materialize input outside the timed region
+
+    t0 = time.time()
+    cc = connected_components(edges)
+    n_components = cc.select("component").distinct().count()
+    dt = time.time() - t0
+    giant = (
+        cc.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+    )
+    edges.unpersist()
+    return {
+        "cc_sec": round(dt, 2),
+        "n_nodes": n,
+        "n_edges": n_edges,
+        "n_components": n_components,
+        "giant_component": giant,
+        "edges_per_sec": round(n_edges / dt, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cc", action="store_true",
+                    help="connected-components graph-scale bench only")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     if args.scaling:
         return run_scaling()
+
+    if args.cc:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-cc", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "cc_graph_bench", "unit": "sec"}
+        out.update(run_cc_bench(spark))
+        out["value"] = out["cc_sec"]
+        print(json.dumps(out))
+        return
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from golden_horse_spark.config import get_spark
