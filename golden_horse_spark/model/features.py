@@ -80,26 +80,29 @@ def escaped_token_features(chars: Sequence[str]) -> List[List[str]]:
 
 
 def representations(
-    chars: Sequence[str], mode: str = "char"
+    chars: Sequence[str], mode: str = "char", segmenter=None
 ) -> List[str]:
     """Token representation column (sighan_ner.py:140-168).
 
-    ``char``: identity. ``charpos``/``word``: require jieba (pinned 0.37 in
-    the reference, README.md:90); gated import — raises a clear error when
-    unavailable so callers can fall back to ``char``.
+    ``char``: identity. ``charpos``/``word`` need a word segmenter: an
+    explicit ``segmenter`` (any object with ``cut(str) -> List[str]``),
+    else jieba when importable (the reference pins 0.37, README.md:90),
+    else the dictionary-DAG segmenter built from the reference's own
+    assets (model/segment.py; 0.99 charpos agreement with the golden
+    jieba-0.37 dumps — documented deviation).
     """
     if mode == "char":
         return list(chars)
-    try:
-        import jieba  # type: ignore
-    except ImportError as exc:  # pragma: no cover - container has no jieba
-        raise RuntimeError(
-            "representation mode %r needs jieba (reference pins 0.37); "
-            "use mode='char'" % mode
-        ) from exc
+    if segmenter is None:
+        try:
+            import jieba as segmenter  # type: ignore  # pragma: no cover
+        except ImportError:
+            from .segment import default_segmenter
+
+            segmenter = default_segmenter()
     sent = "".join(chars)
     out: List[str] = []
-    for word in jieba.cut(sent):  # pragma: no cover
+    for word in segmenter.cut(sent):
         for i, _ch in enumerate(word):
             out.append(word if mode == "word" else _ch + str(i))
     if len(out) != len(chars):  # pragma: no cover
