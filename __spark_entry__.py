@@ -76,7 +76,10 @@ def _kg_stages(spark: SparkSession, n_docs: int = 200) -> dict:
     _ship(spark)
     docs = _synth_docs(spark, n_docs)
     sentences = documents_to_sentences(docs)
-    mentions = mentions_with_ids(extract_mentions(sentences, WEIGHTS))
+    # cache: the coherence-scoring join makes the NER subtree appear in
+    # several plan branches; without the cache the pandas-UDF stage would
+    # re-run per branch (the checkpointed pipeline gets this from parquet)
+    mentions = mentions_with_ids(extract_mentions(sentences, WEIGHTS)).cache()
     aliases = spark.createDataFrame(
         [{"surface_form": s, "entity_id": f"e{i}", "prior": 1.0}
          for i, s in enumerate(_ALIASES)]
