@@ -406,6 +406,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sentences"] = q_sentences
 
+    # ---------------- collective link scoring (operators/linking.py:score_links)
+    def q_link_coherence(spark, sf):
+        """Document-coherence link scoring over a deterministic synthetic
+        candidate set: each word-mention gets a 'head' entity (first char,
+        prior 0.5) and a 'tail' entity (last char, prior 0.6); coherence
+        support = other mentions in the same doc sharing the entity."""
+        from golden_horse_spark.operators.linking import score_links
+
+        (docs,) = _tables(spark, sf, "documents")
+        mentions = (
+            docs.where(F.col("doc_id") % 20 == 0)
+            .select(
+                "doc_id",
+                F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "surface"),
+            )
+            .where(F.length("surface") >= 3)
+            .select(
+                (F.col("doc_id") * 100000 + F.col("pos")).alias("mention_id"),
+                "doc_id",
+                "surface",
+            )
+        )
+        cands = mentions.select(
+            "mention_id",
+            F.concat(F.lit("h_"), F.substring("surface", 1, 1)).alias("entity_id"),
+            F.lit(0.5).alias("score"),
+        ).unionByName(
+            mentions.select(
+                "mention_id",
+                F.concat(
+                    F.lit("t_"),
+                    F.expr("substring(surface, length(surface), 1)"),
+                ).alias("entity_id"),
+                F.lit(0.6).alias("score"),
+            )
+        )
+        links = score_links(cands, mentions=mentions)
+        return links.select(
+            "mention_id", "entity_id", F.round("score", 6).alias("score")
+        )
+
+    q["q_link_coherence"] = q_link_coherence
+
     # ---------------- text analysis
     def q_text_stats(spark, sf):
         from golden_horse_spark.operators.text_analysis import (
@@ -728,6 +771,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, row_number() OVER (ORDER BY first_pos) AS word_id
             FROM firsts
+        """,
+        "q_link_coherence": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest([{'w': s[i], 'i': i - 1} for i in range(1, len(s) + 1)]) AS u
+                FROM (SELECT doc_id, string_split(trim(text), ' ') AS s
+                      FROM documents WHERE doc_id % 20 = 0)
+            ),
+            mentions AS (
+                SELECT doc_id * 100000 + u.i AS mention_id, doc_id, u.w AS surface
+                FROM toks WHERE length(u.w) >= 3
+            ),
+            cands AS (
+                SELECT mention_id, 'h_' || substring(surface, 1, 1) AS entity_id,
+                       0.5 AS score FROM mentions
+                UNION ALL
+                SELECT mention_id,
+                       't_' || substring(surface, length(surface), 1),
+                       0.6 FROM mentions
+            ),
+            withdoc AS (
+                SELECT c.mention_id, c.entity_id, c.score, m.doc_id
+                FROM cands c JOIN mentions m USING (mention_id)
+            ),
+            support AS (
+                SELECT doc_id, entity_id, count(DISTINCT mention_id) AS s
+                FROM withdoc GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT w.mention_id, w.entity_id,
+                       1.0 * w.score + 0.5 * ln(1 + (s.s - 1)) AS score
+                FROM withdoc w
+                JOIN support s ON w.doc_id = s.doc_id AND w.entity_id = s.entity_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY mention_id ORDER BY score DESC, entity_id) AS rk
+                FROM scored
+            )
+            SELECT mention_id, entity_id, round(score, 6) AS score
+            FROM ranked WHERE rk = 1
         """,
         "q_sentences": """
             SELECT 't' || cast(doc_id AS varchar) AS doc_id,
