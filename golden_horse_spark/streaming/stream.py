@@ -70,6 +70,57 @@ def windowed_mention_counts(
     )
 
 
+SURFACE_STATE_OUTPUT = (
+    "surface string, total_mentions long, n_docs long, first_doc string"
+)
+_SURFACE_STATE = "total long, docs long, first_doc string"
+
+
+def running_surface_stats(mentions: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-surface running totals maintained across micro-batches.
+
+    State per surface = (total mention count, doc count, minimum doc_id
+    ever seen). The state store lives in the query checkpoint, so totals
+    survive restarts — the ``applyInPandasWithState`` pattern the north
+    rule's streaming story needs for dedup/session-style operators
+    (built-in windowed aggs can't express "running total since first
+    sight" without unbounded watermark state).
+
+    Scale: state is partitioned by the group key (surface); hot surfaces
+    are single-key state rows (O(1) each), not growing lists. Emits one
+    updated row per surface per micro-batch (outputMode=update).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        total, docs, first = (state.get if state.exists else (0, 0, None))
+        for pdf in pdfs:
+            total += len(pdf)
+            docs += pdf["doc_id"].nunique()
+            batch_min = pdf["doc_id"].min()
+            first = batch_min if first is None else min(first, batch_min)
+        state.update((int(total), int(docs), first))
+        yield pd.DataFrame(
+            {
+                "surface": [key[0]],
+                "total_mentions": [total],
+                "n_docs": [docs],
+                "first_doc": [first],
+            }
+        )
+
+    return mentions.groupBy("surface").applyInPandasWithState(
+        update,
+        outputStructType=SURFACE_STATE_OUTPUT,
+        stateStructType=_SURFACE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_sink(
     stream_df: DataFrame,
     output_dir: str,

@@ -70,3 +70,81 @@ def test_windowed_counts_with_watermark(spark, weights_path, doc_dir, tmp_path_f
     assert rows
     assert all(r["n_mentions"] > 0 for r in rows)
     assert {r["etype"] for r in rows} <= {"PER", "LOC", "ORG", "GPE"}
+
+
+def test_stateful_running_surface_stats(spark, weights_path, tmp_path_factory):
+    """applyInPandasWithState: per-surface running totals accumulate
+    across micro-batches AND across query restarts (state store lives in
+    the checkpoint)."""
+    from golden_horse_spark.sources.documents import synthesize_documents
+    from golden_horse_spark.streaming.stream import (
+        running_surface_stats,
+        stream_documents,
+        stream_mentions,
+    )
+
+    d = tmp_path_factory.mktemp("state_in")
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    wave1 = synthesize_documents(spark, 30, seed=21, partitions=2)
+    wave1.write.mode("append").parquet(str(d / "docs"))
+
+    out = str(tmp_path_factory.mktemp("state_out") / "stats")
+
+    def drain():
+        stats = running_surface_stats(
+            stream_mentions(stream_documents(spark, str(d / "docs")), weights_path)
+        )
+
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+
+        q = (
+            stats.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # latest emitted row per surface = the running total (batch_id is
+        # monotonic across restarts because it comes from the checkpoint)
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["batch_id"]):
+            latest[r["surface"]] = (
+                r["total_mentions"], r["n_docs"], r["first_doc"],
+            )
+        return latest
+
+    got1 = drain()
+    assert got1, "wave 1 produced no stateful output"
+
+    # wave 2: new files under the same source dir; restart the query on
+    # the same checkpoint — totals must be wave1 + wave2, not reset
+    wave2 = synthesize_documents(spark, 30, seed=22, partitions=2)
+    wave2.write.mode("append").parquet(str(d / "docs"))
+    got2 = drain()
+
+    # batch ground truth over the union
+    from golden_horse_spark.operators.ner import extract_mentions
+    from golden_horse_spark.operators.sentence_seg import documents_to_sentences
+
+    all_docs = spark.read.parquet(str(d / "docs"))
+    want = {
+        r["surface"]: (r["total"], r["first_doc"])
+        for r in extract_mentions(documents_to_sentences(all_docs), weights_path)
+        .groupBy("surface")
+        .agg(
+            F.count("*").alias("total"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .collect()
+    }
+    # wave-2 output only re-emits surfaces whose state changed; surfaces
+    # untouched in wave 2 keep their wave-1 row
+    merged = dict(got1)
+    merged.update(got2)
+    assert set(merged) == set(want)
+    for s, (total, first) in want.items():
+        assert merged[s][0] == total, f"running total wrong for {s!r}"
+        assert merged[s][2] == first, f"first_doc wrong for {s!r}"
