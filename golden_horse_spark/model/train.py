@@ -112,6 +112,7 @@ def train_ner(
     mode: str = "char",
     use_emb: bool = True,
     emb_dim: int = 100,
+    emb_path: Optional[str] = None,
     lr: float = 0.05,
     epochs: int = 40,
     seed: int = 1,
@@ -135,7 +136,17 @@ def train_ner(
     a = (rng.rand(n_lab, n_lab) - 0.5) / n_lab
     w_emb = lin_n = lin_b = None
     if use_emb:
-        w_emb = (rng.rand(len(words2idx), emb_dim) - 0.5) / emb_dim
+        if emb_path:
+            # pre-trained init, fine-tuned during training — the
+            # reference's jointly-trained-embeddings mode
+            # (train_util.py:90-113 load; crf_ner.py:162-177 wiring)
+            from .embeddings import read_embeddings
+
+            w_emb, _ = read_embeddings(emb_path, words2idx, seed=seed)
+            w_emb = w_emb[: len(words2idx)].astype(np.float64)
+            emb_dim = w_emb.shape[1]
+        else:
+            w_emb = (rng.rand(len(words2idx), emb_dim) - 0.5) / emb_dim
         lin_n = (rng.rand(emb_dim, n_lab) - 0.5) / np.sqrt(emb_dim)
         lin_b = np.zeros(n_lab)
 
