@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the scale properties BENCH.md claims
+must stay true as code evolves (pushdown, pruning, broadcast, and the
+zero-exchange document→sentences→mentions chain)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """A date filter on lineitem must appear in PushedFilters, not as a
+    post-scan Filter only — at 100 TB this is the difference between
+    scanning a partition subset and scanning everything."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Selecting 2 columns must prune the parquet ReadSchema to those
+    columns (media/text payloads never leave the scan)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id").withColumn("x", F.length("doc_id"))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema
+
+
+def test_sentence_chain_has_no_exchange(spark):
+    """documents → sentences is narrow (posexplode + JVM SQL fold): no
+    shuffle may appear. The NER stage then runs on whatever partitioning
+    the scan produced — the whole extraction front-end is shuffle-free."""
+    from golden_horse_spark.operators.sentence_seg import documents_to_sentences
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, 50, seed=5, partitions=4)
+    sentences = documents_to_sentences(docs)
+    plan = _plan(sentences)
+    assert "Exchange" not in plan, plan
+
+
+def test_alias_join_is_broadcast_not_shuffle(spark):
+    """Candidate generation must broadcast the alias dict: the mentions
+    side (10^12 rows at scale) never shuffles."""
+    from golden_horse_spark.operators.linking import exact_candidates
+
+    mentions = spark.range(1000).select(
+        F.concat(F.lit("m"), "id").alias("mention_id"),
+        F.concat(F.lit("s"), (F.col("id") % 37)).alias("surface"),
+    )
+    aliases = spark.range(37).select(
+        F.concat(F.lit("s"), "id").alias("surface_form"),
+        F.concat(F.lit("e"), "id").alias("entity_id"),
+        F.lit(1.0).alias("prior"),
+    )
+    plan = _plan(exact_candidates(mentions, aliases))
+    assert "BroadcastHashJoin" in plan
+    # the big (mentions) side must not be exchanged into the join
+    pre_join = plan.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning(mention_id" not in pre_join
+
+
+def test_whole_stage_codegen_covers_relational_stages(spark):
+    """Text-analysis expressions stay JVM-side inside WholeStageCodegen
+    (no python UDF in the hot path)."""
+    from golden_horse_spark.operators.text_analysis import quality_score, token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    plan = _plan(df)
+    # "*(n)" is the WholeStageCodegen marker in the compact plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
