@@ -161,13 +161,57 @@ def build_lexicon(
     return lex
 
 
+LEXICON_NPZ = Path(__file__).resolve().parents[2] / "fixtures/segmenter_lexicon.npz"
+
+
+def _find_lexicon_npz() -> Optional[Path]:
+    """Workers import this package from the shipped zip, where a repo-
+    relative path doesn't resolve — try the env override (set it to a
+    --files-distributed path on a real cluster), then the repo-relative
+    location, then the canonical checkout path."""
+    import os
+
+    for cand in (
+        os.environ.get("GH_LEXICON_NPZ"),
+        LEXICON_NPZ,
+        Path("/root/repo/fixtures/segmenter_lexicon.npz"),
+    ):
+        if cand and Path(cand).exists():
+            return Path(cand)
+    return None
+
+
+def save_lexicon_npz(lex: Dict[str, int], path: Path = LEXICON_NPZ) -> None:
+    """npz-native lexicon artifact: one contiguous key array + freq array.
+
+    Every python worker loads the lexicon; parsing 240k text lines per
+    worker is exactly the allocation-heavy init that stalls under >16
+    concurrently-forked workers (see BENCH.md) — the npz load is one
+    buffer read, same trick as NerWeights."""
+    import numpy as np
+
+    keys = np.array(list(lex.keys()), dtype=np.str_)
+    freqs = np.array(list(lex.values()), dtype=np.int64)
+    np.savez_compressed(path, keys=keys, freqs=freqs)
+
+
+def load_lexicon_npz(path: Path = LEXICON_NPZ) -> Dict[str, int]:
+    import numpy as np
+
+    z = np.load(path, allow_pickle=False)
+    return dict(zip(z["keys"].tolist(), z["freqs"].tolist()))
+
+
 _DEFAULT: Optional[DagSegmenter] = None
 
 
 def default_segmenter() -> DagSegmenter:
-    """Process-wide lazily-built segmenter (executors build it once per
-    python worker; the lexicon is a few MB)."""
+    """Process-wide lazily-built segmenter. Prefers the committed npz
+    artifact (fast worker init, and works where /root/reference isn't
+    mounted); falls back to building from the reference sources."""
     global _DEFAULT
     if _DEFAULT is None:
-        _DEFAULT = DagSegmenter(build_lexicon())
+        npz = _find_lexicon_npz()
+        lex = load_lexicon_npz(npz) if npz else build_lexicon()
+        _DEFAULT = DagSegmenter(lex)
     return _DEFAULT

@@ -25,8 +25,14 @@ DATA = Path("/root/reference/data")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--no-emb", action="store_true")
+    ap.add_argument("--mode", default="charpos",
+                    choices=["char", "charpos", "word"])
+    ap.add_argument("--emb", default="auto",
+                    help="pretrained embedding file ('auto' = the PPMI-SVD "
+                         "fixture for --mode, 'none' = random init)")
+    ap.add_argument("--l2", type=float, default=0.0)
     ap.add_argument("--2nd", dest="second", action="store_true",
                     help="use the revised weiboNER_2nd_conll splits")
     ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "fixtures/ner_weights.npz"))
@@ -38,11 +44,22 @@ def main() -> None:
     test = read_conll(DATA / f"{stem}.test")
     print(f"{stem}: {len(train)}/{len(dev)}/{len(test)} sentences")
 
+    root = Path(__file__).resolve().parents[1]
+    emb_path = None
+    if args.emb == "auto":
+        cand = root / f"fixtures/{args.mode}_ppmi_svd.emb"
+        emb_path = str(cand) if cand.exists() else None
+    elif args.emb != "none":
+        emb_path = args.emb
+    print(f"mode={args.mode} emb={emb_path} l2={args.l2}")
     model = train_ner(
         train,
         dev,
         extra_dict_corpora=[test],
         use_emb=not args.no_emb,
+        mode=args.mode,
+        emb_path=emb_path,
+        l2=args.l2,
         epochs=args.epochs,
         verbose=True,
     )
