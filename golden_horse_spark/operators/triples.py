@@ -45,15 +45,29 @@ def materialize_triples(
             F.col("canonical_id").alias("subj"),
         )
     )
-    mentioned_in = linked.select(
-        "subj", F.lit("mentioned_in").alias("pred"), F.col("doc_id").alias("obj"),
-        "doc_id",
-    ).distinct()
-    has_type = linked.select(
-        "subj", F.lit("has_type").alias("pred"), F.col("etype").alias("obj"),
-        "doc_id",
-    ).distinct()
-    out = mentioned_in.unionByName(has_type)
+    # mentioned_in + has_type fused into ONE pass over `linked`: both
+    # deduplicate on (subj, pred, obj, doc_id), so a single explode +
+    # distinct replaces two scans + two exchanges of the join subtree
+    out = (
+        linked.select(
+            "subj",
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("mentioned_in").alias("pred"),
+                        F.col("doc_id").alias("obj"),
+                    ),
+                    F.struct(
+                        F.lit("has_type").alias("pred"),
+                        F.col("etype").alias("obj"),
+                    ),
+                )
+            ).alias("po"),
+        )
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"), "doc_id")
+        .distinct()
+    )
     if co_occurrence:
         left = linked.alias("l")
         right = linked.alias("r")

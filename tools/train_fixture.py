@@ -39,6 +39,14 @@ def main() -> None:
     args = ap.parse_args()
 
     stem = "weiboNER_2nd_conll" if args.second else "weiboNER.conll"
+    if args.second and args.mode != "char":
+        # the 2nd revision ships PRE-charpos-converted tokens; the
+        # reference consumes it with --emb_type char (README.md:76)
+        print("weiboNER_2nd tokens are already charpos — forcing mode=char")
+        args.mode = "char"
+        if args.emb == "auto":
+            args.emb = str(Path(__file__).resolve().parents[1]
+                           / "fixtures/charpos_ppmi_svd.emb")
     train = read_conll(DATA / f"{stem}.train")
     dev = read_conll(DATA / f"{stem}.dev")
     test = read_conll(DATA / f"{stem}.test")
