@@ -102,3 +102,21 @@ def test_documents_media_interleave_preserved(spark, weights_path):
         for r in rows
     }
     assert norm(collected) == norm(rt)
+
+
+def test_2nd_revision_fixture_matches_published_f1():
+    """fixtures/ner_weights_2nd.npz on the REVISED test split (the split
+    the paper reports): overall micro-F1 must stay at/above the published
+    EMNLP'15 best-model 0.5605 (golden_horse_supplement Table 1).
+    Measured at training time: 0.5673 overall (named 0.5029 / nominal
+    0.6316 vs published 0.5196 / 0.6105)."""
+    from pathlib import Path
+
+    from golden_horse_spark.model.evaluation import span_eval
+    from golden_horse_spark.model.weights import NerWeights
+    from golden_horse_spark.sources.conll import read_conll
+
+    m = NerWeights.load(Path(__file__).resolve().parents[1] / "fixtures/ner_weights_2nd.npz")
+    test = read_conll("/root/reference/data/weiboNER_2nd_conll.test")
+    r = span_eval([m.classify(c) for c, _ in test], [l for _, l in test])
+    assert r["f1"] >= 0.56, r
