@@ -68,21 +68,50 @@ def shingles_expr(text_col: str, k: int = 3) -> str:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}): h_j = min over shingles of md5(j || '|' || s).
+    """(doc_id, h0..h{n-1}): h_j = min over shingles of hash(j || '|' || s).
 
-    md5-hex min is taken lexicographically — portable to any SQL engine.
-    Docs shorter than k words get the md5 of the empty marker (stable).
+    ``hash_fn="md5"`` (default): hex min taken lexicographically —
+    portable to any SQL engine, used by the DuckDB oracle twin.
+    ``hash_fn="xxhash64"``: the PRODUCTION setting — JVM-codegen 64-bit
+    hash, roughly an order of magnitude cheaper than md5; at web scale
+    the signature pass is hash-bound (docs × shingles × num_hashes), so
+    this is the knob that matters. Same LSH semantics either way.
+    Docs shorter than k words get the hash of the empty marker (stable).
     """
+    if hash_fn == "md5":
+        mk = lambda col: F.md5(col)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        mk = lambda col: F.xxhash64(col).cast("string")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # Shape: explode shingles once, hash each ONCE per j, map-side-combined
+    # min per doc. The tempting all-column form — num_hashes expressions
+    # each containing transform(shingles, …) — re-evaluates split()/slice()
+    # per ARRAY ELEMENT per column (Catalyst doesn't CSE inside lambdas):
+    # measured 6× slower at sf0.1 and quadratically worse with num_hashes.
+    # A NULL marker element keeps shingle-less docs in the output.
     sh = F.expr(shingles_expr(text_col, k))
-    cols = [F.col("doc_id")]
-    for j in range(num_hashes):
-        h = F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
-        )
-        cols.append(F.coalesce(h, F.md5(F.lit(f"{j}|"))).alias(f"h{j}"))
-    return docs.select(*cols)
+    ex = docs.select(
+        "doc_id", F.explode(F.concat(sh, F.array(F.lit(None)))).alias("s")
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("s").isNotNull(),
+                mk(F.concat(F.lit(f"{j}|"), F.col("s"))),
+            )
+        ).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    cols = [F.col("doc_id")] + [
+        F.coalesce(F.col(f"m{j}"), mk(F.lit(f"{j}|"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return g.select(*cols)
 
 
 def minhash_dup_pairs(
@@ -91,6 +120,7 @@ def minhash_dup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH banding: docs sharing ALL hashes within any band become a
     candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -99,7 +129,7 @@ def minhash_dup_pairs(
     self-join on (band, key). Signatures are computed once (checkpointed:
     md5-min over shingles is the expensive part; a per-band join tree
     would recompute it 2·bands times)."""
-    sig = minhash_signatures(docs, text_col, num_hashes, k)
+    sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
