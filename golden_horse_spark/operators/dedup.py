@@ -167,21 +167,27 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     = sign of the sum. Implemented with higher-order array functions —
     no Python UDF.
     """
+    # explode tokens once, hash once per token, 64 conditional sums per
+    # doc (map-side combined). The array-column form — 64 F.aggregate
+    # expressions over transform(split(...)) — re-evaluates split+hash
+    # per bit plane (Catalyst doesn't CSE across lambda expressions).
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(contrib > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0))
-    sh = bit_cols[0]
-    for c in bit_cols[1:]:
-        sh = sh.bitwiseOR(c)
-    return docs.select("doc_id", sh.alias("simhash"))
+    ex = docs.select("doc_id", F.explode(toks).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    masks = [1 << b if b < 63 else -(1 << 63) for b in range(bits)]
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b, m in enumerate(masks)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for b, m in enumerate(masks):
+        bit = F.when(F.col(f"c{b}") > 0, F.lit(m)).otherwise(0)
+        sh = bit if sh is None else sh.bitwiseOR(bit)
+    return g.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
