@@ -57,10 +57,18 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles_expr(text_col: str, k: int = 3) -> str:
     """SQL expression producing k-word shingles of ``text_col`` (portable:
-    same logic is expressible in DuckDB; see __spark_entry__ oracles)."""
+    same logic is expressible in DuckDB; see __spark_entry__ oracles).
+
+    The token array is bound ONCE per row via the nested-transform trick
+    (``transform(array(split(..)), toks -> ...)``) — naming split's result
+    as a lambda variable. Referencing ``split(...)`` directly inside the
+    shingle lambda re-evaluates it per element (no CSE inside lambdas):
+    measured ~L× slower for L-token documents.
+    """
     return (
-        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {k})))"
+        f"flatten(transform(array(split(trim({text_col}), '\\\\s+')), "
+        f"toks -> transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))))"
     )
 
 
