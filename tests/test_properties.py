@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for pure-python kernels whose
+invariants must hold on arbitrary input, not just fixtures."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from golden_horse_spark.model.crf import decode
+from golden_horse_spark.model.features import representations, token_features
+from golden_horse_spark.model.segment import DagSegmenter
+
+CHARS = st.text(
+    alphabet=st.sampled_from("张三李四北京上海的了一是在" + string.ascii_letters + "01 ，。"),
+    min_size=0,
+    max_size=40,
+)
+
+LEX = {"北京": 50, "上海": 40, "张三": 10, "李四": 10, "北京上海": 5}
+SEG = DagSegmenter(LEX)
+
+
+@given(CHARS)
+@settings(max_examples=200, deadline=None)
+def test_segmenter_partitions_input(s):
+    """cut() must partition the input exactly: concatenation round-trips
+    and every piece is non-empty."""
+    words = SEG.cut(s)
+    assert "".join(words) == s
+    assert all(words)
+
+
+@given(CHARS)
+@settings(max_examples=200, deadline=None)
+def test_charpos_representation_is_length_preserving(s):
+    chars = list(s)
+    reprs = representations(chars, "charpos", segmenter=SEG)
+    assert len(reprs) == len(chars)
+    # every repr = original char + decimal position
+    for c, r in zip(chars, reprs):
+        assert r.startswith(c)
+        assert r[len(c):].isdigit()
+
+
+@given(CHARS)
+@settings(max_examples=100, deadline=None)
+def test_featurizer_shape_and_edges(s):
+    chars = list(s)
+    feats = token_features(chars)
+    assert len(feats) == len(chars)
+    if chars:
+        assert "__BOS__" in feats[0]
+        assert "__EOS__" in feats[-1]
+        # unigram w[0] always present (never truncated)
+        assert all(any(f.startswith("w[0]=") for f in fs) for fs in feats)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),   # sentence length
+    st.integers(min_value=2, max_value=4),   # label count
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_decode_beats_or_equals_random_paths_under_viterbi(t_len, k, rnd):
+    """With viterbi=True the decoded path's score must be >= the score of
+    any random path (it is the argmax by construction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(rnd.randint(0, 2**31 - 1))
+    em = rng.randn(t_len, k).astype(np.float32)
+    a = rng.randn(k, k).astype(np.float32)
+
+    def score(path):
+        s = sum(em[i, p] for i, p in enumerate(path))
+        s += sum(a[path[i], path[i + 1]] for i in range(len(path) - 1))
+        return s
+
+    best = decode(em, a, viterbi=True)
+    best_score = score(best)
+    for _ in range(25):
+        rand_path = [rng.randint(k) for _ in range(t_len)]
+        assert best_score >= score(rand_path) - 1e-4
