@@ -269,23 +269,26 @@ def embedding_near_dup_pairs(
     e = embeddings.select(id_col, vec_col)
     if max_ids is not None:
         e = e.where(F.col(id_col) < max_ids)
+    # norms precomputed per ROW before the self-join — computing them in
+    # the pair projection costs O(N²) array passes instead of O(N)
+    e = e.withColumn(
+        "_nrm",
+        F.sqrt(
+            F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
     l, r = e.alias("l"), e.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
     return (
         l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
+            F.round(dot / (F.col("l._nrm") * F.col("r._nrm")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
     )

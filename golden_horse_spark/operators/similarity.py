@@ -82,13 +82,23 @@ def assign_cells(
 ) -> DataFrame:
     """Add ``cell`` = argmin centroid distance. Pure column math: the
     per-centroid dot products unroll into codegen expressions (n_cells is
-    small by construction)."""
-    best = None
-    for ci, c in enumerate(centroids):
-        dist = _norm(F.col(vec_col)) ** 2 - 2 * _dot(F.col(vec_col), c) + float(np.dot(c, c))
-        cand = F.struct(dist.alias("d"), F.lit(ci).alias("c"))
-        best = cand if best is None else F.when(cand["d"] < best["d"], cand).otherwise(best)
-    return embeddings.withColumn("cell", best["c"])
+    small by construction).
+
+    Shape notes (both measured): argmin via ``array_min`` over
+    (rank, cell) structs — a chained ``F.when(cand < best, cand)
+    .otherwise(best)`` duplicates the whole accumulated tree at every
+    level (expression size 2^n_cells; showed up as multi-MB task
+    binaries). And ‖x‖² is constant per row under argmin, so the rank is
+    just ``c·c − 2·x·c`` — no per-centroid norm pass over the vector.
+    """
+    cands = [
+        F.struct(
+            (F.lit(float(np.dot(c, c))) - 2 * _dot(F.col(vec_col), c)).alias("d"),
+            F.lit(ci).alias("c"),
+        )
+        for ci, c in enumerate(centroids)
+    ]
+    return embeddings.withColumn("cell", F.array_min(F.array(*cands))["c"])
 
 
 def ivf_topk(
