@@ -314,8 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)),
                 2,
             ).alias("returned_qty"),
+            # cast to double: DuckDB's round(sum(CASE…),2) yields DOUBLE while
+            # Spark's sum of int literals is BIGINT — value-text hash differs
             F.round(
-                F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)), 2
+                F.sum(F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0)), 2
             ).alias("n_discounted"),
         )
 
@@ -377,8 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_word_dict"] = q_word_dict
 
     def q_word_first_seen(spark, sf):
-        from pyspark.sql import Window
+        from golden_horse_spark.operators.ids import sequential_ids
 
+        _ship(spark)
         (docs,) = _tables(spark, sf, "documents")
         toks = docs.select(
             "doc_id", F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "word")
@@ -386,9 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         firsts = toks.groupBy("word").agg(
             F.min(F.col("doc_id") * 100000 + F.col("pos") + 1).alias("first_pos")
         )
-        return firsts.select(
-            "word",
-            F.row_number().over(Window.orderBy("first_pos")).alias("word_id"),
+        # two-phase id assignment: identical ids to the global window,
+        # but no Exchange SinglePartition (operators/ids.py)
+        return sequential_ids(firsts, ["first_pos"], "word_id").select(
+            "word", "word_id"
         )
 
     q["q_word_first_seen"] = q_word_first_seen
@@ -587,16 +591,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
         cents = train_centroids(emb, n_cells=8, sample=500)
         cells = assign_cells(emb.where(F.col("vec_id") != 0), cents)
-        return ivf_topk(cells, cents, qvec, k=10)
+        # ids only: the committed-golden oracle (VALUES) compares the
+        # retrieved set; recall vs exact cosine_topk is pytest territory
+        return ivf_topk(cells, cents, qvec, k=10).select("vec_id")
 
     q["q_ann_ivf"] = q_ann_ivf
 
     def q_simhash_pairs(spark, sf):
+        # md5 bit-plane variant: same simhash arithmetic as the xxhash64
+        # production path, but portable → DuckDB oracle twin
         from golden_horse_spark.operators.dedup import simhash_dup_pairs
 
         _ship(spark)
         (docs,) = _tables(spark, sf, "documents")
-        return simhash_dup_pairs(docs.where(F.col("doc_id") < 200))
+        return simhash_dup_pairs(
+            docs.where(F.col("doc_id") < 500), bits=32, hash_fn="md5"
+        )
 
     q["q_simhash_pairs"] = q_simhash_pairs
 
@@ -630,7 +640,36 @@ def oracle_sql() -> dict[str, str]:
     nums = "".join(sorted(c for c in _NUM_EXTRA if len(c) == 1))
     q2b_src = _Q2B_SRC.replace("'", "''")
     q2b_dst = _Q2B_DST.replace("'", "''")
+
+    # md5 simhash twin (32 bit planes): bit b = nibble-bit b%4 of hex
+    # digit b//4 of md5(token) — mirrors operators/dedup.py:simhash
+    # (hash_fn="md5") digit-for-digit
+    _sums = ",\n                       ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, {1 + b // 4}, 1)) - 1) "
+        f">> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(32)
+    )
+    _recompose = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    simhash_oracle = f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents WHERE doc_id < 500
+            ),
+            hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+            sums AS (
+                SELECT doc_id,
+                       {_sums}
+                FROM hashed GROUP BY doc_id
+            ),
+            sig AS (SELECT doc_id, {_recompose} AS simhash FROM sums)
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS simhash
+            FROM sig l JOIN sig r ON l.simhash = r.simhash AND l.doc_id < r.doc_id
+    """
     return {
+        "q_simhash_pairs": simhash_oracle,
         "q_semi_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -867,19 +906,23 @@ def oracle_sql() -> dict[str, str]:
             ),
             sig AS (
                 SELECT doc_id,
-                       coalesce(list_min([md5('0|' || s) for s in shingles]), md5('0|')) AS h0,
-                       coalesce(list_min([md5('1|' || s) for s in shingles]), md5('1|')) AS h1,
-                       coalesce(list_min([md5('2|' || s) for s in shingles]), md5('2|')) AS h2,
-                       coalesce(list_min([md5('3|' || s) for s in shingles]), md5('3|')) AS h3
-                FROM sh
+                       list_min([md5('0|' || s) for s in shingles]) AS h0,
+                       list_min([md5('1|' || s) for s in shingles]) AS h1,
+                       list_min([md5('2|' || s) for s in shingles]) AS h2,
+                       list_min([md5('3|' || s) for s in shingles]) AS h3
+                FROM sh WHERE len(shingles) > 0
             ),
             banded AS (
-                SELECT doc_id, md5(h0 || '|' || h1) AS band_key FROM sig
+                SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
                 UNION ALL
-                SELECT doc_id, md5(h2 || '|' || h3) AS band_key FROM sig
+                SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+            ),
+            capped AS (
+                SELECT * FROM banded
+                QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 100
             )
             SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
-            FROM banded l JOIN banded r USING (band_key)
+            FROM capped l JOIN capped r USING (band, band_key)
             WHERE l.doc_id < r.doc_id
             GROUP BY 1, 2
         """,
@@ -891,7 +934,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
                       FROM documents WHERE doc_id < 300)
             ),
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            ex AS (
+                SELECT * FROM ex0
+                QUALIFY count(*) OVER (PARTITION BY s) < 100
+            ),
             sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
             common AS (
                 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS common

@@ -65,10 +65,14 @@ def shingles_expr(text_col: str, k: int = 3) -> str:
     shingle lambda re-evaluates it per element (no CSE inside lambdas):
     measured ~L× slower for L-token documents.
     """
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so docs with
+    # < k tokens need an explicit empty branch (slice at 0 is an error)
     return (
         f"flatten(transform(array(split(trim({text_col}), '\\\\s+')), "
-        f"toks -> transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(toks, i, {k})))))"
+        f"toks -> case when size(toks) >= {k} then "
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k}))) "
+        f"else array() end))"
     )
 
 
@@ -129,6 +133,7 @@ def minhash_dup_pairs(
     bands: int = 4,
     k: int = 3,
     hash_fn: str = "md5",
+    max_bucket: int | None = 100,
 ) -> DataFrame:
     """LSH banding: docs sharing ALL hashes within any band become a
     candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -136,7 +141,17 @@ def minhash_dup_pairs(
     Shape: signatures → explode one (band, key) row per band → ONE
     self-join on (band, key). Signatures are computed once (checkpointed:
     md5-min over shingles is the expensive part; a per-band join tree
-    would recompute it 2·bands times)."""
+    would recompute it 2·bands times).
+
+    Degenerate-bucket guards (both mirrored by the DuckDB oracle):
+    * docs with ZERO shingles (< k words) are excluded up front — they
+      all share the identical filler signature, so one bucket would go
+      quadratic on any real corpus (empty docs are exact-dedup's job);
+    * ``max_bucket`` drops (band, key) buckets wider than the cap before
+      pairing, bounding any bucket's fan-out at max_bucket² (a bucket
+      that wide is a different pathology — boilerplate — not near-dup
+      signal)."""
+    docs = docs.where(F.expr(f"size({shingles_expr(text_col, k)}) > 0"))
     sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
     rows_per_band = num_hashes // bands
     band_structs = [
@@ -155,6 +170,10 @@ def minhash_dup_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket is not None:
+        banded = banded.withColumn(
+            "_w", F.count("*").over(Window.partitionBy("band", "key"))
+        ).where(F.col("_w") <= max_bucket).drop("_w")
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(right, ["band", "key"])
@@ -167,41 +186,68 @@ def minhash_dup_pairs(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(doc_id, simhash): sign-sum of xxhash64 of tokens per bit plane.
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, simhash): sign-sum of per-token hash bits per bit plane.
 
-    Spark-internal (xxhash64 is JVM codegen; not oracle-portable): the
-    per-bit contribution of token t is +1 if bit set else −1; simhash bit
-    = sign of the sum. Implemented with higher-order array functions —
-    no Python UDF.
+    ``hash_fn="xxhash64"`` (production): JVM-codegen 64-bit hash. The
+    per-bit contribution of token t is +1 if bit set else −1; simhash
+    bit = sign of the sum. Implemented with built-in columns — no UDF.
+    ``hash_fn="md5"`` (oracle-portable, bits ≤ 62): bit b is nibble-bit
+    b%4 of hex digit b//4 of md5(t) — the exact same arithmetic is
+    expressible in DuckDB (strpos/shift), giving q_simhash_pairs a
+    value-hash oracle twin.
     """
-    # explode tokens once, hash once per token, 64 conditional sums per
-    # doc (map-side combined). The array-column form — 64 F.aggregate
-    # expressions over transform(split(...)) — re-evaluates split+hash
-    # per bit plane (Catalyst doesn't CSE across lambda expressions).
+    # explode tokens once, hash once per token, `bits` conditional sums
+    # per doc (map-side combined). The array-column form — `bits`
+    # F.aggregate expressions over transform(split(...)) — re-evaluates
+    # split+hash per bit plane (Catalyst doesn't CSE across lambdas).
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ex = docs.select("doc_id", F.explode(toks).alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
-    )
-    masks = [1 << b if b < 63 else -(1 << 63) for b in range(bits)]
+    if hash_fn == "xxhash64":
+        ex = docs.select("doc_id", F.explode(toks).alias("t")).select(
+            "doc_id", F.xxhash64("t").alias("h")
+        )
+        masks = [1 << b if b < 63 else -(1 << 63) for b in range(bits)]
+
+        def bit_set(b):
+            return F.col("h").bitwiseAND(F.lit(masks[b])) != 0
+
+        bitvals = masks
+    elif hash_fn == "md5":
+        if bits > 62:
+            raise ValueError("md5 simhash supports at most 62 bits (long)")
+        ex = docs.select("doc_id", F.explode(toks).alias("t")).select(
+            "doc_id", F.md5("t").alias("h")
+        )
+
+        def bit_set(b):
+            nib = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+            return nib.bitwiseAND(F.lit(1 << (b % 4))) != 0
+
+        bitvals = [1 << b for b in range(bits)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-        ).alias(f"c{b}")
-        for b, m in enumerate(masks)
+        F.sum(F.when(bit_set(b), 1).otherwise(-1)).alias(f"c{b}")
+        for b in range(bits)
     ]
     g = ex.groupBy("doc_id").agg(*aggs)
     sh = None
-    for b, m in enumerate(masks):
-        bit = F.when(F.col(f"c{b}") > 0, F.lit(m)).otherwise(0)
+    for b in range(bits):
+        bit = F.when(F.col(f"c{b}") > 0, F.lit(bitvals[b])).otherwise(0)
         sh = bit if sh is None else sh.bitwiseOR(bit)
-    return g.select("doc_id", sh.alias("simhash"))
+    return g.select("doc_id", sh.cast("long").alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_dup_pairs(
+    docs: DataFrame, text_col: str = "text", bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Exact-simhash collision pairs (hamming distance 0 — the banded
     generalization joins on 16-bit sub-keys)."""
-    s = simhash(docs, text_col)
+    s = simhash(docs, text_col, bits, hash_fn)
     l, r = s.alias("l"), s.alias("r")
     return (
         l.join(r, F.col("l.simhash") == F.col("r.simhash"))
@@ -223,16 +269,32 @@ def ngram_jaccard_pairs(
     k: int = 3,
     min_jaccard: float = 0.8,
     block_on=None,
+    df_cap: int | None = 100,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard over candidate pairs that share ≥1
     shingle (inverted-index join). ``block_on`` optionally restricts to
-    pairs agreeing on a blocking column (e.g. lang) to bound fan-out."""
+    pairs agreeing on a blocking column (e.g. lang) to bound fan-out.
+
+    ``df_cap`` drops shingles whose document frequency ≥ cap from the
+    whole computation (postings AND set sizes — one consistent shingle
+    universe). Without it one boilerplate shingle appearing in 1M docs
+    yields 10¹² join rows; with it the postings-list fan-out is bounded
+    by df_cap² per shingle. Stop-shingles carry no dedup signal anyway
+    (they match everything). The DuckDB oracle mirrors the cap."""
     sh = (
         docs.select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(shingles_expr(text_col, k)))).alias("s"),
         )
     )
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") < df_cap)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (
@@ -263,20 +325,93 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_ids: int | None = None,
+    n_cells: int = 16,
+    sample: int = 2000,
+    seed: int = 42,
 ) -> DataFrame:
-    """Brute-force blocked cosine near-dup: self-join within label blocks
-    when available, else full self-join (cap with max_ids for oracles)."""
-    e = embeddings.select(id_col, vec_col)
+    """EXACT cell-blocked cosine near-dup — never an all-pairs join.
+
+    Vectors are unit-normalized (cosine-invariant) and assigned to their
+    nearest of ``n_cells`` k-means centroids. For unit vectors,
+    cos(a,b) ≥ τ  ⟺  ‖â−b̂‖ ≤ d(τ) = √(2−2τ), so by the triangle
+    inequality a qualifying pair's cell centroids satisfy
+    ‖c_a−c_b‖ ≤ d(τ) + r_a + r_b, where r_c is cell c's coverage radius
+    (max distance of an assigned vector to its centroid). Only those
+    O(n_cells²)-bounded compatible cell pairs are joined — an EQUI join
+    on the cell key — then the exact cosine filter verifies. Output is
+    therefore identical to the brute-force all-pairs join (the DuckDB
+    oracle stays all-pairs), but the plan is a broadcast of the tiny
+    compatibility list + one shuffled equi-join on cell ids: no
+    CartesianProduct / BroadcastNestedLoopJoin (locked by test_plans).
+
+    Scale: tight clusters + high τ ⇒ few compatible pairs ⇒ near-linear;
+    overlapping clusters or low τ degrade gracefully toward more cell
+    pairs while staying an equi-join. Raise ``n_cells`` (O(√N)) with
+    data size. The `.cache()` on the assigned table backs three bounded
+    actions (centroid sample, radii, join); at cluster scale persist it
+    to a stage table instead — same shape.
+    """
+    e0 = embeddings.select(id_col, vec_col)
     if max_ids is not None:
-        e = e.where(F.col(id_col) < max_ids)
-    # norms precomputed per ROW before the self-join — computing them in
-    # the pair projection costs O(N²) array passes instead of O(N)
-    e = e.withColumn(
+        e0 = e0.where(F.col(id_col) < max_ids)
+    # norms precomputed per ROW before any join — computing them in the
+    # pair projection costs O(pairs) array passes instead of O(N)
+    e0 = e0.withColumn(
         "_nrm",
         F.sqrt(
             F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
         ),
+    ).where(F.col("_nrm") > 0)  # zero vectors have undefined cosine (same
+    # as the brute-force NULL-cosine drop)
+    e0 = e0.withColumn(
+        "_unit", F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
     )
+    from .similarity import train_centroids
+
+    cents = train_centroids(
+        e0.select(F.col("_unit").alias("embedding")), n_cells, sample, seed
+    )
+    spark = embeddings.sparkSession
+    if len(cents) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    import numpy as np
+
+    # argmin centroid via array_min over (rank, cell) structs; for unit
+    # vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c)
+    from .similarity import _dot
+
+    cand_structs = [
+        F.struct(
+            (F.lit(float(np.dot(c, c))) - 2 * _dot(F.col("_unit"), c)).alias("d"),
+            F.lit(ci).alias("c"),
+        )
+        for ci, c in enumerate(cents)
+    ]
+    m = F.array_min(F.array(*cand_structs))
+    e = (
+        e0.withColumn("_m", m)
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            F.col("_m")["c"].alias("_cell"),
+            F.sqrt(F.greatest(F.col("_m")["d"] + 1.0, F.lit(0.0))).alias("_cdist"),
+        )
+        .cache()
+    )
+    rad = {
+        row["_cell"]: row["r"]
+        for row in e.groupBy("_cell").agg(F.max("_cdist").alias("r")).collect()
+    }
+    d_thresh = float(np.sqrt(max(0.0, 2.0 - 2.0 * min_cosine))) + 1e-9
+    compat = [
+        (i, j)
+        for i in range(len(cents))
+        for j in range(len(cents))
+        if float(np.linalg.norm(cents[i] - cents[j]))
+        <= d_thresh + rad.get(i, 0.0) + rad.get(j, 0.0)
+    ]
+    pairs = spark.createDataFrame(compat, "cell_a int, cell_b int")
     l, r = e.alias("l"), e.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda a, b: a * b),
@@ -284,7 +419,12 @@ def embedding_near_dup_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        l.join(F.broadcast(pairs), F.col("l._cell") == F.col("cell_a"))
+        .join(
+            r,
+            (F.col("cell_b") == F.col("r._cell"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),

@@ -1,0 +1,178 @@
+"""Scale-hardening tests for the pair-generating dedup/similarity ops:
+the properties that keep them alive at 100 TB (no cartesian joins,
+bounded bucket fan-out, DF-capped postings) AND exactness of the blocked
+embedding near-dup vs brute force (the blocking is a pruning, not an
+approximation)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----------------------------------------------------- embedding near-dup
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """The blocked near-dup must compile to equi-joins on cell keys —
+    never BroadcastNestedLoopJoin / CartesianProduct (the all-pairs shape
+    that dies at scale)."""
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, min_cosine=0.47, max_ids=500, n_cells=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_near_dup_blocked_equals_bruteforce(spark):
+    """Triangle-inequality cell pruning is exact: blocked output ==
+    all-pairs output, including cross-cell pairs, at several thresholds
+    and cell counts (cells deliberately smaller than cluster structure so
+    near pairs DO straddle cells)."""
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    # 3 loose clusters + bridge points between them → near pairs across
+    # k-means cells whenever n_cells doesn't match the true structure
+    centers = rng.randn(3, 8) * 2
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((i, (c + rng.randn(8) * 0.8).tolist()))
+            i += 1
+    for a in range(3):  # bridges: midpoints, land near cell boundaries
+        m = (centers[a] + centers[(a + 1) % 3]) / 2
+        for _ in range(5):
+            rows.append((i, (m + rng.randn(8) * 0.3).tolist()))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    x = np.array([r[1] for r in rows])
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    cos = (x / nrm) @ (x / nrm).T
+    for tau in (0.5, 0.8, 0.95):
+        expect = {
+            (a, b)
+            for a in range(len(rows))
+            for b in range(a + 1, len(rows))
+            if round(cos[a, b], 6) >= tau
+        }
+        for n_cells in (2, 5, 16):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in embedding_near_dup_pairs(
+                    emb, min_cosine=tau, n_cells=n_cells, sample=200
+                ).collect()
+            }
+            assert got == expect, (tau, n_cells, got ^ expect)
+
+
+def test_embedding_near_dup_zero_vector_dropped(spark):
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 1e-9]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup_pairs(emb, min_cosine=0.9, n_cells=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+
+
+# ------------------------------------------------------------ minhash LSH
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_minhash_empty_shingle_docs_never_pair(spark):
+    """Docs shorter than k words all share the filler signature; they
+    must be excluded from banding (degenerate quadratic bucket)."""
+    from golden_horse_spark.operators.dedup import minhash_dup_pairs
+
+    texts = ["tiny"] * 40 + ["a b"] * 40 + [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    out = minhash_dup_pairs(_docs(spark, texts), num_hashes=4, bands=2, k=3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert pairs == {(80, 81)}  # only the real dup, no filler-bucket blowup
+
+
+def test_minhash_bucket_cap_bounds_fanout(spark):
+    """A bucket wider than max_bucket is dropped whole: 50 identical
+    boilerplate docs generate 0 pairs at cap 10 (and 50·49/2 without)."""
+    from golden_horse_spark.operators.dedup import minhash_dup_pairs
+
+    texts = ["copy of the same boilerplate page content here"] * 50 + [
+        "one unique document with completely different words inside",
+        "one unique document with completely different words inside",
+    ]
+    docs = _docs(spark, texts)
+    capped = minhash_dup_pairs(docs, num_hashes=4, bands=2, k=3, max_bucket=10)
+    assert {(r["doc_a"], r["doc_b"]) for r in capped.collect()} == {(50, 51)}
+    uncapped = minhash_dup_pairs(docs, num_hashes=4, bands=2, k=3, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """A boilerplate shingle present in every doc must not connect
+    everything: with the DF cap only genuinely-similar docs pair."""
+    from golden_horse_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"
+    texts = [f"unique page {i} number {i * 7} — {boiler}" for i in range(30)]
+    texts += [
+        f"shared body text alpha beta gamma delta — {boiler}",
+        f"shared body text alpha beta gamma delta — {boiler}",
+    ]
+    docs = _docs(spark, texts)
+    capped = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.3, df_cap=10)
+    assert {(r["doc_a"], r["doc_b"]) for r in capped.collect()} == {(30, 31)}
+    # without the cap the hot shingle links boilerplate-only pairs
+    uncapped = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.15, df_cap=None)
+    assert uncapped.count() > 100
+    capped_lo = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.15, df_cap=10)
+    assert capped_lo.count() == 1
+
+
+# --------------------------------------------------------------- IVF ANN
+
+
+def test_ivf_recall_vs_exact_topk(spark):
+    """IVF is approximate by design; its recall@10 vs the exact (oracled)
+    cosine_topk must stay high on the synthetic embeddings — the
+    self-oracle the rows-only check lacked."""
+    from golden_horse_spark.operators.similarity import (
+        assign_cells,
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in cosine_topk(rest, qvec, k=10).collect()}
+    cents = train_centroids(emb, n_cells=8, sample=500)
+    cells = assign_cells(rest, cents)
+    approx = {
+        r["vec_id"] for r in ivf_topk(cells, cents, qvec, k=10).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.8, (exact, approx)

@@ -86,3 +86,24 @@ def test_whole_stage_codegen_covers_relational_stages(spark):
     # "*(n)" is the WholeStageCodegen marker in the compact plan string
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequential_ids_parallel_and_equal_to_window(spark):
+    """Two-phase id assignment: identical ids to the global window, with
+    no Exchange SinglePartition anywhere in the plan (the window form
+    sorts the whole table in one task)."""
+    from pyspark.sql import Window
+
+    from golden_horse_spark.operators.ids import sequential_ids
+
+    df = spark.range(0, 10000).select(
+        (F.xxhash64("id") % 1000000).alias("key"), F.col("id").alias("payload")
+    ).where(F.col("key").isNotNull()).dropDuplicates(["key"])
+    out = sequential_ids(df, ["key"], "seq_id", n_parts=8)
+    assert "Exchange SinglePartition" not in _plan(out), _plan(out)
+    expect = df.select(
+        "key", F.row_number().over(Window.orderBy("key")).alias("seq_id")
+    )
+    got = {(r["key"], r["seq_id"]) for r in out.select("key", "seq_id").collect()}
+    want = {(r["key"], r["seq_id"]) for r in expect.collect()}
+    assert got == want
