@@ -1,0 +1,52 @@
+"""Regenerate fixtures/golden_oracle_rows.json — committed golden outputs
+for the queries with no SQL-expressible oracle (NER chain, IVF ANN,
+multimodal features). Their chains are deterministic (fixed seeds,
+partition-invariant — locked by tests), so the driver's DuckDB side can
+verify them against a literal VALUES table.
+
+Run after any intentional change to the NER fixture/weights, the
+synthetic document generator, or the IVF seeding:
+
+    python tools/regen_golden_oracles.py [sf_dir]
+
+The script runs each query TWICE and refuses to write if the two runs
+disagree (nondeterminism guard).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GOLDEN_QUERIES = ["q_ner_mentions", "q_kg_triples", "q_ann_ivf", "q_media_features"]
+OUT = REPO / "fixtures" / "golden_oracle_rows.json"
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+    from golden_horse_spark.config import get_spark
+
+    spark = get_spark("golden-regen", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    out = {}
+    for name in GOLDEN_QUERIES:
+        df = qs[name](spark, sf)
+        cols = df.columns
+        runs = [sorted(tuple(r) for r in qs[name](spark, sf).collect())
+                for _ in range(2)]
+        if runs[0] != runs[1]:
+            raise SystemExit(f"{name}: nondeterministic across runs — not writing")
+        out[name] = {"columns": cols, "rows": [list(r) for r in runs[0]]}
+        print(f"{name}: {len(runs[0])} rows captured")
+    OUT.write_text(json.dumps(out, indent=1, ensure_ascii=False))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
