@@ -52,7 +52,9 @@ def fuzzy_candidates(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH blocking on char bigrams; returns candidates whose
-    bigram-set Jaccard distance ≤ threshold. Score = (1−dist)·prior."""
+    bigram-set Jaccard distance is STRICTLY below the threshold
+    (approxSimilarityJoin filters dist < threshold). Score =
+    (1−dist)·prior."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     def with_grams(df: DataFrame, col: str) -> DataFrame:
@@ -72,16 +74,34 @@ def fuzzy_candidates(
             [], "mention_id string, entity_id string, score double, block_id string"
         )
     cv = CountVectorizer(
-        inputCol="grams", outputCol="vec", binary=True, minDF=1.0
-    ).fit(a.select("grams").union(m.select("grams")))
-    mv = cv.transform(m)
-    av = cv.transform(a)
-    nonzero = F.udf(lambda v: v.numNonzeros() > 0, "boolean")
-    mv = mv.where(nonzero("vec"))
-    av = av.where(nonzero("vec"))
+        inputCol="vgrams", outputCol="vec", binary=True, minDF=1.0
+    ).fit(
+        a.select(F.col("grams").alias("vgrams"))
+        .union(m.select(F.col("grams").alias("vgrams")))
+    )
+    # MinHashLSH rejects all-zero vectors. The vocabulary is fit on the
+    # union of both sides, so a zero vector only appears when vocabSize
+    # truncates a row's every gram; guard JVM-side by intersecting grams
+    # with the fitted vocabulary (broadcast literal — dictionary-bounded)
+    # instead of a per-row Python UDF over the vector.
+    vocab = F.array(*[F.lit(v) for v in cv.vocabulary])
+    mv = cv.transform(
+        m.withColumn("vgrams", F.array_intersect("grams", vocab))
+    ).where(F.size("vgrams") > 0)
+    av = cv.transform(
+        a.withColumn("vgrams", F.array_intersect("grams", vocab))
+    ).where(F.size("vgrams") > 0)
     lsh = MinHashLSH(
         inputCol="vec", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(av)
+    # lineage break: mv/av share the docs scan + CV udf lineage; joined
+    # directly, the analyzer's relation dedup re-binds one side's hash
+    # UDF input past its own vgrams filter (observed as "Must have at
+    # least 1 non zero entry" on rows both sides individually never
+    # produce). Both sides are bounded (distinct surfaces ∪ alias dict),
+    # so materializing them is also the cheaper plan (CV udf runs once).
+    mv = mv.localCheckpoint(eager=False)
+    av = av.localCheckpoint(eager=False)
     joined = lsh.approxSimilarityJoin(mv, av, jaccard_max_distance, "jaccard")
     return joined.select(
         F.col("datasetA.mention_id").alias("mention_id"),
@@ -96,6 +116,7 @@ def generate_candidates(
     aliases: DataFrame,
     fuzzy: bool = False,
     jaccard_max_distance: float = 0.5,
+    num_hash_tables: int = 3,
 ) -> DataFrame:
     cands = exact_candidates(mentions, aliases)
     if fuzzy:
@@ -104,7 +125,9 @@ def generate_candidates(
             cands.select("mention_id").distinct(), "mention_id", "left_anti"
         )
         cands = cands.unionByName(
-            fuzzy_candidates(uncovered, aliases, jaccard_max_distance)
+            fuzzy_candidates(
+                uncovered, aliases, jaccard_max_distance, num_hash_tables
+            )
         )
     return cands
 

@@ -107,3 +107,24 @@ def test_sequential_ids_parallel_and_equal_to_window(spark):
     got = {(r["key"], r["seq_id"]) for r in out.select("key", "seq_id").collect()}
     want = {(r["key"], r["seq_id"]) for r in expect.collect()}
     assert got == want
+
+
+def test_fuzzy_lsh_join_is_not_cartesian(spark):
+    """The MinHash-LSH blocking join must be an equi-join on exploded
+    hash values — never a cross product of mentions × aliases."""
+    from golden_horse_spark.operators.linking import fuzzy_candidates
+
+    mentions = spark.range(200).select(
+        F.concat(F.lit("m"), "id").alias("mention_id"),
+        F.concat(F.lit("surface"), (F.col("id") % 23)).alias("surface"),
+    )
+    aliases = spark.range(23).select(
+        F.concat(F.lit("surfac"), "id").alias("surface_form"),
+        F.concat(F.lit("e"), "id").alias("entity_id"),
+        F.lit(1.0).alias("prior"),
+    )
+    out = fuzzy_candidates(mentions, aliases, 0.6, num_hash_tables=4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert out.count() > 0  # blocking actually yields candidates
