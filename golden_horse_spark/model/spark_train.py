@@ -258,13 +258,18 @@ def train_ner_spark(
     epochs: int = 20,
     seed: int = 1,
     l2: float = 0.0,
+    optimizer: str = "adagrad",
     verbose: bool = True,
 ) -> NerWeights:
     """Distributed counterpart of train.train_ner. ``strategy`` is
     ``"ipm"`` (parameter mixing; default; ``lr`` on the reference's
     per-sentence 0.05 scale) or ``"batch_gd"`` (exact synchronous
-    full-batch gradient + AdaGrad; pass ``lr``≈0.5). Dev eval + best-model selection
-    happen driver-side exactly as in the local trainer."""
+    full-batch gradient + an adaptive step). For batch_gd, ``optimizer``
+    selects the step rule: ``"adagrad"`` (default; pass ``lr``≈0.5) or
+    the reference's exact ``"adadelta"`` / ``"rmsprop"`` ports
+    (model/optimizers.py; reference train_util.py:289-424 — both ignore
+    lr, as there). Dev eval + best-model selection happen driver-side
+    exactly as in the local trainer."""
     dict_corpus = list(train) + list(dev or [])
     f2i, w2i, l2i = build_dicts(dict_corpus, feature_thresh, mode)
     n_feat, n_lab = len(f2i), len(l2i)
@@ -292,12 +297,14 @@ def train_ner_spark(
         )
 
     best: Tuple[float, Optional[NerWeights]] = (-1.0, None)
-    # AdaGrad accumulators for batch_gd (the reference itself reaches for
-    # adaptive per-parameter steps — AdaDelta/RMSProp, train_util.py:289-424
-    # — because CRF gradient scales are wildly skewed: the transition
-    # gradient sums pairwise marginals over every TOKEN, ~500× the typical
-    # per-feature gradient; one global step either crawls or saturates).
-    acc: Optional[List[np.ndarray]] = None
+    # Adaptive per-parameter steps for batch_gd (the reference itself
+    # ships AdaDelta/RMSProp, train_util.py:289-424, because CRF gradient
+    # scales are wildly skewed: the transition gradient sums pairwise
+    # marginals over every TOKEN, ~500× the typical per-feature gradient;
+    # one global step either crawls or saturates).
+    from .optimizers import make_optimizer
+
+    opt = make_optimizer(optimizer, lr)
     for epoch in range(epochs):
         params = {
             "w_feat": w_feat, "a": a, "w_emb": w_emb, "lin_n": lin_n,
@@ -305,12 +312,8 @@ def train_ner_spark(
         }
         if strategy == "batch_gd":
             loss, n, grads = batch_gradient(df, params, use_emb)
-            if acc is None:
-                acc = [np.zeros_like(g) for g in grads]
             tgt = [w_feat, a] + ([w_emb, lin_n, lin_b] if use_emb else [])
-            for w, g, ac in zip(tgt, grads, acc):
-                ac += g * g
-                w -= lr * g / np.sqrt(ac + 1e-8)  # AdaGrad step
+            opt.step(tgt, grads[: len(tgt)])
             w_feat[n_feat] = 0.0
         elif strategy == "ipm":
             loss, avg = _ipm_epoch(df, params, use_emb, lr, l2, seed, epoch)
