@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from ..operators.canonicalize import canonical_entities
 from ..operators.linking import generate_candidates, score_links
-from ..operators.ner import extract_mentions, mentions_with_ids
+from ..operators.ner import (
+    extract_mentions,
+    extract_mentions_global_dedup,
+    mentions_with_ids,
+)
 from ..operators.sentence_seg import documents_to_sentences
 from ..operators.triples import materialize_triples
 
@@ -49,6 +53,13 @@ class PipelineConfig:
     triple_parts: int = 64
     extra_alias_surfaces: tuple = ()
     resume: bool = True
+    # dedup-of-compute: run the NER kernel once per DISTINCT sentence
+    # text (8-byte xxhash64 join keys). Output identical to per-row
+    # (test_ner_stage); at web scale most sentence mass is duplicated
+    # boilerplate, so this is the default. Disable for corpora known to
+    # be near-duplicate-free where the distinct+join overhead isn't paid
+    # back.
+    dedup_ner: bool = True
 
 
 class StageWriter:
@@ -119,11 +130,14 @@ def run_pipeline(
         "sentences", fp_sent, lambda: documents_to_sentences(docs)
     )
 
-    fp_men = store.fingerprint("mentions", fp_sent + cfg.weights_path)
+    ner = extract_mentions_global_dedup if cfg.dedup_ner else extract_mentions
+    fp_men = store.fingerprint(
+        "mentions", fp_sent + cfg.weights_path + f":dedup={cfg.dedup_ner}"
+    )
     mentions = store.load_or_compute(
         "mentions",
         fp_men,
-        lambda: mentions_with_ids(extract_mentions(sentences, cfg.weights_path)),
+        lambda: mentions_with_ids(ner(sentences, cfg.weights_path)),
     )
 
     if aliases is None:
