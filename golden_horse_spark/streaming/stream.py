@@ -49,6 +49,35 @@ def with_event_time(mentions: DataFrame, base_ts: str = "2026-01-01 00:00:00") -
     )
 
 
+def dedup_documents_stream(
+    docs_with_ts: DataFrame,
+    watermark: str = "30 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    text fingerprint, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark horizon are suppressed; state for older fingerprints is
+    reclaimed, the standard unbounded-stream dedup contract). The
+    fingerprint is the same md5 normalization the batch
+    ``dedup.exact_dup_groups`` uses, so batch and stream agree on what
+    counts as a duplicate."""
+    from ..operators.text_analysis import fingerprint
+
+    # interleaved docs carry text inside spans; flat tables carry `text`
+    if "text" in docs_with_ts.columns:
+        text = F.col("text")
+    else:
+        text = F.concat_ws(
+            "\n",
+            F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"),
+        )
+    keyed = docs_with_ts.withColumn("fp", fingerprint(text))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+
+
 def windowed_mention_counts(
     mentions_with_ts: DataFrame,
     window: str = "10 minutes",

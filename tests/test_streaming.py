@@ -148,3 +148,47 @@ def test_stateful_running_surface_stats(spark, weights_path, tmp_path_factory):
     for s, (total, first) in want.items():
         assert merged[s][0] == total, f"running total wrong for {s!r}"
         assert merged[s][2] == first, f"first_doc wrong for {s!r}"
+
+
+def test_streaming_dedup_matches_batch_dedup(spark, doc_dir, tmp_path_factory):
+    """dropDuplicatesWithinWatermark keeps one doc per fingerprint, and
+    the surviving fingerprint set equals the batch exact-dedup groups
+    (same md5 normalization on both paths)."""
+    from golden_horse_spark.operators.dedup import exact_dup_groups
+    from golden_horse_spark.sources.documents import synthesize_documents
+    from golden_horse_spark.streaming.stream import (
+        dedup_documents_stream,
+        run_to_sink,
+        stream_documents,
+        with_event_time,
+    )
+
+    # corpus with real duplicates (low mutate fraction → repeated texts)
+    d = tmp_path_factory.mktemp("dedup_in")
+    docs = synthesize_documents(spark, 80, seed=3, partitions=2,
+                                mutate_fraction=0.1)
+    docs.write.mode("overwrite").parquet(str(d / "docs"))
+
+    out = tmp_path_factory.mktemp("dedup_out")
+    stream = dedup_documents_stream(
+        with_event_time(stream_documents(spark, str(d / "docs")))
+    )
+    run_to_sink(stream, str(out / "docs"), str(out / "ckpt"))
+
+    kept = spark.read.parquet(str(out / "docs"))
+    batch_docs = spark.read.parquet(str(d / "docs")).withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"),
+        ),
+    )
+    groups = exact_dup_groups(batch_docs)
+    n_groups = groups.count()
+    assert batch_docs.count() > n_groups  # duplicates actually exist
+    # exactly one survivor per fingerprint, covering every group
+    assert kept.count() == n_groups
+    assert kept.select("fp").distinct().count() == n_groups
+    got_fps = {r["fp"] for r in kept.select("fp").collect()}
+    want_fps = {r["fp"] for r in groups.select("fp").collect()}
+    assert got_fps == want_fps
