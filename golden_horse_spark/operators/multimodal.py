@@ -92,35 +92,115 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return tiled.reshape(height, width).astype(np.float32) / 255.0
 
 
+def _decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    """STUB: real impl would be soundfile.read(BytesIO(payload)).
+    Deterministic fake: payload bytes tiled to an 8 kHz mono waveform in
+    [-1, 1] of the declared duration."""
+    sr = 8000
+    n = max(1, int(duration_ms) * sr // 1000)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    tiled = np.tile(arr, n // len(arr) + 1)[:n]
+    return tiled / 127.5 - 1.0
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL bilinear resize (align_corners=False convention, the
+    PIL/OpenCV default) — vectorized NumPy, no library needed. Only the
+    codec decode is stubbed in this container; the geometry is exact."""
+    in_h, in_w = img.shape
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    tl = img[np.ix_(y0, x0)]
+    tr = img[np.ix_(y0, x1)]
+    bl = img[np.ix_(y1, x0)]
+    br = img[np.ix_(y1, x1)]
+    top = tl * (1 - wx) + tr * wx
+    bot = bl * (1 - wx) + br * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Arrow-batched image resize: decode (stub) → REAL bilinear resize →
+    re-emit uint8 payload with the new dimensions. Output rides the same
+    MEDIA_SCHEMA so downstream stages are unchanged — the standard
+    normalize-resolution step of a multimodal training pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload, w, h, dur in pdf[
+                ["media_ref", "kind", "payload", "width", "height", "duration_ms"]
+            ].itertuples(index=False, name=None):
+                img = _decode_image(bytes(payload), int(w), int(h))
+                resized = bilinear_resize(img, out_h, out_w)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "kind": kind,
+                        "payload": (resized * 255.0).round().astype(np.uint8).tobytes(),
+                        "width": out_w,
+                        "height": out_h,
+                        "duration_ms": int(dur),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over media payloads.
 
-    Per batch: decode (stub) → pooled statistics vector. The batch shape
-    (pandas DataFrame of binary + ints) is exactly what a real decoder
-    sees; sizing note — payloads make rows heavy, so upstream should
-    ``repartition`` to keep ~64 MB per Arrow batch at real payload sizes.
+    Per batch: decode (stub) → pooled statistics vector; audio decodes
+    to a waveform (RMS/zero-crossings), image/video frames to grayscale
+    (pooled quadrant means). The batch shape (pandas DataFrame of binary
+    + ints) is exactly what a real decoder sees; sizing note — payloads
+    make rows heavy, so upstream should ``repartition`` to keep ~64 MB
+    per Arrow batch at real payload sizes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, kind, payload, w, h in pdf[
-                ["media_ref", "kind", "payload", "width", "height"]
+            for ref, kind, payload, w, h, dur in pdf[
+                ["media_ref", "kind", "payload", "width", "height", "duration_ms"]
             ].itertuples(index=False, name=None):
-                img = _decode_image(bytes(payload), int(w), int(h))
-                # pooled stats: mean/std/min/max + quadrant means
-                qs = [
-                    float(img[: h // 2, : w // 2].mean()),
-                    float(img[: h // 2, w // 2 :].mean()),
-                    float(img[h // 2 :, : w // 2].mean()),
-                    float(img[h // 2 :, w // 2 :].mean()),
-                ]
-                feat = [
-                    float(img.mean()),
-                    float(img.std()),
-                    float(img.min()),
-                    float(img.max()),
-                ] + qs
+                if kind == "audio":
+                    wave = _decode_audio(bytes(payload), int(dur))
+                    zcr = float(np.mean(np.abs(np.diff(np.sign(wave))) > 0))
+                    feat = [
+                        float(wave.mean()),
+                        float(wave.std()),
+                        float(wave.min()),
+                        float(wave.max()),
+                        float(np.sqrt(np.mean(wave**2))),  # RMS
+                        zcr,
+                        float(len(wave)),
+                        0.0,
+                    ]
+                else:
+                    img = _decode_image(bytes(payload), int(w), int(h))
+                    # pooled stats: mean/std/min/max + quadrant means
+                    qs = [
+                        float(img[: h // 2, : w // 2].mean()),
+                        float(img[: h // 2, w // 2 :].mean()),
+                        float(img[h // 2 :, : w // 2].mean()),
+                        float(img[h // 2 :, w // 2 :].mean()),
+                    ]
+                    feat = [
+                        float(img.mean()),
+                        float(img.std()),
+                        float(img.min()),
+                        float(img.max()),
+                    ] + qs
                 rows.append(
                     {
                         "media_ref": ref,

@@ -48,7 +48,10 @@ def test_feature_extraction_shapes(media):
     for r in rows:
         assert r["feat_dim"] == 8 and len(r["feature"]) == 8
         mean, std, mn, mx = r["feature"][:4]
-        assert 0.0 <= mn <= mean <= mx <= 1.0
+        if r["kind"] == "audio":  # waveform stats live in [-1, 1]
+            assert -1.0 <= mn <= mean <= mx <= 1.0
+        else:
+            assert 0.0 <= mn <= mean <= mx <= 1.0
         assert std >= 0.0 and not math.isnan(std)
 
 
@@ -86,3 +89,66 @@ def test_payload_pruned_when_not_needed(media):
     df = media.select("media_ref", "kind").where(F.col("kind") == "image")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
+
+
+def test_bilinear_resize_exact_values():
+    """The resize geometry is real math, not a stub: identity at same
+    size, exact midpoint interpolation on a known ramp."""
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import bilinear_resize
+
+    img = np.array([[0.0, 1.0], [2.0, 3.0]], dtype=np.float32)
+    same = bilinear_resize(img, 2, 2)
+    np.testing.assert_allclose(same, img, atol=1e-6)
+    up = bilinear_resize(img, 4, 4)
+    assert up.shape == (4, 4)
+    # corners clamp to source corners; center averages all four
+    assert abs(float(up[0, 0]) - 0.0) < 1e-6
+    assert abs(float(up[3, 3]) - 3.0) < 1e-6
+    np.testing.assert_allclose(up.mean(), img.mean(), atol=0.2)
+    # monotone ramp stays monotone along both axes
+    assert np.all(np.diff(up, axis=0) >= -1e-6)
+    assert np.all(np.diff(up, axis=1) >= -1e-6)
+
+
+def test_resize_images_stage(spark):
+    """Arrow-batched resize stage: every image lands at the target
+    resolution with a payload of exactly out_w*out_h bytes; audio/video
+    rows are filtered out; deterministic across runs."""
+    from golden_horse_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, 60, seed=9, partitions=4)
+    media = synthesize_media(spark, docs)
+    out = resize_images(media, out_w=24, out_h=16)
+    rows = out.collect()
+    assert rows and all(r["kind"] == "image" for r in rows)
+    assert all(r["width"] == 24 and r["height"] == 16 for r in rows)
+    assert all(len(r["payload"]) == 24 * 16 for r in rows)
+    again = {(r["media_ref"], bytes(r["payload"])) for r in out.collect()}
+    assert {(r["media_ref"], bytes(r["payload"])) for r in rows} == again
+
+
+def test_audio_features_branch(spark):
+    """Audio rows decode through the waveform stub: RMS/ZCR features,
+    still feat_dim wide (schema unchanged vs image rows)."""
+    from golden_horse_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, 80, seed=9, partitions=4)
+    feats = extract_media_features(synthesize_media(spark, docs))
+    rows = feats.collect()
+    kinds = {r["kind"] for r in rows}
+    assert "audio" in kinds and "image" in kinds
+    for r in rows:
+        assert len(r["feature"]) == r["feat_dim"] == 8
+        if r["kind"] == "audio":
+            rms, zcr, n = r["feature"][4], r["feature"][5], r["feature"][6]
+            assert 0.0 <= rms <= 1.0 and 0.0 <= zcr <= 2.0 and n > 0
