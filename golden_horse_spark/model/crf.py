@@ -93,6 +93,28 @@ def decode(emission: np.ndarray, a: np.ndarray, viterbi: bool = False) -> np.nda
     return path
 
 
+def decode_order_zero(emission: np.ndarray) -> np.ndarray:
+    """Order-zero CRF decode: per-token softmax argmax (no transitions).
+
+    The reference ships an ``OrderZeroCrf`` chip (neural_lib.py:562-590)
+    whose compute is vestigial — its output is ``T.zeros_like`` and its
+    score reads one softmax entry — i.e. the class is a stub the paper's
+    configs never select. This implements the order-zero semantics the
+    name denotes: independent per-token classification. Equivalent to
+    ``decode(em, a=0)`` since zero transitions factorize the chain
+    (tested)."""
+    return emission.argmax(axis=1).astype(np.int32)
+
+
+def order_zero_nll(emission: np.ndarray, y: np.ndarray) -> float:
+    """Per-token softmax cross-entropy — the order-zero training loss
+    counterpart of ``forward_backward``'s -(gold − logZ)."""
+    em = emission.astype(np.float64)
+    m = em.max(axis=1, keepdims=True)
+    logz = m[:, 0] + np.log(np.exp(em - m).sum(axis=1))
+    return float((logz - em[np.arange(len(y)), y]).sum())
+
+
 def decode_batch(
     emissions: np.ndarray, lengths: np.ndarray, a: np.ndarray, viterbi: bool = False
 ) -> List[np.ndarray]:

@@ -136,3 +136,25 @@ def _split_type(ttype: str) -> Tuple[str, str]:
     else:
         etype, ntype = ttype, "NAM"
     return etype, ntype
+
+
+def error_analysis(
+    words: Sequence[Sequence[str]],
+    preds: Sequence[Sequence[str]],
+    golds: Sequence[Sequence[str]],
+    mismatches_only: bool = False,
+) -> List[Tuple[int, int, str, str, str]]:
+    """Structured port of the reference's debug-print ``error_analysis``
+    (sighan_ner.py:394-401): one row per token, (sentence_idx, token_idx,
+    word, pred_label, gold_label). The reference prints every token (its
+    ``if p != g`` filter is commented out there); ``mismatches_only``
+    exposes that filter. Returning rows instead of printing makes the
+    same information queryable — e.g. wrap in ``spark.createDataFrame``
+    and aggregate confusion pairs."""
+    out: List[Tuple[int, int, str, str, str]] = []
+    for si, (w_sent, p_sent, g_sent) in enumerate(zip(words, preds, golds)):
+        for ti, (w, p, g) in enumerate(zip(w_sent, p_sent, g_sent)):
+            if mismatches_only and p == g:
+                continue
+            out.append((si, ti, w, p, g))
+    return out

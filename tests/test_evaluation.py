@@ -77,3 +77,47 @@ def test_bio_spans_s_and_e_tags():
 def test_bio_spans_type_change_breaks_chunk():
     labels = ["B-PER.NAM", "I-LOC.NAM"]
     assert bio_spans(labels) == [(0, 1, "PER", "NAM"), (1, 2, "LOC", "NAM")]
+
+
+def test_error_analysis_rows():
+    """E4 port: token-level rows, full dump by default (the reference's
+    mismatch filter is commented out), filter exposed as a flag."""
+    from golden_horse_spark.model.evaluation import error_analysis
+
+    words = [["张", "三"], ["好"]]
+    preds = [["B-PER.NAM", "O"], ["O"]]
+    golds = [["B-PER.NAM", "I-PER.NAM"], ["O"]]
+    rows = error_analysis(words, preds, golds)
+    assert rows == [
+        (0, 0, "张", "B-PER.NAM", "B-PER.NAM"),
+        (0, 1, "三", "O", "I-PER.NAM"),
+        (1, 0, "好", "O", "O"),
+    ]
+    only = error_analysis(words, preds, golds, mismatches_only=True)
+    assert only == [(0, 1, "三", "O", "I-PER.NAM")]
+
+
+def test_order_zero_decode_equals_zero_transition_chain():
+    """M6: order-zero decode == order-1 hybrid decode with zero
+    transitions (zero A factorizes the chain), and the NLL matches an
+    independent softmax cross-entropy."""
+    import numpy as np
+
+    from golden_horse_spark.model.crf import (
+        decode,
+        decode_order_zero,
+        order_zero_nll,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        em = rng.randn(rng.randint(2, 9), 5).astype(np.float32)
+        a = np.zeros((5, 5), dtype=np.float32)
+        np.testing.assert_array_equal(
+            decode_order_zero(em), decode(em, a, viterbi=True)
+        )
+        y = rng.randint(0, 5, size=len(em))
+        p = np.exp(em.astype(np.float64))
+        p /= p.sum(axis=1, keepdims=True)
+        want = -np.log(p[np.arange(len(y)), y]).sum()
+        assert abs(order_zero_nll(em, y) - want) < 1e-9
