@@ -128,3 +128,41 @@ def test_fuzzy_lsh_join_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert out.count() > 0  # blocking actually yields candidates
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Bucketed tables co-located on the join key join WITHOUT a
+    shuffle: bucketing is the 100 TB answer to repeated big-big joins
+    (pay the partitioned write once, skip the exchange every query)."""
+    # bucketBy requires saveAsTable (managed, default warehouse dir —
+    # static conf); tables are dropped in finally, which removes the data
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    try:
+        # hint forces the big-big join shape (at this tiny SF Spark would
+        # otherwise broadcast — at 100 TB neither side broadcasts)
+        j = spark.table("b_orders").hint("merge").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # plans print top-down, so everything after the join node is its
+        # input subtree: the bucketed scans must feed it with NO Exchange
+        # (the groupBy's exchange sits above the join and is fine)
+        below_join = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, plan
+        # sanity: result matches the unbucketed join
+        want = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")) \
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
