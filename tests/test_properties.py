@@ -80,3 +80,37 @@ def test_decode_beats_or_equals_random_paths_under_viterbi(t_len, k, rnd):
     for _ in range(25):
         rand_path = [rng.randint(k) for _ in range(t_len)]
         assert best_score >= score(rand_path) - 1e-4
+
+
+def _two_stage():
+    from golden_horse_spark.model.segment import default_segmenter
+
+    return default_segmenter()
+
+
+@given(CHARS)
+@settings(max_examples=200, deadline=None)
+def test_two_stage_segmenter_partitions_input(s):
+    """The calibrated DAG+HMM segmenter must also partition exactly —
+    including the HMM fan-out path over single-char runs and the
+    han/non-han block splitting inside it."""
+    words = _two_stage().cut(s)
+    assert "".join(words) == s
+    assert all(words)
+
+
+@given(st.text(min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_two_stage_segmenter_arbitrary_unicode(s):
+    """No crash and exact coverage on ARBITRARY unicode (emoji,
+    surrogates-adjacent, control chars — web text is hostile)."""
+    words = _two_stage().cut(s)
+    assert "".join(words) == s
+
+
+@given(CHARS)
+@settings(max_examples=100, deadline=None)
+def test_two_stage_charpos_length_preserving(s):
+    chars = list(s)
+    reprs = representations(chars, "charpos", segmenter=_two_stage())
+    assert len(reprs) == len(chars)
