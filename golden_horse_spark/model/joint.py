@@ -93,6 +93,43 @@ class JointWeights:
     def classify(self, chars: Sequence[str]) -> Tuple[List[str], List[str]]:
         return self.classify_cws(chars), self.classify_ner(chars)
 
+    def save(self, path) -> None:
+        """npz-native artifact (same one-buffer-read rationale as
+        NerWeights; the ``lstm_w`` key marks the file as joint)."""
+        np.savez_compressed(
+            path,
+            words=np.array(list(self.words2idx.keys()), dtype=np.str_),
+            word_ids=np.array(list(self.words2idx.values()), dtype=np.int64),
+            feats=np.array(list(self.features2idx.keys()), dtype=np.str_),
+            feat_ids=np.array(list(self.features2idx.values()), dtype=np.int64),
+            cws_labels=np.array(self.cws_labels, dtype=np.str_),
+            ner_labels=np.array(self.ner_labels, dtype=np.str_),
+            w_emb=self.w_emb,
+            lstm_w=self.lstm["w"], lstm_u=self.lstm["u"],
+            lstm_b=self.lstm["b"], lstm_p=self.lstm["p"],
+            m1_n=self.m1_n, m1_b=self.m1_b, m1_a=self.m1_a,
+            m2_n=self.m2_n, m2_b=self.m2_b, m2_a=self.m2_a,
+            w_feat=self.w_feat, mode=np.array(self.mode),
+        )
+
+    @classmethod
+    def load(cls, path) -> "JointWeights":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            words2idx=dict(zip(z["words"].tolist(),
+                               (int(i) for i in z["word_ids"]))),
+            features2idx=dict(zip(z["feats"].tolist(),
+                                  (int(i) for i in z["feat_ids"]))),
+            cws_labels=z["cws_labels"].tolist(),
+            ner_labels=z["ner_labels"].tolist(),
+            w_emb=z["w_emb"],
+            lstm={"w": z["lstm_w"], "u": z["lstm_u"], "b": z["lstm_b"],
+                  "p": z["lstm_p"]},
+            m1_n=z["m1_n"], m1_b=z["m1_b"], m1_a=z["m1_a"],
+            m2_n=z["m2_n"], m2_b=z["m2_b"], m2_a=z["m2_a"],
+            w_feat=z["w_feat"], mode=str(z["mode"]),
+        )
+
 
 def init_joint(
     words2idx: Dict[str, int],

@@ -97,19 +97,42 @@ def _load_weights(path: str) -> NerWeights:
                     resolved = cand
         except Exception:
             pass
-        w = NerWeights.load(resolved)
+        # auto-detect the artifact flavor: joint CWS+NER npz files carry
+        # the lstm_w key (model/joint.py), plain CRF files don't — one
+        # weights_path config drives either model through the same stage
+        z = np.load(resolved, allow_pickle=False)
+        is_joint = "lstm_w" in z.files
+        z.close()
+        if is_joint:
+            from ..model.joint import JointWeights
+
+            w = JointWeights.load(resolved)
+        else:
+            w = NerWeights.load(resolved)
         _WEIGHTS_CACHE[path] = w
     return w
 
 
-def classify_batch(weights: NerWeights, texts: List[str]) -> List[List[str]]:
+def classify_batch(weights, texts: List[str]) -> List[List[str]]:
     """Vectorized classify of a batch of sentence strings → label strings.
 
     Equivalent to per-sentence ``NerWeights.classify`` (tested), but the
-    CRF recursion runs batched per length bucket.
+    CRF recursion runs batched per length bucket. Joint CWS+NER weights
+    (model/joint.py) route through their own per-sentence LSTM+CRF path
+    with intra-batch text dedup.
     """
     n = len(texts)
     out: List[Optional[List[str]]] = [None] * n
+    if hasattr(weights, "classify_ner"):  # joint model
+        memo: dict = {}
+        for i, text in enumerate(texts):
+            t = text or ""
+            labs = memo.get(t)
+            if labs is None:
+                labs = weights.classify_ner(list(t))
+                memo[t] = labs
+            out[i] = labs
+        return out  # type: ignore[return-value]
     idx2label = weights.idx2label
     pad_id = weights.pad_id
 

@@ -124,3 +124,40 @@ def test_joint_overfit_tiny():
     assert res["f1"] == 1.0, res
     cws_pred = model.classify_cws(list("张三在北京"))
     assert cws_pred == ["B-word", "E-word", "S-word", "B-word", "E-word"]
+
+
+@pytest.mark.spark
+def test_spark_ner_stage_accepts_joint_weights(spark, tmp_path_factory):
+    """The Spark NER stage auto-detects a joint npz (lstm_w key) and its
+    mentions equal the driver-side per-sentence classify_ner output."""
+    from golden_horse_spark.model.evaluation import bio_spans
+    from golden_horse_spark.operators.ner import extract_mentions
+
+    ner = [
+        (list("张三在北京"), ["B-PER.NAM", "I-PER.NAM", "O", "B-GPE.NAM", "I-GPE.NAM"]),
+        (list("李四去上海"), ["B-PER.NAM", "I-PER.NAM", "O", "B-GPE.NAM", "I-GPE.NAM"]),
+    ]
+    cws = [
+        (list("张三在北京"), ["B-word", "E-word", "S-word", "B-word", "E-word"]),
+        (list("李四去上海"), ["B-word", "E-word", "S-word", "B-word", "E-word"]),
+    ]
+    model = train_joint(ner, cws, ner_dev=None, emb_dim=8, hidden=6,
+                        epochs=60, dropout=0.0, decay_epochs=1000,
+                        verbose=False, seed=1)
+    path = str(tmp_path_factory.mktemp("jw") / "joint.npz")
+    model.save(path)
+
+    texts = ["张三在北京", "李四去上海", "张三在北京"]
+    sents = spark.createDataFrame(
+        [(f"d{i}", 0, 0, t) for i, t in enumerate(texts)],
+        "doc_id string, span_idx int, sent_idx int, text string",
+    )
+    got = {
+        (r["doc_id"], r["start"], r["end"], r["surface"], r["etype"], r["ntype"])
+        for r in extract_mentions(sents, path).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        for s, e, etype, ntype in bio_spans(model.classify_ner(list(t))):
+            want.add((f"d{i}", s, e, t[s:e], etype, ntype))
+    assert got == want and len(got) > 0

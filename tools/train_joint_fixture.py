@@ -46,39 +46,8 @@ def read_cws_charpos(path, max_len: int = 80):
     return out
 
 
-def save_joint(model, path):
-    np.savez_compressed(
-        path,
-        words=np.array(list(model.words2idx.keys()), dtype=np.str_),
-        word_ids=np.array(list(model.words2idx.values()), dtype=np.int64),
-        feats=np.array(list(model.features2idx.keys()), dtype=np.str_),
-        feat_ids=np.array(list(model.features2idx.values()), dtype=np.int64),
-        cws_labels=np.array(model.cws_labels, dtype=np.str_),
-        ner_labels=np.array(model.ner_labels, dtype=np.str_),
-        w_emb=model.w_emb, lstm_w=model.lstm["w"], lstm_u=model.lstm["u"],
-        lstm_b=model.lstm["b"], lstm_p=model.lstm["p"],
-        m1_n=model.m1_n, m1_b=model.m1_b, m1_a=model.m1_a,
-        m2_n=model.m2_n, m2_b=model.m2_b, m2_a=model.m2_a,
-        w_feat=model.w_feat, mode=np.array(model.mode),
-    )
-
-
-def load_joint(path):
-    from golden_horse_spark.model.joint import JointWeights
-
-    z = np.load(path, allow_pickle=False)
-    return JointWeights(
-        words2idx=dict(zip(z["words"].tolist(), z["word_ids"].tolist())),
-        features2idx=dict(zip(z["feats"].tolist(), z["feat_ids"].tolist())),
-        cws_labels=z["cws_labels"].tolist(),
-        ner_labels=z["ner_labels"].tolist(),
-        w_emb=z["w_emb"],
-        lstm={"w": z["lstm_w"], "u": z["lstm_u"], "b": z["lstm_b"],
-              "p": z["lstm_p"]},
-        m1_n=z["m1_n"], m1_b=z["m1_b"], m1_a=z["m1_a"],
-        m2_n=z["m2_n"], m2_b=z["m2_b"], m2_a=z["m2_a"],
-        w_feat=z["w_feat"], mode=str(z["mode"]),
-    )
+# artifact I/O lives on the class: JointWeights.save / JointWeights.load
+# (the lstm_w key marks a joint npz for the Spark stage's auto-detect)
 
 
 def main():
@@ -116,7 +85,7 @@ def main():
         res = span_eval(pred, [list(l) for _, l in split])
         print(f"FINAL {name}: micro P={res['p']:.4f} R={res['r']:.4f} "
               f"F1={res['f1']:.4f}", flush=True)
-    save_joint(model, args.out)
+    model.save(args.out)
     print("saved", args.out)
 
 
