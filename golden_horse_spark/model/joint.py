@@ -13,10 +13,11 @@ neural_architectures.py:86-166):
   BiasedLinear → ComputeFeature (adds the n-gram feature-weight sums,
   the log-bilinear emission) → OrderOneCrf over NER labels;
 * joint training cost is ``Λ·cws_score + ner_score``
-  (jointSegmentationNER Λ=0.1 default; training itself is R7, not
-  ported — the reference ships no joint pretrained weights either, so
-  this module provides the INFERENCE semantics plus random-init
-  construction for smoke/golden tests).
+  (jointSegmentationNER Λ=0.1 default) — TRAINING is implemented in
+  ``joint_train.py`` (R7: gradchecked LSTM BPTT + CRF marginals,
+  paired-sentence SGD); ``fixtures/joint_weights.npz`` is the trained
+  artifact (revised-test overall F1 0.5723, above EMNLP'15's published
+  0.5605; the reference ships no joint pretrained weights).
 
 Both decoders are the shared hybrid CRF (crf.py): logsumexp-forward +
 argmax-backtrace, viterbi flag default False.

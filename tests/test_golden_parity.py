@@ -120,3 +120,24 @@ def test_2nd_revision_fixture_matches_published_f1():
     test = read_conll("/root/reference/data/weiboNER_2nd_conll.test")
     r = span_eval([m.classify(c) for c, _ in test], [l for _, l in test])
     assert r["f1"] >= 0.56, r
+
+
+def test_joint_fixture_beats_emnlp15_published_f1():
+    """fixtures/joint_weights.npz (R7 joint CWS+NER training,
+    tools/train_joint_fixture.py) on the REVISED test split: overall
+    micro-F1 must stay above the published EMNLP'15 best 0.5605 AND
+    above the plain-CRF fixture's 0.5673. Measured at training time:
+    0.5723 (P 0.7348 / R 0.4686; dev 0.6119). The ACL'16 published joint
+    number 0.5899 used a CWS training corpus and Weibo embeddings the
+    reference does not ship."""
+    from pathlib import Path
+
+    from golden_horse_spark.model.evaluation import span_eval
+    from golden_horse_spark.model.joint import JointWeights
+    from golden_horse_spark.sources.conll import read_conll
+
+    path = Path(__file__).resolve().parents[1] / "fixtures/joint_weights.npz"
+    m = JointWeights.load(path)
+    test = read_conll("/root/reference/data/weiboNER_2nd_conll.test")
+    r = span_eval([m.classify_ner(c) for c, _ in test], [l for _, l in test])
+    assert r["f1"] >= 0.568, r
