@@ -85,14 +85,22 @@ def _load_weights(path: str) -> NerWeights:
     _freeze_gc()
     w = _WEIGHTS_CACHE.get(path)
     if w is None:
+        # "file.npz#mode=charpos" overrides the artifact's representation
+        # mode at load time — e.g. the joint fixture is trained on
+        # pre-charpos-tokenized text (mode=char) but raw-text pipelines
+        # consume it through the segmenter (mode=charpos); same token
+        # space either way.
+        mode_override = None
         resolved = path
+        if "#mode=" in path:
+            resolved, mode_override = path.split("#mode=", 1)
         try:
             import os
 
             if not os.path.exists(resolved):
                 from pyspark import SparkFiles
 
-                cand = SparkFiles.get(os.path.basename(path))
+                cand = SparkFiles.get(os.path.basename(resolved))
                 if os.path.exists(cand):
                     resolved = cand
         except Exception:
@@ -109,6 +117,8 @@ def _load_weights(path: str) -> NerWeights:
             w = JointWeights.load(resolved)
         else:
             w = NerWeights.load(resolved)
+        if mode_override:
+            w.mode = mode_override
         _WEIGHTS_CACHE[path] = w
     return w
 

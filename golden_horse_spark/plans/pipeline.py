@@ -90,6 +90,13 @@ class StageWriter:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(str(data_path))
+        # empty-stage guard: AQE's empty-relation optimization can emit
+        # ZERO part files (not even a schema footer), which breaks every
+        # later read with UNABLE_TO_INFER_SCHEMA. Write one empty,
+        # schema-bearing file so downstream stages see an empty table.
+        if not any(data_path.glob("*.parquet")) and not partition_by:
+            self.spark.createDataFrame([], df.schema).repartition(1) \
+                .write.mode("overwrite").parquet(str(data_path))
         out = self.spark.read.parquet(str(data_path))
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition"))
