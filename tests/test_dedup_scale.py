@@ -176,3 +176,27 @@ def test_ivf_recall_vs_exact_topk(spark):
     }
     assert len(approx) == 10
     assert len(exact & approx) / 10 >= 0.8, (exact, approx)
+
+
+def test_lsh_multitable_recall_vs_exact_topk(spark):
+    """Multi-table sign-LSH self-oracle: recall@10 vs exact cosine_topk.
+    Single-table LSH has recall ~0 at this cosine regime (top-10 sits at
+    cos 0.28-0.37) — the multi-table OR is what makes LSH usable; the
+    b/L tradeoff math is in the operator docstring."""
+    from golden_horse_spark.operators.similarity import (
+        cosine_topk,
+        lsh_multitable_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in cosine_topk(rest, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_multitable_topk(
+            rest, qvec, k=10, n_planes=5, n_tables=20
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.6, (exact, approx)
