@@ -1,0 +1,159 @@
+"""Temporal joins Spark SQL lacks as built-ins: as-of join and range
+(interval) join. Event/feature pipelines need both constantly (latest
+feature value as of event time; points falling inside incident/session
+windows), and the naive formulations — inequality theta-joins — plan as
+BroadcastNestedLoopJoin and die at scale. These are the shuffle-safe
+shapes:
+
+* ``asof_join`` — union + running window. Left and right rows are
+  tagged and unioned, then one running ``last(value, ignorenulls)``
+  window per key fills each left row with the most recent right value.
+  Cost: ONE hash exchange on the key + a sort within partitions —
+  identical shape to a plain groupBy, no row multiplication, skew
+  bounded by the key's own skew. (Contrast: the join-then-rank
+  formulation multiplies rows by the full right-side history before
+  ranking.)
+
+* ``range_join`` — bin-bucketed equi-join. Intervals explode to the
+  fixed-width time bins they cover; points land in exactly ONE bin, so
+  the join is an equi-join on (key, bin) and each (point, interval)
+  pair can match at most once — no post-join dedup. Fan-out is
+  ceil(interval_len / bin_width) + 1 rows per interval: pick
+  ``bin_width`` near the typical interval length so the explode stays
+  O(1) per interval while each bucket stays narrow.
+
+Neither exists in the reference (its only joins are dict lookups —
+SURVEY.md §2.12); these are the training-pipeline additions the brief
+asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    strict: bool = False,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (direction="backward"; "forward" takes
+    the smallest ≥) within the same ``on`` key. ``strict`` excludes
+    equal timestamps. Left rows with no match get NULLs (left-join
+    semantics, like DuckDB's ``ASOF LEFT JOIN``).
+
+    Tie handling at equal (key, ts): the union ordering places the
+    right row before the left row iff non-strict, so the window either
+    sees it (≤) or provably cannot (<) — no rank/filter pass needed.
+    Multiple right rows at the SAME (key, ts) resolve to the last in
+    (ts, value) order; give right a unique ts per key for deterministic
+    output (true for event streams with sub-second stamps).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    left_side = 0 if strict else 1
+    right_side = 1 - left_side
+    lp = list(left.columns)
+    out_cols = [prefix + c for c in value_cols]
+    # the carried payload is a STRUCT of the value columns, null for left
+    # rows: last(_r, ignorenulls) then means "latest right ROW", so a
+    # matched row whose value column happens to be NULL still counts as
+    # matched (a bare last(value, ignorenulls) would skip past it to an
+    # older right row — wrong as-of semantics)
+    r_struct_t = (
+        "struct<" +
+        ", ".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in lp],
+        F.col(left_ts).alias("_t"),
+        F.lit(left_side).alias("_side"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lp
+            if c not in keys
+        ],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(right_side).alias("_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    t_order = F.col("_t").desc() if direction == "forward" else F.col("_t").asc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(t_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "_rf", F.last("_r", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("_side") == left_side)
+        .select(
+            *lp,
+            *[
+                F.col("_rf")[c].alias(o)
+                for c, o in zip(value_cols, out_cols)
+            ],
+        )
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | str,
+    point_ts: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bin_width: float = 1800.0,
+) -> DataFrame:
+    """Inner-join points to the intervals containing them
+    (``start ≤ ts ≤ end``, same ``on`` key) as an EQUI-join on
+    (key, time_bin) — never a nested-loop theta join. ``bin_width`` is
+    in seconds; intervals longer than it simply cover more bins.
+    Output: all point columns + all interval columns (caller keeps the
+    names disjoint).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = float(bin_width)
+    # TIMESTAMP_NTZ has no direct double cast; epoch seconds via a
+    # timestamp hop (same session tz on both sides of the join, so the
+    # binning stays consistent — the exact BETWEEN filter is tz-free)
+    def _secs(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    p = points.withColumn("_bin", F.floor(_secs(point_ts) / w).cast("long"))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(_secs(start_col) / w).cast("long"),
+                F.floor(_secs(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, keys + ["_bin"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

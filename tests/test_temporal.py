@@ -1,0 +1,128 @@
+"""As-of and range join semantics + plan shape (operators/temporal.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from golden_horse_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(5), "b"), (1, _ts(10), "c"), (2, _ts(3), "d")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(5), None), (1, _ts(7), 30.0), (3, _ts(1), 99.0)],
+        "k int, ts timestamp, v double",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {
+        r["tag"]: r["asof_v"]
+        for r in df.select("tag", "asof_v").collect()
+    }
+
+
+def test_asof_backward_basic(tiny):
+    left, right = tiny
+    got = _collect(asof_join(left, right, on="k", value_cols=["v"]))
+    # b matches the t=5 right row even though its VALUE is null — as-of
+    # attaches the latest ROW, it does not skip to an older non-null one
+    assert got == {"a": 10.0, "b": None, "c": 30.0, "d": None}
+
+
+def test_asof_backward_strict(tiny):
+    left, right = tiny
+    got = _collect(
+        asof_join(left, right, on="k", value_cols=["v"], strict=True)
+    )
+    # strict: a (t=0) no longer sees the equal-timestamp right row
+    assert got == {"a": None, "b": 10.0, "c": 30.0, "d": None}
+
+
+def test_asof_forward(tiny):
+    left, right = tiny
+    got = _collect(
+        asof_join(left, right, on="k", value_cols=["v"], direction="forward")
+    )
+    assert got == {"a": 10.0, "b": None, "c": None, "d": None}
+
+
+def test_asof_matches_sql_join_rank(spark):
+    """Cross-check the union+window shape against the naive
+    join-then-rank formulation on a bigger random slice."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    fast = (
+        asof_join(ev, clicks, on="user_id", value_cols=["value"])
+        .select("event_id", "asof_value")
+    )
+    ev.createOrReplaceTempView("_ev")
+    clicks.createOrReplaceTempView("_cl")
+    naive = spark.sql(
+        """
+        SELECT event_id, max_by(v, cts) AS asof_value FROM (
+            SELECT e.event_id, c.value AS v, c.ts AS cts
+            FROM _ev e LEFT JOIN _cl c
+              ON e.user_id = c.user_id AND c.ts <= e.ts
+        ) GROUP BY event_id
+        """
+    )
+    a = {r["event_id"]: r["asof_value"] for r in fast.collect()}
+    b = {r["event_id"]: r["asof_value"] for r in naive.collect()}
+    assert a == b and len(a) > 100
+
+
+def test_range_join_boundaries_and_long_intervals(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(30)), (1, _ts(59, 59)), (2, _ts(10))],
+        "k int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        # 1-hour interval spans many 30s bins; endpoints inclusive
+        [(1, "w", _ts(0), _ts(59, 59)), (2, "x", _ts(11), _ts(12))],
+        "k int, iv string, t_start timestamp, t_end timestamp",
+    )
+    got = range_join(pts, iv, on="k", bin_width=30.0)
+    rows = {(r["iv"], str(r["ts"])) for r in got.collect()}
+    assert rows == {
+        ("w", "2024-01-01 00:00:00"),
+        ("w", "2024-01-01 00:10:00"),
+        ("w", "2024-01-01 00:30:00"),
+        ("w", "2024-01-01 00:59:59"),
+    }
+
+
+def test_temporal_plans_are_shuffle_safe(spark):
+    """asof = window over one exchange (no join operator at all);
+    range = equi-join (never BroadcastNestedLoop/Cartesian)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    asof_plan = asof_join(
+        ev, clicks, on="user_id", value_cols=["value"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in asof_plan
+    assert "Window" in asof_plan
+
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t_end"),
+    )
+    rng_plan = range_join(
+        ev, iv, on="user_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in rng_plan and "Cartesian" not in rng_plan
