@@ -157,3 +157,23 @@ def range_join(
         )
         .drop("_bin")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: Sequence[str] | str = "user_id",
+    ts_col: str = "ts",
+    gap: float = 1800.0,
+) -> DataFrame:
+    """Gap-based sessionization: a new session opens when the time since
+    the key's previous event exceeds ``gap`` seconds. Adds
+    ``session_seq`` (1-based per key). Two stacked window functions
+    (lag, running sum) over the SAME (key, ts) ordering — one hash
+    exchange + one sort, no joins, no state store (the streaming twin is
+    ``F.session_window``; this is the batch/backfill form).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    is_new = F.when(secs - F.lag(secs).over(w) <= gap, 0).otherwise(1)
+    return events.withColumn("session_seq", F.sum(is_new).over(w))

@@ -108,3 +108,53 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fp"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), the plain
+    Salton form — portable to any SQL engine for the oracle twin).
+
+    Shape: explode→count gives (doc, term, tf) with map-side combine;
+    document frequencies aggregate the SAME table again (no second scan
+    of the corpus); N is one bounded scalar. The df table is tiny
+    relative to the corpus (vocabulary-sized) and broadcast-joins back.
+    ``min_df``/``max_df_frac`` drop hapaxes and stop-terms — the same
+    df-cap reasoning as ngram_jaccard_pairs: ubiquitous terms carry no
+    signal and dominate cost.
+
+    Ranking note: ties at equal tf·idf are broken by term text so both
+    engines produce identical top-k sets.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(
+            (F.col("df") >= min_df) & (F.col("df") <= int(n_docs * max_df_frac))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

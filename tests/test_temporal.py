@@ -126,3 +126,26 @@ def test_temporal_plans_are_shuffle_safe(spark):
         ev, iv, on="user_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in rng_plan and "Cartesian" not in rng_plan
+
+
+def test_sessionize_gap_semantics(spark):
+    from golden_horse_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0)), (1, _ts(10)), (1, _ts(45)),   # 35-min gap splits
+            (1, _ts(50)), (2, _ts(0)),
+        ],
+        "user_id int, ts timestamp",
+    )
+    got = {
+        (r["user_id"], str(r["ts"])): r["session_seq"]
+        for r in sessionize(ev, gap=1800.0).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 1,
+        (1, "2024-01-01 00:10:00"): 1,
+        (1, "2024-01-01 00:45:00"): 2,
+        (1, "2024-01-01 00:50:00"): 2,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
