@@ -94,7 +94,10 @@ class StageWriter:
         # ZERO part files (not even a schema footer), which breaks every
         # later read with UNABLE_TO_INFER_SCHEMA. Write one empty,
         # schema-bearing file so downstream stages see an empty table.
-        if not any(data_path.glob("*.parquet")) and not partition_by:
+        if not any(data_path.glob("**/*.parquet")):
+            # partitioned empties drop the partition column from the
+            # schema-bearing file — it comes back as a (empty) read of
+            # the directory either way
             self.spark.createDataFrame([], df.schema).repartition(1) \
                 .write.mode("overwrite").parquet(str(data_path))
         out = self.spark.read.parquet(str(data_path))
