@@ -1,0 +1,50 @@
+"""PageRank vs a dense NumPy power iteration (operators/graph.py)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from golden_horse_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, n_nodes, damping=0.85, n_iter=10):
+    """Dense reference: same fixed-iteration scheme incl. dangling
+    redistribution."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(n_iter):
+        dangling = sum(r[v] for v in range(n_nodes) if v not in out)
+        base = (1 - damping) / n_nodes + damping * dangling / n_nodes
+        new = np.full(n_nodes, base)
+        for s, ds in out.items():
+            for d in ds:
+                new[d] += damping * r[s] / len(ds)
+        r = new
+    return r
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # node 3 is dangling; node 0 is a hub
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 3), (4, 0)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()
+    }
+    want = _numpy_pagerank(edges, 5, n_iter=10)
+    assert set(got) == set(range(5))
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # rank mass is conserved (dangling correction)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_symmetric_star(spark):
+    # undirected star: center rank > leaves, leaves equal
+    edges = [(0, i) for i in range(1, 5)]
+    sym = edges + [(d, s) for s, d in edges]
+    df = spark.createDataFrame(sym, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    leaves = [got[i] for i in range(1, 5)]
+    assert got[0] > max(leaves)
+    assert max(leaves) - min(leaves) < 1e-12
