@@ -200,3 +200,30 @@ def test_lsh_multitable_recall_vs_exact_topk(spark):
     }
     assert len(approx) == 10
     assert len(exact & approx) / 10 >= 0.6, (exact, approx)
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from golden_horse_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector: scale 0
+            (2, [127.0, -127.0, 63.5, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dq = dequantize_embeddings(quantize_embeddings(emb))
+    rows = {r["vec_id"]: r for r in dq.collect()}
+    assert rows[1]["q8"] == [0, 0, 0, 0] and rows[1]["q_scale"] == 0.0
+    for vid in (0, 2):
+        scale = rows[vid]["q_scale"]
+        assert all(-127 <= q <= 127 for q in rows[vid]["q8"])
+        for orig, rec in zip(rows[vid]["embedding"], rows[vid]["dq"]):
+            assert abs(orig - rec) <= scale / 2 + 1e-12
