@@ -50,14 +50,28 @@ def pagerank(
     ed = e.join(deg, "s").repartition(p, "s").localCheckpoint()
     has_out = deg.select(F.col("s").alias("node")).repartition(p, "node").localCheckpoint()
 
+    # dangling MEMBERSHIP is static (who has out-edges never changes);
+    # only its rank mass moves per round — so detect once, and a
+    # symmetrized/dangling-free graph pays ZERO per-round driver jobs
+    # for the correction
+    dangling_nodes = (
+        nodes.join(has_out, "node", "left_anti")
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    n_dangling = dangling_nodes.count()
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
+        if n_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+        else:
+            dangling = 0.0
         base = (1.0 - damping) / n + damping * dangling / n
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
