@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q_cosine_threshold",
     "q_embedding_near_dup",
     "q_sentences",
+    "q_asof_join",
+    "q_sessionize",
+    "q_tfidf",
 ]
 
 N_PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

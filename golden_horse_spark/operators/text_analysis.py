@@ -158,3 +158,23 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def hash_split(
+    text: Column,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+) -> Column:
+    """Deterministic corpus split label ('train'/'valid'/'test') from a
+    content hash — the J6 train/valid split generalized to corpus scale:
+    stable across runs/partitionings/engines (md5-based, so the DuckDB
+    oracle twin is value-exact), no shuffle, no sampling state. Thresholds
+    quantize the fractions onto the 256 buckets of the first md5 byte
+    (bias < 1/256 per class, vs up-to-28% per-bucket bias of a mod-100
+    fold)."""
+    b = F.conv(F.substring(F.md5(text), 1, 2), 16, 10).cast("int")
+    t1 = round(256 * train_frac)
+    t2 = t1 + round(256 * valid_frac)
+    return (
+        F.when(b < t1, "train").when(b < t2, "valid").otherwise("test")
+    )
