@@ -149,3 +149,48 @@ def test_sessionize_gap_semantics(spark):
         (1, "2024-01-01 00:50:00"): 2,
         (2, "2024-01-01 00:00:00"): 1,
     }
+
+
+def test_asof_randomized_vs_python_reference(spark):
+    """40 random scenarios batched into ONE job, each checked against a
+    brute-force python as-of (backward and forward)."""
+    import random
+
+    rng = random.Random(7)
+    left_rows, right_rows, seen = [], [], set()
+    for scen in range(40):
+        for i in range(rng.randint(0, 8)):
+            left_rows.append((scen, rng.randint(0, 20), f"L{scen}-{i}"))
+        for j in range(rng.randint(0, 6)):
+            t = rng.randint(0, 20)
+            if (scen, t) not in seen:       # unique right ts per key ⇒
+                seen.add((scen, t))         # reference is unambiguous
+                right_rows.append((scen, t, float(j)))
+    left = spark.createDataFrame(
+        [(s, _ts(t), tag) for s, t, tag in left_rows],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(s, _ts(t), v) for s, t, v in right_rows],
+        "k int, ts timestamp, v double",
+    )
+    by_key = {}
+    for s, t, v in right_rows:
+        by_key.setdefault(s, []).append((t, v))
+
+    for direction, cmp in (("backward", lambda rt, t: rt <= t),
+                           ("forward", lambda rt, t: rt >= t)):
+        got = {
+            r["tag"]: r["asof_v"]
+            for r in asof_join(
+                left, right, on="k", value_cols=["v"], direction=direction
+            ).collect()
+        }
+        assert len(got) == len(left_rows)
+        for s, t, tag in left_rows:
+            cands = [(rt, v) for rt, v in by_key.get(s, []) if cmp(rt, t)]
+            if direction == "backward":
+                want = max(cands)[1] if cands else None
+            else:
+                want = min(cands)[1] if cands else None
+            assert got[tag] == want, (direction, tag, got[tag], want)
