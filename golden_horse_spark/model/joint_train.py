@@ -162,6 +162,7 @@ def train_joint(
     ner_dev: Optional[List[Sentence]] = None,
     extra_dict_corpora: Optional[List[List[Sentence]]] = None,
     mode: str = "char",
+    train_mode: str = "joint",
     emb_dim: int = 100,
     hidden: int = 150,
     lr: float = 0.05,
@@ -174,9 +175,18 @@ def train_joint(
     emb_path: Optional[str] = None,
     verbose: bool = True,
 ) -> JointWeights:
-    """'joint' train mode: each step consumes one (cws, ner) sentence
-    pair; cost = cws_weight·cws + ner (README.md:84-86 best named config
-    uses cws_joint_weight 0.7, dropout 0.1)."""
+    """R7 training modes (ref jointSegNER.py:45-101, dispatch :132-153):
+
+    * ``train_mode="joint"`` — each step consumes one (cws, ner)
+      sentence pair; cost = cws_weight·cws + ner (README.md:84-86 best
+      named config uses cws_joint_weight 0.7, dropout 0.1).
+    * ``"alternative"`` — per epoch, the CWS corpus is trained in full,
+      then the NER corpus, each with its own UNWEIGHTED update
+      (ref train_alternative: per-task f_cost/f_update; task order
+      segmentation-then-NER as in the reference's task arrays).
+    * ``"single"`` — NER task only (cws_train may be empty); the joint
+      architecture without the auxiliary signal.
+    """
     dict_corpus = list(ner_train) + list(ner_dev or [])
     for extra in extra_dict_corpora or []:
         dict_corpus += list(extra)
@@ -277,23 +287,48 @@ def train_joint(
         rng.shuffle(n_ord)
         rng.shuffle(c_ord)
         tot_ner = tot_cws = 0.0
-        for step, ni in enumerate(n_ord):
-            feat_ids, w_ids, y = ner_enc[ni]
+        def mask(n_rows):
+            if not dropout:
+                return None
+            return (rng.rand(n_rows, emb_dim) >= dropout) / (1.0 - dropout)
 
-            def mask(n_rows):
-                if not dropout:
-                    return None
-                return (rng.rand(n_rows, emb_dim) >= dropout) / (1.0 - dropout)
-
-            loss_n, g_n = ner_sentence_grads(
-                P, feat_ids, w_ids, y, mask(len(w_ids))
-            )
-            _apply(P, g_n, cur_lr)
-            tot_ner += loss_n
-            cw_ids, cy = cws_enc[c_ord[step % len(c_ord)]]
-            loss_c, g_c = cws_sentence_grads(P, cw_ids, cy, mask(len(cw_ids)))
-            _apply(P, g_c, cur_lr, scale=cws_weight)
-            tot_cws += loss_c
+        if train_mode == "joint":
+            for step, ni in enumerate(n_ord):
+                feat_ids, w_ids, y = ner_enc[ni]
+                loss_n, g_n = ner_sentence_grads(
+                    P, feat_ids, w_ids, y, mask(len(w_ids))
+                )
+                _apply(P, g_n, cur_lr)
+                tot_ner += loss_n
+                cw_ids, cy = cws_enc[c_ord[step % len(c_ord)]]
+                loss_c, g_c = cws_sentence_grads(P, cw_ids, cy, mask(len(cw_ids)))
+                _apply(P, g_c, cur_lr, scale=cws_weight)
+                tot_cws += loss_c
+        elif train_mode == "alternative":
+            # full CWS pass, then full NER pass, unweighted per-task
+            # updates (ref train_alternative → train_single per task)
+            for ci in c_ord:
+                cw_ids, cy = cws_enc[ci]
+                loss_c, g_c = cws_sentence_grads(P, cw_ids, cy, mask(len(cw_ids)))
+                _apply(P, g_c, cur_lr)
+                tot_cws += loss_c
+            for ni in n_ord:
+                feat_ids, w_ids, y = ner_enc[ni]
+                loss_n, g_n = ner_sentence_grads(
+                    P, feat_ids, w_ids, y, mask(len(w_ids))
+                )
+                _apply(P, g_n, cur_lr)
+                tot_ner += loss_n
+        elif train_mode == "single":
+            for ni in n_ord:
+                feat_ids, w_ids, y = ner_enc[ni]
+                loss_n, g_n = ner_sentence_grads(
+                    P, feat_ids, w_ids, y, mask(len(w_ids))
+                )
+                _apply(P, g_n, cur_lr)
+                tot_ner += loss_n
+        else:
+            raise ValueError(f"unknown train_mode {train_mode!r}")
         if ner_dev:
             model = snapshot()
             pred = [model.classify_ner(chars) for chars, _ in ner_dev]

@@ -126,6 +126,37 @@ def test_joint_overfit_tiny():
     assert cws_pred == ["B-word", "E-word", "S-word", "B-word", "E-word"]
 
 
+def test_alternative_and_single_modes():
+    """R7 mode dispatch: 'alternative' trains each task's full corpus per
+    epoch with unweighted updates; 'single' is NER-only (empty CWS corpus
+    allowed). Both must learn the toy NER task; all three modes must
+    produce distinct parameter trajectories."""
+    ner = [
+        (list("张三在北京"), ["B-PER.NAM", "I-PER.NAM", "O", "B-GPE.NAM", "I-GPE.NAM"]),
+        (list("李四去上海"), ["B-PER.NAM", "I-PER.NAM", "O", "B-GPE.NAM", "I-GPE.NAM"]),
+    ]
+    cws = [
+        (list("张三在北京"), ["B-word", "E-word", "S-word", "B-word", "E-word"]),
+    ]
+    from golden_horse_spark.model.evaluation import span_eval
+
+    kw = dict(emb_dim=16, hidden=12, epochs=120, dropout=0.0,
+              decay_epochs=1000, verbose=False, seed=1)
+    alt = train_joint(ner, cws, train_mode="alternative", **kw)
+    single = train_joint(ner, [], train_mode="single", **kw)
+    joint = train_joint(ner, cws, train_mode="joint", **kw)
+    gold = [list(l) for _, l in ner]
+    for m in (alt, single, joint):
+        pred = [m.classify_ner(chars) for chars, _ in ner]
+        assert span_eval(pred, gold)["f1"] == 1.0
+    # alternative also learns CWS (full-corpus pass per epoch)
+    assert alt.classify_cws(list("张三在北京")) == [
+        "B-word", "E-word", "S-word", "B-word", "E-word"]
+    import numpy as np
+    assert not np.allclose(alt.w_emb, joint.w_emb)
+    assert not np.allclose(single.w_emb, joint.w_emb)
+
+
 @pytest.mark.spark
 def test_spark_ner_stage_accepts_joint_weights(spark, tmp_path_factory):
     """The Spark NER stage auto-detects a joint npz (lstm_w key) and its
