@@ -92,6 +92,10 @@ def pagerank(
                 ).alias("rank"),
             )
             .repartition(p, "node")
-            .localCheckpoint()
+            # lazy: the checkpoint still truncates the plan at the round
+            # boundary, but on a dangling-free graph (no per-round
+            # action) all rounds execute as ONE job wave instead of
+            # n_iter eager materializations
+            .localCheckpoint(eager=False)
         )
     return ranks
