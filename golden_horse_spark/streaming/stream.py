@@ -99,6 +99,28 @@ def windowed_mention_counts(
     )
 
 
+def session_mention_counts(
+    mentions_with_ts: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows (gap-based, state merges adjacent
+    events until a quiet period > gap) per entity type — the streaming
+    twin of the batch ``operators.temporal.sessionize`` (equivalence
+    tested: same session count per key at the same gap)."""
+    return (
+        mentions_with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("win"), "etype")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "etype",
+            "n_mentions",
+        )
+    )
+
+
 SURFACE_STATE_OUTPUT = (
     "surface string, total_mentions long, n_docs long, first_doc string"
 )

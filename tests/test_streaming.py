@@ -192,3 +192,74 @@ def test_streaming_dedup_matches_batch_dedup(spark, doc_dir, tmp_path_factory):
     got_fps = {r["fp"] for r in kept.select("fp").collect()}
     want_fps = {r["fp"] for r in groups.select("fp").collect()}
     assert got_fps == want_fps
+
+
+def test_session_windows_match_batch_sessionize(spark, tmp_path_factory):
+    """Streaming session_window and batch sessionize implement the same
+    gap rule: equal per-key session counts at the same gap.
+
+    Append-mode sessions only emit once the WATERMARK passes their end,
+    and emission lags one micro-batch (the watermark used by batch N is
+    computed from batch N-1) — so the stream gets two far-future
+    "flusher" files after the real data, forced into separate
+    micro-batches (maxFilesPerTrigger=1, ascending mtimes)."""
+    import datetime as dt
+    import os
+
+    from golden_horse_spark.operators.temporal import sessionize
+    from golden_horse_spark.streaming.stream import (
+        run_to_sink,
+        session_mention_counts,
+    )
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m)
+
+    real = [
+        ("PER", ts(0)), ("PER", ts(1)), ("PER", ts(2)),   # session 1
+        ("PER", ts(20)), ("PER", ts(21)),                 # session 2
+        ("PER", ts(50)),                                  # session 3
+        ("LOC", ts(5)), ("LOC", ts(30)),                  # 2 sessions
+    ]
+    src = tmp_path_factory.mktemp("sess_src")
+    schema = "etype string, event_ts timestamp"
+    spark.createDataFrame(real, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    for i, flush_min in enumerate((300, 600), start=1):
+        spark.createDataFrame(
+            [("PER", ts(flush_min)), ("LOC", ts(flush_min))], schema
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    files = sorted(str(p) for p in src.rglob("*.parquet"))
+    for i, f in enumerate(files):
+        os.utime(f, (1700000000 + 60 * i, 1700000000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = tmp_path_factory.mktemp("sess_out")
+    sessions = session_mention_counts(stream, gap="10 minutes",
+                                      watermark="10 minutes")
+    run_to_sink(sessions, str(out / "sessions"), str(out / "ckpt"))
+    got = spark.read.parquet(str(out / "sessions")).where(
+        F.col("session_start") < ts(300)
+    )
+    stream_counts = {
+        r["etype"]: r["n"]
+        for r in got.groupBy("etype").agg(F.count("*").alias("n")).collect()
+    }
+    assert stream_counts == {"PER": 3, "LOC": 2}
+
+    batch = sessionize(
+        spark.createDataFrame(real, schema),
+        key="etype", ts_col="event_ts", gap=600.0,
+    )
+    batch_counts = {
+        r["etype"]: r["n"]
+        for r in batch.groupBy("etype")
+        .agg(F.max("session_seq").alias("n"))
+        .collect()
+    }
+    assert stream_counts == batch_counts
