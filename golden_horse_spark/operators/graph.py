@@ -99,3 +99,57 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count of the undirected graph (1-row DataFrame,
+    column ``n_triangles``).
+
+    Degree-ordered orientation: edges point from the (degree, id)-lower
+    endpoint to the higher, so every triangle is counted exactly once as
+    u→v, u→w, v→w with u ≺ v ≺ w, and — the scale property — per-node
+    OUT-degree is bounded by O(√m), making the wedge join fan-out
+    O(m^1.5) total instead of Σdeg² (a 10M-degree hub contributes ZERO
+    wedges instead of 10¹⁴). Two keyed shuffles: wedges on u, closure on
+    (v, w). The naive a<b triple self-join (what the DuckDB oracle runs)
+    is the same count with none of the bound.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, "u")
+        .where(
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+        )
+        .select(F.col("o1.v").alias("u"), F.col("o2.v").alias("v"))
+    )
+    # one ROW per wedge (the center u is dropped but distinct wedges stay
+    # distinct rows); semi-join keeps every closing wedge exactly once
+    # because oriented is a set — counting rows = counting triangles
+    closed = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+    return closed.agg(F.count("*").alias("n_triangles"))

@@ -48,3 +48,41 @@ def test_pagerank_symmetric_star(spark):
     leaves = [got[i] for i in range(1, 5)]
     assert got[0] > max(leaves)
     assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_triangle_count_known_and_random(spark):
+    from itertools import combinations
+    import random
+
+    from golden_horse_spark.operators.graph import triangle_count
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = {n for e in es for n in e}
+        return sum(
+            1
+            for tri in combinations(sorted(nodes), 3)
+            if all(tuple(sorted(p)) in es for p in combinations(tri, 2))
+        )
+
+    # K4 = 4 triangles; star = 0 (hub contributes no wedges after
+    # degree orientation); plus 10 random graphs
+    cases = [
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        [(0, i) for i in range(1, 8)],
+    ]
+    rng = random.Random(3)
+    for _ in range(10):
+        n = rng.randint(4, 12)
+        cases.append(
+            [
+                (rng.randint(0, n - 1), rng.randint(0, n - 1))
+                for _ in range(rng.randint(3, 30))
+            ]
+        )
+    for edges in cases:
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = triangle_count(df).head()["n_triangles"]
+        assert got == brute(edges), (edges, got)
