@@ -86,3 +86,13 @@ def test_triangle_count_known_and_random(spark):
         df = spark.createDataFrame(edges, "src int, dst int")
         got = triangle_count(df).head()["n_triangles"]
         assert got == brute(edges), (edges, got)
+
+
+def test_triangle_plan_no_cartesian(spark):
+    from golden_horse_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src int, dst int"
+    )
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
