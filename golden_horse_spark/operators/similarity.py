@@ -244,3 +244,42 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda i: i.cast("double") * F.col(scale_col)),
     )
+
+
+def train_centroids_distributed(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 8,
+    sample: int = 2000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means with DISTRIBUTED assignment + mean steps — the
+    10^12-vector upgrade of the driver-side ``train_centroids`` (which
+    k-means a driver sample; right for IVF seeding, wrong when the
+    centroids must reflect the full distribution).
+
+    Per iteration: ``assign_cells`` (narrow codegen pass) →
+    posexplode(vector) → groupBy(cell, dim).avg — ONE keyed shuffle of
+    (cell, dim, value) triples — and an O(n_cells·dim) collect of the
+    new centroids. Empty cells keep their previous centroid. Init is the
+    same seeded sample draw as the driver variant, so both are
+    deterministic for a fixed seed.
+    """
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(n_iter):
+        assigned = assign_cells(embeddings.select(vec_col), cents, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cell"], r["dim"]] = r["m"]
+        cents = new
+    return cents

@@ -227,3 +227,33 @@ def test_quantize_roundtrip_error_bound(spark):
         assert all(-127 <= q <= 127 for q in rows[vid]["q8"])
         for orig, rec in zip(rows[vid]["embedding"], rows[vid]["dq"]):
             assert abs(orig - rec) <= scale / 2 + 1e-12
+
+
+def test_distributed_kmeans_matches_numpy(spark):
+    """Distributed Lloyd == dense NumPy Lloyd from the same seeded init
+    (within float-sum reduction noise)."""
+    import numpy as np
+
+    from golden_horse_spark.operators.similarity import (
+        train_centroids_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    got = train_centroids_distributed(emb, n_cells=4, n_iter=4, sample=100)
+
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    init_rows = emb.select("embedding").limit(100).collect()
+    xi = np.array([r[0] for r in init_rows], dtype=np.float64)
+    rng = np.random.RandomState(42)
+    cents = xi[rng.choice(len(xi), size=4, replace=False)].copy()
+    for _ in range(4):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(4):
+            pts = x[a == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    assert np.allclose(got, cents, atol=1e-9), np.abs(got - cents).max()
