@@ -204,17 +204,92 @@ def run_cc_bench(spark, n_nodes: int | None = None) -> dict:
     }
 
 
+def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
+    """PageRank + triangle counting at graph scale on a synthetic
+    clique-chain: n/5 cliques of K5 (10 triangles each), clique roots
+    chained, plus a hub wired to every root (hot key). Exact expected
+    count asserted: 10·(n/5) clique triangles + (n/5 − 1) hub-bridge
+    triangles (hub + both endpoints of each root bridge)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.graph import pagerank, triangle_count
+
+    n_cliques = n_nodes // 5
+    pair_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(5)
+            for j in range(5)
+            if i < j
+        ]
+    )
+    cliques = (
+        spark.range(n_cliques)
+        .select(F.col("id").alias("c"), F.explode(pair_structs).alias("p"))
+        .select(
+            (F.col("c") * 5 + F.col("p.i")).alias("src"),
+            (F.col("c") * 5 + F.col("p.j")).alias("dst"),
+        )
+    )
+    bridges = spark.range(n_cliques - 1).select(
+        (F.col("id") * 5).alias("src"), ((F.col("id") + 1) * 5).alias("dst")
+    )
+    hub = spark.range(n_cliques).select(
+        F.lit(n_nodes).cast("long").alias("src"), (F.col("id") * 5).alias("dst")
+    )
+    edges = cliques.union(bridges).union(hub)
+    n_edges = edges.count()
+
+    t0 = _t.time()
+    tri = triangle_count(edges).head()["n_triangles"]
+    tri_sec = round(_t.time() - t0, 2)
+    expected = 10 * n_cliques + (n_cliques - 1)
+    assert tri == expected, (tri, expected)
+
+    t0 = _t.time()
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(sym, n_iter=5)
+    n_ranked = pr.count()
+    pr_sec = round(_t.time() - t0, 2)
+    return {
+        "n_nodes": n_nodes + 1,
+        "n_edges": n_edges,
+        "triangles": tri,
+        "triangle_sec": tri_sec,
+        "triangle_edges_per_sec": round(n_edges / tri_sec, 1),
+        "pagerank_iters": 5,
+        "pagerank_sec": pr_sec,
+        "pagerank_nodes_ranked": n_ranked,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cc", action="store_true",
                     help="connected-components graph-scale bench only")
+    ap.add_argument("--graph", action="store_true",
+                    help="pagerank + triangle-count graph-scale bench only")
+    ap.add_argument("--graph-nodes", type=int, default=2_000_000)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     if args.scaling:
         return run_scaling()
+
+    if args.graph:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-graph", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "graph_ops_bench", "unit": "sec"}
+        out.update(run_graph_bench(spark, args.graph_nodes))
+        out["value"] = out["triangle_sec"] + out["pagerank_sec"]
+        print(json.dumps(out))
+        return
 
     if args.cc:
         from golden_horse_spark.config import get_spark
