@@ -1,11 +1,15 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries — see ``_decode_image``), but all the Spark-side
-plumbing is real and tested: schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing. Swapping the stub for PIL/libsndfile is a
-one-function change on executors.
+Image decode is REAL for the uncompressed PPM/P6 format (pure-NumPy
+header parse + raw RGB read — no codec library needed; the synthetic
+media table emits genuine P6 payloads, and ``resize_images`` re-encodes
+P6, so decode→resize→decode round-trips on real pixels). CODEC formats
+(JPEG/PNG/audio containers) are the stubbed part — this container ships
+no PIL/libsndfile — and fall back to a deterministic fake; swapping
+that branch for PIL is a one-function change on executors. All the
+Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing) is real and tested either way.
 
 Design: media payloads ride a separate table keyed by ``media_ref``
 (documents carry only the reference — SURVEY.md §1.2), so the 100 TB of
@@ -68,13 +72,24 @@ def synthesize_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
             rows = []
             for ref, kind in pdf[["media_ref", "kind"]].itertuples(index=False, name=None):
                 h = hashlib.sha256(ref.encode()).digest()
+                w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                if kind == "image":
+                    # REAL P6 payload: deterministic RGB pixels seeded
+                    # from the ref hash — the decode path parses it
+                    rng = np.random.RandomState(
+                        int.from_bytes(h[:4], "little")
+                    )
+                    rgb = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+                    payload = encode_ppm(rgb)
+                else:
+                    payload = h * 4  # 128 deterministic bytes (codec stub)
                 rows.append(
                     {
                         "media_ref": ref,
                         "kind": kind,
-                        "payload": h * 4,  # 128 deterministic bytes
-                        "width": 16 + h[0] % 64,
-                        "height": 16 + h[1] % 64,
+                        "payload": payload,
+                        "width": w,
+                        "height": ht,
                         "duration_ms": (h[2] * 100) if kind != "image" else 0,
                     }
                 )
@@ -83,9 +98,48 @@ def synthesize_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def parse_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Pure NumPy/bytes — handles the
+    whitespace/comment grammar of the header; raises on truncation."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated ppm raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: real impl would be PIL.Image.open(BytesIO(payload)).
-    Deterministic fake: tile payload bytes into (h, w) grayscale."""
+    """Grayscale float32 in [0, 1]. REAL decode for P6/PPM payloads
+    (``parse_ppm`` + Rec.601 luminance). CODEC formats (JPEG/PNG) are
+    the stubbed branch — no PIL in this container — decoded as a
+    deterministic fake (payload bytes tiled into (h, w))."""
+    if payload[:2] == b"P6":
+        rgb = parse_ppm(payload).astype(np.float32)
+        lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return (lum / 255.0).astype(np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
     tiled = np.tile(arr, need // len(arr) + 1)[:need]
@@ -140,12 +194,21 @@ def resize_images(
                 ["media_ref", "kind", "payload", "width", "height", "duration_ms"]
             ].itertuples(index=False, name=None):
                 img = _decode_image(bytes(payload), int(w), int(h))
-                resized = bilinear_resize(img, out_h, out_w)
+                resized = (
+                    (bilinear_resize(img, out_h, out_w) * 255.0)
+                    .round()
+                    .astype(np.uint8)
+                )
+                # re-encode as P6 (grayscale replicated to RGB) so the
+                # resized payload is itself decodable — the stage output
+                # round-trips through the same decode path
                 rows.append(
                     {
                         "media_ref": ref,
                         "kind": kind,
-                        "payload": (resized * 255.0).round().astype(np.uint8).tobytes(),
+                        "payload": encode_ppm(
+                            np.repeat(resized[:, :, None], 3, axis=2)
+                        ),
                         "width": out_w,
                         "height": out_h,
                         "duration_ms": int(dur),
