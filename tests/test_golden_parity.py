@@ -127,7 +127,7 @@ def test_joint_fixture_beats_emnlp15_published_f1():
     tools/train_joint_fixture.py) on the REVISED test split: overall
     micro-F1 must stay above the published EMNLP'15 best 0.5605 AND
     above the plain-CRF fixture's 0.5673. Measured at training time:
-    0.5723 (P 0.7348 / R 0.4686; dev 0.6119). The ACL'16 published joint
+    0.5743 (P 0.7243 / R 0.4758; dev 0.6129; dropout 0.2, seed 3). The ACL'16 published joint
     number 0.5899 used a CWS training corpus and Weibo embeddings the
     reference does not ship."""
     from pathlib import Path
