@@ -194,3 +194,74 @@ def test_asof_randomized_vs_python_reference(spark):
             else:
                 want = min(cands)[1] if cands else None
             assert got[tag] == want, (direction, tag, got[tag], want)
+
+
+def test_range_join_randomized_vs_python_reference(spark):
+    """30 random scenarios in one job vs brute-force interval scan."""
+    import random
+
+    rng = random.Random(11)
+    pts, ivs = [], []
+    for scen in range(30):
+        for i in range(rng.randint(0, 10)):
+            pts.append((scen, rng.randint(0, 40), f"P{scen}-{i}"))
+        for j in range(rng.randint(0, 4)):
+            a = rng.randint(0, 40)
+            ivs.append((scen, f"I{scen}-{j}", a, a + rng.randint(0, 15)))
+    points = spark.createDataFrame(
+        [(k, _ts(0, t), tag) for k, t, tag in pts],
+        "k int, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(k, iv, _ts(0, a), _ts(0, b)) for k, iv, a, b in ivs],
+        "k int, iv string, t_start timestamp, t_end timestamp",
+    )
+    got = {
+        (r["tag"], r["iv"])
+        for r in range_join(points, intervals, on="k", bin_width=7.0).collect()
+    }
+    want = {
+        (tag, iv)
+        for k, t, tag in pts
+        for k2, iv, a, b in ivs
+        if k2 == k and a <= t <= b
+    }
+    assert got == want and len(want) > 20
+
+
+def test_sessionize_randomized_vs_python_reference(spark):
+    """Random event streams vs a sequential python gap scan."""
+    import random
+
+    from golden_horse_spark.operators.temporal import sessionize
+
+    rng = random.Random(13)
+    rows = []
+    for user in range(25):
+        ts = 0
+        for _ in range(rng.randint(1, 15)):
+            ts += rng.randint(1, 120)
+            rows.append((user, ts))
+    def sec(t):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)
+
+    ev = spark.createDataFrame(
+        [(u, sec(t)) for u, t in rows], "user_id int, ts timestamp"
+    )
+    got = {
+        (r["user_id"], str(r["ts"])): r["session_seq"]
+        for r in sessionize(ev, gap=60.0).collect()
+    }
+    by_user = {}
+    for u, t in sorted(set(rows)):
+        by_user.setdefault(u, []).append(t)
+    for u, times in by_user.items():
+        seq = 0
+        prev = None
+        for t in times:
+            if prev is None or t - prev > 60:
+                seq += 1
+            prev = t
+            assert got[(u, str(sec(t)))] == seq, (u, t)
