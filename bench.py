@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_sessionize",
     "q_tfidf",
+    "q10_top_returners",
 ]
 
 N_PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
