@@ -11,6 +11,10 @@ continuous ingestion of interleaved documents with exactly-once sinks.
   (mapInPandas works unchanged on streaming DataFrames).
 * ``windowed_mention_counts`` — event-time tumbling-window counts per
   entity type with a watermark for late data.
+* ``session_mention_counts`` — gap-based session windows (streaming
+  twin of the batch ``temporal.sessionize``; equivalence tested).
+* ``stream_candidates`` — streaming entity linking: stream–static
+  broadcast join against the alias dictionary (== batch candidates).
 * ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
   then stop: deterministic for tests/benchmarks) into a parquet sink
   with checkpointing — kill/restart resumes from the checkpoint.
@@ -97,6 +101,20 @@ def windowed_mention_counts(
             "n_mentions",
         )
     )
+
+
+def stream_candidates(mentions_stream: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Streaming entity linking: stream–static BROADCAST-hash join of
+    the mention stream against the alias dictionary — the same
+    ``exact_candidates`` operator the batch pipeline uses (narrow
+    deterministic id assignment works unchanged on streams; the static
+    side broadcasts, the stream side never shuffles), so batch and
+    stream produce the same candidate multiset on the same documents
+    (tested)."""
+    from ..operators.linking import exact_candidates
+    from ..operators.ner import mentions_with_ids
+
+    return exact_candidates(mentions_with_ids(mentions_stream), aliases)
 
 
 def session_mention_counts(

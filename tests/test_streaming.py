@@ -263,3 +263,66 @@ def test_session_windows_match_batch_sessionize(spark, tmp_path_factory):
         .collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_streaming_linking_matches_batch(
+    spark, weights_path, doc_dir, tmp_path_factory
+):
+    """Stream-static broadcast linking == batch exact_candidates on the
+    same documents (multiset of (surface, entity_id))."""
+    from collections import Counter
+
+    from golden_horse_spark.operators.linking import exact_candidates
+    from golden_horse_spark.operators.ner import mentions_with_ids
+    from golden_horse_spark.sources.gazetteer import load_alias_table
+    from golden_horse_spark.streaming.stream import (
+        run_to_sink,
+        stream_candidates,
+        stream_documents,
+        stream_mentions,
+    )
+
+    aliases = load_alias_table(spark, limit=2000)
+    out = tmp_path_factory.mktemp("link_out")
+    stream = stream_mentions(
+        stream_documents(spark, str(doc_dir / "docs")), weights_path
+    )
+    run_to_sink(
+        stream_candidates(stream, aliases),
+        str(out / "cands"),
+        str(out / "ckpt"),
+    )
+    got = Counter(
+        (r["surface"], r["entity_id"])
+        for r in spark.read.parquet(str(out / "cands"))
+        .join(
+            mentions_with_ids(
+                stream_mentions(
+                    spark.read.parquet(str(doc_dir / "docs")), weights_path
+                )
+            ).select("mention_id", "surface"),
+            "mention_id",
+        )
+        .collect()
+    )
+    batch = Counter(
+        (r["surface"], r["entity_id"])
+        for r in exact_candidates(
+            mentions_with_ids(
+                stream_mentions(
+                    spark.read.parquet(str(doc_dir / "docs")), weights_path
+                )
+            ).select("mention_id", "surface"),
+            aliases,
+        )
+        .join(
+            mentions_with_ids(
+                stream_mentions(
+                    spark.read.parquet(str(doc_dir / "docs")), weights_path
+                )
+            ).select("mention_id", "surface"),
+            "mention_id",
+        )
+        .collect()
+    )
+    assert got and got == batch
