@@ -1,6 +1,7 @@
-"""Graph analytics over materialized KG tables: PageRank.
+"""Graph analytics over materialized KG tables: PageRank, exact
+triangle counting, k-core decomposition.
 
-Second iterative graph operator beside connected components
+Iterative graph operators beside connected components
 (``canonicalize.connected_components``), with the same scale
 discipline for relational iteration:
 
@@ -158,3 +159,59 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # because oriented is a set — counting rows = counting triangles
     closed = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k), by iterative peeling — same relational-iteration discipline as
+    ``connected_components``: the symmetrized edge table is hash-
+    partitioned on the probe key once and checkpoint-pinned; each round
+    is two co-partitioned semi-joins (edge alive-ness) + one degree
+    groupBy; convergence is an aggregate count, not a collect. Rounds ≤
+    peel depth (typically ≪ nodes; cap guards pathological chains).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    alive = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count("*").alias("deg"))
+        )
+        new_alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    return alive

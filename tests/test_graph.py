@@ -96,3 +96,48 @@ def test_triangle_plan_no_cartesian(spark):
     )
     plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_k_core_vs_python_peel(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import k_core
+
+    def peel(edges, k):
+        adj = {}
+        for a, b in {tuple(sorted(e)) for e in edges if e[0] != e[1]}:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return set(adj)
+
+    # K5 + a tail chain: the 4-core is exactly the K5; chain peels away
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    got = {r["node"] for r in k_core(
+        spark.createDataFrame(k5 + tail, "src int, dst int"), k=4
+    ).collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+    rng = random.Random(5)
+    for trial in range(5):
+        n = rng.randint(6, 14)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(5, 40))
+        ]
+        for k in (2, 3):
+            got = {
+                r["node"]
+                for r in k_core(
+                    spark.createDataFrame(edges, "src int, dst int"), k=k
+                ).collect()
+            }
+            assert got == peel(edges, k), (trial, k, edges)
