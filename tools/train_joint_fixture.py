@@ -46,6 +46,26 @@ def read_cws_charpos(path, max_len: int = 80):
     return out
 
 
+def silver_cws_from_ner(ner_sents, max_len: int = 80):
+    """SILVER CWS data: the NER corpus's own sentences segmented by the
+    calibrated two-stage DAG+HMM segmenter (0.999 jieba agreement).
+    The published joint model's edge came from a large CWS corpus the
+    reference does not ship; in-domain silver segmentation is the
+    public-data substitute — same char inventory as the NER task, so
+    the shared embedding gets CWS signal exactly where NER needs it."""
+    from golden_horse_spark.model.segment import default_segmenter
+
+    seg = default_segmenter()
+    out = []
+    for chars, _labels in ner_sents:
+        words = [w for w in seg.cut("".join(chars)) if w]
+        toks = [c + str(i) for w in words for i, c in enumerate(w)]
+        if not (2 <= len(toks) <= max_len):
+            continue
+        out.append((toks, bies_labels(words)))
+    return out
+
+
 # artifact I/O lives on the class: JointWeights.save / JointWeights.load
 # (the lstm_w key marks a joint npz for the Spark stage's auto-detect)
 
@@ -62,6 +82,9 @@ def main():
                     help="cap CWS sentences (0 = all)")
     ap.add_argument("--emb", default=str(ROOT / "fixtures/charpos_ppmi_svd.emb"))
     ap.add_argument("--out", default=str(ROOT / "fixtures/joint_weights.npz"))
+    ap.add_argument("--cws-silver", action="store_true",
+                    help="augment CWS with silver segmentation of the NER "
+                         "train sentences (two-stage segmenter)")
     args = ap.parse_args()
 
     stem = "weiboNER_2nd_conll"
@@ -71,6 +94,10 @@ def main():
     cws = read_cws_charpos(DATA / "pku_test_gold.utf8")
     if args.cws_max:
         cws = cws[: args.cws_max]
+    if args.cws_silver:
+        silver = silver_cws_from_ner(train)
+        print(f"silver cws from NER train: +{len(silver)}", flush=True)
+        cws = cws + silver
     print(f"ner {len(train)}/{len(dev)}/{len(test)}  cws {len(cws)}", flush=True)
 
     model = train_joint(
