@@ -150,3 +150,48 @@ def test_canonical_entities_bridged_by_mention(spark):
     ents = {r["entity_id"]: r["canonical_id"] for r in canonical_entities(links).collect()}
     assert ents["e1"] == ents["e2"]  # same mention bridges them
     assert ents["e3"] != ents["e1"]
+
+
+def test_cc_randomized_vs_union_find(spark):
+    """Random graphs (incl. disconnected + self-loop-free multi-edges)
+    vs a python union-find; component labels must be the min node id."""
+    import random
+
+    from golden_horse_spark.operators.canonicalize import connected_components
+
+    def uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # compress to min-id labels
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(17)
+    for trial in range(6):
+        n = rng.randint(5, 30)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(2, 35))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = {x for e in edges for x in e}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "src int, dst int")
+            ).collect()
+        }
+        want = uf(edges, nodes)
+        # union-find roots are min ids by construction of the merge rule
+        assert got == want, (trial, edges, got, want)
