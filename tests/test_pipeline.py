@@ -110,3 +110,30 @@ def test_triples_partitioned_layout(pipeline_out):
     out, _, _, _ = pipeline_out
     parts = list((Path(out) / "triples").glob("part=*"))
     assert len(parts) > 1
+
+
+def test_empty_corpus_pipeline_completes(spark, weights_path, tmp_path_factory):
+    """Zero-document input: every stage (including the PARTITIONED
+    triples table, whose empty write produces no part files without the
+    guard) must materialize a readable empty table and the pipeline must
+    complete — regression for the AQE empty-relation/partitionBy case
+    found driving spark-submit."""
+    out = tmp_path_factory.mktemp("empty_pipe")
+    docs = synthesize_documents(spark, 50, seed=5, partitions=2).where(
+        F.lit(False)
+    )
+    stages = run_pipeline(
+        spark,
+        docs,
+        PipelineConfig(output_dir=str(out), weights_path=weights_path),
+    )
+    for name in ("sentences", "mentions", "candidates", "links", "entities",
+                 "triples"):
+        assert stages[name].count() == 0, name
+    # resume over the empty checkpoints also works
+    stages2 = run_pipeline(
+        spark,
+        docs,
+        PipelineConfig(output_dir=str(out), weights_path=weights_path),
+    )
+    assert stages2["triples"].count() == 0
