@@ -15,6 +15,8 @@ continuous ingestion of interleaved documents with exactly-once sinks.
   twin of the batch ``temporal.sessionize``; equivalence tested).
 * ``stream_candidates`` — streaming entity linking: stream–static
   broadcast join against the alias dictionary (== batch candidates).
+* ``stream_comention_pairs`` — stream–stream watermarked self-join
+  with an event-time range bound (== batch self-join; state bounded).
 * ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
   then stop: deterministic for tests/benchmarks) into a parquet sink
   with checkpointing — kill/restart resumes from the checkpoint.
@@ -115,6 +117,45 @@ def stream_candidates(mentions_stream: DataFrame, aliases: DataFrame) -> DataFra
     from ..operators.ner import mentions_with_ids
 
     return exact_candidates(mentions_with_ids(mentions_stream), aliases)
+
+
+def stream_comention_pairs(
+    mentions_with_ts: DataFrame,
+    watermark: str = "30 minutes",
+    join_window: str = "10 minutes",
+) -> DataFrame:
+    """STREAM–STREAM self-join: co-mentioned (etype_a, etype_b) pairs
+    within the same document, as two watermarked streams joined with an
+    event-time range predicate — the state-bounding pattern stream-
+    stream joins require (without the time bound the join state is
+    unbounded). Same-doc mentions share an event_ts here, so the window
+    only bounds state, not semantics; equivalence to the batch self-join
+    is tested."""
+    l = mentions_with_ts.withWatermark("event_ts", watermark).alias("l")
+    r = mentions_with_ts.withWatermark("event_ts", watermark).alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (
+                F.col("r.event_ts").between(
+                    F.col("l.event_ts") - F.expr(f"INTERVAL {join_window}"),
+                    F.col("l.event_ts") + F.expr(f"INTERVAL {join_window}"),
+                )
+            )
+            & (
+                F.concat_ws("#", "l.etype", "l.surface", F.col("l.span_idx").cast("string"), F.col("l.start").cast("string"))
+                < F.concat_ws("#", "r.etype", "r.surface", F.col("r.span_idx").cast("string"), F.col("r.start").cast("string"))
+            ),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.etype").alias("etype_a"),
+            F.col("r.etype").alias("etype_b"),
+            F.col("l.surface").alias("surface_a"),
+            F.col("r.surface").alias("surface_b"),
+        )
+    )
 
 
 def session_mention_counts(

@@ -326,3 +326,40 @@ def test_streaming_linking_matches_batch(
         .collect()
     )
     assert got and got == batch
+
+
+def test_stream_stream_comention_join_matches_batch(
+    spark, weights_path, doc_dir, tmp_path_factory
+):
+    """Watermarked stream-stream self-join == batch self-join on the
+    same documents (multiset of co-mention rows)."""
+    from collections import Counter
+
+    from golden_horse_spark.streaming.stream import (
+        run_to_sink,
+        stream_comention_pairs,
+        stream_documents,
+        stream_mentions,
+        with_event_time,
+    )
+
+    out = tmp_path_factory.mktemp("ss_out")
+    stream = with_event_time(
+        stream_mentions(stream_documents(spark, str(doc_dir / "docs")), weights_path)
+    )
+    run_to_sink(
+        stream_comention_pairs(stream), str(out / "pairs"), str(out / "ckpt")
+    )
+    cols = ("doc_id", "etype_a", "etype_b", "surface_a", "surface_b")
+    got = Counter(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    )
+    batch_mentions = with_event_time(
+        stream_mentions(spark.read.parquet(str(doc_dir / "docs")), weights_path)
+    )
+    want = Counter(
+        tuple(r[c] for c in cols)
+        for r in stream_comention_pairs(batch_mentions).collect()
+    )
+    assert got and got == want
