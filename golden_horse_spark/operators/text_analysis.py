@@ -9,6 +9,8 @@ portable subset (md5, regexp_replace, split, filter/size arithmetic).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -177,4 +179,48 @@ def hash_split(
     t2 = t1 + round(256 * valid_frac)
     return (
         F.when(b < t1, "train").when(b < t2, "valid").otherwise("test")
+    )
+
+
+def rolling_min_fingerprint(
+    docs, text_col: str = "text", k: int = 16,
+    base: int = 257, mod: int = 2_147_483_647,
+):
+    """Karp–Rabin ROLLING-hash document fingerprint: the minimum hash
+    over all k-char windows (winnowing-style), H(i) = Σ_j cp(c_{i+j})
+    ·base^{k−1−j} mod ``mod``. One Arrow-batched pass; per doc the
+    windows are ONE vectorized int64 dot product (codepoints < 2²¹,
+    powers < 2³¹, k=16 ⇒ exact in int64, mod applied once) — the
+    classic O(n) rolling update expressed as a sliding-window matvec.
+    Docs shorter than k are excluded (no full window).
+
+    Exact integer arithmetic end-to-end, so the DuckDB oracle twin
+    (per-window Σ with literal power list) is value-exact — unlike
+    md5-based ``fingerprint``, the rolling form also supports
+    sub-document chunking/winnowing at 100 TB (boundary-shift-tolerant
+    near-dup units).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.int64
+    )
+
+    @pandas_udf("long")
+    def _rfp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            cp = np.frombuffer(np.array([t]).astype(f"U{max(len(t), 1)}").tobytes(),
+                               dtype=np.uint32).astype(np.int64)[: len(t)]
+            if len(cp) < k:
+                out.append(None)
+                continue
+            h = (sliding_window_view(cp, k) @ powers) % mod
+            out.append(int(h.min()))
+        return pd.Series(out, dtype="object")
+
+    return (
+        docs.where(F.length(F.col(text_col)) >= k)
+        .select("doc_id", _rfp(F.col(text_col)).alias("rfp"))
     )

@@ -37,3 +37,33 @@ def test_tfidf_tie_break_deterministic(spark):
     # aa and zz tie on tfidf in docs 0/1 -> term order breaks the tie
     got = {r["doc_id"]: r["term"] for r in out.collect()}
     assert got[0] == "aa" and got[1] == "aa"
+
+
+def test_rolling_fingerprint_vs_python_reference(spark):
+    from golden_horse_spark.operators.text_analysis import (
+        rolling_min_fingerprint,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "短文 with 中文 characters mixed in — §±© and more padding"),
+        (2, "exactly sixteen!!"),    # one window + 1
+        (3, "short"),                # excluded (< 16 chars)
+        (4, "a" * 16),               # constant text, one distinct hash
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["rfp"] for r in rolling_min_fingerprint(docs).collect()}
+
+    def ref(t, k=16, base=257, mod=2_147_483_647):
+        hs = []
+        for i in range(len(t) - k + 1):
+            h = 0
+            for c in t[i : i + k]:
+                h = (h * base + ord(c)) % mod
+            hs.append(h)
+        return min(hs)
+
+    assert 3 not in got
+    for did, t in texts:
+        if len(t) >= 16:
+            assert got[did] == ref(t), (did, got[did], ref(t))
