@@ -25,13 +25,26 @@ TABLES = (
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+    """Type-preserving normalization. The driver's value hash is
+    type-strict: DuckDB HUGEINT sums reach pandas as float64 and hash
+    differently from Spark's BIGINT even when numerically equal. Round 2
+    shipped four red rows because this function collapsed 5697.0 and
+    5697 to the same string — so the prefix encodes the type class
+    (int/float/bool/str) and the local gate is at least as strict as
+    the driver's."""
+    import numpy as np
+
     if v is None:
         return ""
-    return str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{float(v):.9g}"
+    return "s:" + str(v)
 
 
 def main() -> None:
