@@ -32,12 +32,12 @@ BENCH_QUERIES = [
     "q03_order_revenue",
     "q05_nation_revenue",
     "q_window_top_orders",
-    "q_events_hourly",
+    "q_time_rollup",
     "q_word_dict",
     "q_text_stats",
     "q_dedup_exact",
-    "q_minhash_dup_pairs",
-    "q_cosine_threshold",
+    "q_minhash",
+    "q_cosine_search",
     "q_embedding_near_dup",
     "q_sentences",
     "q_asof_join",
@@ -254,6 +254,22 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     pr = pagerank(sym, n_iter=5)
     n_ranked = pr.count()
     pr_sec = round(_t.time() - t0, 2)
+
+    # k-core at the same scale, with exactly-known fixpoints: the whole
+    # graph is a 4-core (non-root clique nodes have degree exactly 4,
+    # roots 7, hub n_cliques), while k=5 cascades to EMPTY (degree-4
+    # clique interiors peel first, roots drop to 3, hub loses everything)
+    # — one full-survival pass and one full-cascade peel, both asserted.
+    from golden_horse_spark.operators.graph import k_core
+
+    t0 = _t.time()
+    n_core4 = k_core(edges, k=4).count()
+    kcore4_sec = round(_t.time() - t0, 2)
+    assert n_core4 == n_nodes + 1, n_core4
+    t0 = _t.time()
+    n_core5 = k_core(edges, k=5).count()
+    kcore5_sec = round(_t.time() - t0, 2)
+    assert n_core5 == 0, n_core5
     return {
         "n_nodes": n_nodes + 1,
         "n_edges": n_edges,
@@ -263,6 +279,61 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         "pagerank_iters": 5,
         "pagerank_sec": pr_sec,
         "pagerank_nodes_ranked": n_ranked,
+        "kcore4_sec": kcore4_sec,
+        "kcore5_cascade_sec": kcore5_sec,
+    }
+
+
+def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -> dict:
+    """as-of join + sessionize at 10^6-row scale (the union+window and
+    lag+running-sum shapes' large-scale evidence, matching what CC and
+    PageRank already have). Events synthesized JVM-side: n_events rows
+    over n_keys keys, deterministic pseudo-random timestamps; every 8th
+    event is a 'click' (the as-of right side)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.temporal import asof_join, sessionize
+
+    ev = (
+        spark.range(n_events)
+        .select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("user_id"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(
+                    secs=F.pmod(F.xxhash64("id", F.lit(1)), F.lit(86400 * 30))
+                    .cast("double")
+                )
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 10.0).alias("value"),
+        )
+        .localCheckpoint()  # pin the synthesized input out of both timings
+    )
+    clicks = ev.where(F.col("event_id") % 8 == 0).select("user_id", "ts", "value")
+
+    t0 = _t.time()
+    n_asof = asof_join(ev, clicks, on="user_id", value_cols=["value"]).count()
+    asof_sec = round(_t.time() - t0, 2)
+    assert n_asof == n_events, n_asof
+
+    t0 = _t.time()
+    n_sessions = (
+        sessionize(ev, key="user_id", gap=1800.0)
+        .groupBy("user_id", "session_seq")
+        .count()
+        .count()
+    )
+    sess_sec = round(_t.time() - t0, 2)
+    return {
+        "n_events": n_events,
+        "n_keys": n_keys,
+        "asof_sec": asof_sec,
+        "asof_rows_per_sec": round(n_events / asof_sec, 1),
+        "sessionize_sec": sess_sec,
+        "n_sessions": n_sessions,
     }
 
 
@@ -273,8 +344,11 @@ def main() -> None:
     ap.add_argument("--cc", action="store_true",
                     help="connected-components graph-scale bench only")
     ap.add_argument("--graph", action="store_true",
-                    help="pagerank + triangle-count graph-scale bench only")
+                    help="pagerank + triangle + k-core graph-scale bench only")
     ap.add_argument("--graph-nodes", type=int, default=2_000_000)
+    ap.add_argument("--temporal", action="store_true",
+                    help="as-of + sessionize 10^6-row bench only")
+    ap.add_argument("--temporal-events", type=int, default=2_000_000)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -289,6 +363,17 @@ def main() -> None:
         out = {"metric": "graph_ops_bench", "unit": "sec"}
         out.update(run_graph_bench(spark, args.graph_nodes))
         out["value"] = out["triangle_sec"] + out["pagerank_sec"]
+        print(json.dumps(out))
+        return
+
+    if args.temporal:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-temporal", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "temporal_ops_bench", "unit": "sec"}
+        out.update(run_temporal_bench(spark, args.temporal_events))
+        out["value"] = out["asof_sec"] + out["sessionize_sec"]
         print(json.dumps(out))
         return
 

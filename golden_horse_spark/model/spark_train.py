@@ -39,7 +39,7 @@ dicts, so nothing larger than the weights ever sits on the driver and
 the same code path works when the corpus is a 100 TB table. Dictionaries
 stay driver/broadcast-built as in train.py (closed vocab per
 sighan_ner.py:45-58); at web scale swap in the distributed first-seen
-dict build (__spark_entry__.q_word_first_seen pattern).
+dict build (__spark_entry__.q_word_dict pattern).
 """
 
 from __future__ import annotations

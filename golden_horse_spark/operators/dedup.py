@@ -346,14 +346,43 @@ def embedding_near_dup_pairs(
 
     Scale: tight clusters + high τ ⇒ few compatible pairs ⇒ near-linear;
     overlapping clusters or low τ degrade gracefully toward more cell
-    pairs while staying an equi-join. Raise ``n_cells`` (O(√N)) with
-    data size. The `.cache()` on the assigned table backs three bounded
-    actions (centroid sample, radii, join); at cluster scale persist it
-    to a stage table instead — same shape.
+    pairs while staying an equi-join. Follow the O(√N) rule for
+    ``n_cells`` in BOTH directions — each cell adds a fixed codegen cost
+    for its unrolled assignment expression (~0.1 s locally, BENCH.md),
+    so small inputs want few cells; beyond a few hundred cells the
+    unrolled-literal assignment should switch to the Arrow-batched
+    matmul shape ``lsh_multitable_topk`` uses (documented seam, same
+    cell semantics). The `.cache()` on the assigned table backs exactly TWO
+    actions (round-3 fixed-cost shave, was three): a plain-projection
+    centroid sample (vectors normalized driver-side — the sample job
+    carries none of the lambda-heavy unit-norm expressions) and the
+    final query, inside which the per-cell radii aggregate runs as a
+    broadcast subtree joined to the literal centroid-distance table —
+    no separate radii collect. At cluster scale persist the assigned
+    table to a stage table instead — same shape.
     """
+    import numpy as np
+
     e0 = embeddings.select(id_col, vec_col)
     if max_ids is not None:
         e0 = e0.where(F.col(id_col) < max_ids)
+
+    # centroid training sample: raw vectors, trivial limit-scan plan;
+    # normalize + drop zeros in numpy (mirrors the _nrm > 0 filter)
+    from .similarity import _lloyd
+
+    x = np.array(
+        [r[0] for r in e0.select(vec_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    spark = embeddings.sparkSession
+    if x.size:
+        nrm = np.sqrt((x * x).sum(1))
+        x = x[nrm > 0] / nrm[nrm > 0, None]
+    if not x.size:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    cents = _lloyd(x, n_cells, seed)
+
     # norms precomputed per ROW before any join — computing them in the
     # pair projection costs O(pairs) array passes instead of O(N)
     e0 = e0.withColumn(
@@ -366,15 +395,6 @@ def embedding_near_dup_pairs(
     e0 = e0.withColumn(
         "_unit", F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
     )
-    from .similarity import train_centroids
-
-    cents = train_centroids(
-        e0.select(F.col("_unit").alias("embedding")), n_cells, sample, seed
-    )
-    spark = embeddings.sparkSession
-    if len(cents) == 0:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-    import numpy as np
 
     # argmin centroid via array_min over (rank, cell) structs; for unit
     # vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c)
@@ -399,19 +419,34 @@ def embedding_near_dup_pairs(
         )
         .cache()
     )
-    rad = {
-        row["_cell"]: row["r"]
-        for row in e.groupBy("_cell").agg(F.max("_cdist").alias("r")).collect()
-    }
+    # compatible cell pairs computed DISTRIBUTED inside the final job:
+    # the n_cells² centroid-distance table is a literal, the per-cell
+    # coverage radii are a tiny aggregate over the cached table, and the
+    # triangle-inequality cut joins the two — no driver collect. Cells
+    # with no assigned vectors drop out via the inner join (they can't
+    # contribute pairs).
     d_thresh = float(np.sqrt(max(0.0, 2.0 - 2.0 * min_cosine))) + 1e-9
-    compat = [
-        (i, j)
-        for i in range(len(cents))
-        for j in range(len(cents))
-        if float(np.linalg.norm(cents[i] - cents[j]))
-        <= d_thresh + rad.get(i, 0.0) + rad.get(j, 0.0)
-    ]
-    pairs = spark.createDataFrame(compat, "cell_a int, cell_b int")
+    cdist = spark.createDataFrame(
+        [
+            (i, j, float(np.linalg.norm(cents[i] - cents[j])))
+            for i in range(len(cents))
+            for j in range(len(cents))
+        ],
+        "cell_a int, cell_b int, cdist double",
+    )
+    rad = e.groupBy("_cell").agg(F.max("_cdist").alias("_r"))
+    pairs = (
+        cdist.join(
+            rad.select(F.col("_cell").alias("cell_a"), F.col("_r").alias("_ra")),
+            "cell_a",
+        )
+        .join(
+            rad.select(F.col("_cell").alias("cell_b"), F.col("_r").alias("_rb")),
+            "cell_b",
+        )
+        .where(F.col("cdist") <= F.lit(d_thresh) + F.col("_ra") + F.col("_rb"))
+        .select("cell_a", "cell_b")
+    )
     l, r = e.alias("l"), e.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda a, b: a * b),

@@ -11,7 +11,7 @@ This operator gets the identical ids with a parallel plan:
 3. per-partition row_number + broadcast cumulative offset.
 
 The output is bit-identical to the global window for globally-unique
-order keys (locked by the q_word_first_seen oracle), and the plan has
+order keys (locked by the q_word_dict oracle), and the plan has
 no SinglePartition exchange (locked by tests/test_plans.py).
 """
 

@@ -55,6 +55,20 @@ def cosine_topk(
     )
 
 
+def _lloyd(x: np.ndarray, n_cells: int, seed: int = 42) -> np.ndarray:
+    """Seeded fixed-iteration Lloyd k-means on an in-memory sample."""
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(8):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    return cents
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -66,16 +80,7 @@ def train_centroids(
     Centroid count is O(sqrt(N)) at scale; a few KB broadcast."""
     rows = embeddings.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(8):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cents)):
-            pts = x[assign == c]
-            if len(pts):
-                cents[c] = pts.mean(0)
-    return cents
+    return _lloyd(x, n_cells, seed)
 
 
 def assign_cells(

@@ -55,9 +55,12 @@ def asof_join(
     Tie handling at equal (key, ts): the union ordering places the
     right row before the left row iff non-strict, so the window either
     sees it (≤) or provably cannot (<) — no rank/filter pass needed.
-    Multiple right rows at the SAME (key, ts) resolve to the last in
-    (ts, value) order; give right a unique ts per key for deterministic
-    output (true for event streams with sub-second stamps).
+    Multiple right rows at the SAME (key, ts) resolve deterministically
+    to the GREATEST value struct (field-lexicographic): the window
+    ordering carries the payload struct itself as the final tie-break,
+    so the result no longer depends on sort stability or partitioning.
+    (Requires the value columns to be orderable types — true for all
+    scalar/array payloads; not maps.)
     """
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
@@ -95,9 +98,13 @@ def asof_join(
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     t_order = F.col("_t").desc() if direction == "forward" else F.col("_t").asc()
+    # final _r tie-break: among right rows sharing (key, ts) the greatest
+    # value struct sorts last and wins last() — deterministic across
+    # partitionings (left rows all carry NULL _r, so their relative order
+    # within a ts group never matters)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(t_order, F.col("_side").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).withColumn(
@@ -166,14 +173,21 @@ def sessionize(
     gap: float = 1800.0,
 ) -> DataFrame:
     """Gap-based sessionization: a new session opens when the time since
-    the key's previous event exceeds ``gap`` seconds. Adds
+    the key's previous event reaches ``gap`` seconds. Adds
     ``session_seq`` (1-based per key). Two stacked window functions
     (lag, running sum) over the SAME (key, ts) ordering — one hash
     exchange + one sort, no joins, no state store (the streaming twin is
     ``F.session_window``; this is the batch/backfill form).
+
+    Boundary semantics match ``F.session_window`` exactly: session
+    windows are half-open ``[start, last_ts + gap)``, so an event at
+    precisely ``last_ts + gap`` starts a NEW session (strict ``< gap``
+    keeps it in the old one only when the diff is strictly smaller).
+    Locked by test_temporal boundary cases + the streaming-equivalence
+    test.
     """
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(ts_col)
     secs = F.col(ts_col).cast("timestamp").cast("double")
-    is_new = F.when(secs - F.lag(secs).over(w) <= gap, 0).otherwise(1)
+    is_new = F.when(secs - F.lag(secs).over(w) < gap, 0).otherwise(1)
     return events.withColumn("session_seq", F.sum(is_new).over(w))

@@ -183,7 +183,7 @@ def session_mention_counts(
 SURFACE_STATE_OUTPUT = (
     "surface string, total_mentions long, n_docs long, first_doc string"
 )
-_SURFACE_STATE = "total long, docs long, first_doc string"
+_SURFACE_STATE = "total long, docs long, first_doc string, last_doc string"
 
 
 def running_surface_stats(mentions: DataFrame) -> DataFrame:
@@ -191,11 +191,21 @@ def running_surface_stats(mentions: DataFrame) -> DataFrame:
     per-surface running totals maintained across micro-batches.
 
     State per surface = (total mention count, doc count, minimum doc_id
-    ever seen). The state store lives in the query checkpoint, so totals
-    survive restarts — the ``applyInPandasWithState`` pattern the north
-    rule's streaming story needs for dedup/session-style operators
-    (built-in windowed aggs can't express "running total since first
-    sight" without unbounded watermark state).
+    ever seen, most recent doc_id). The state store lives in the query
+    checkpoint, so totals survive restarts — the
+    ``applyInPandasWithState`` pattern the north rule's streaming story
+    needs for dedup/session-style operators (built-in windowed aggs
+    can't express "running total since first sight" without unbounded
+    watermark state).
+
+    ``n_docs`` semantics (state is bounded, so cross-batch distinctness
+    cannot be exact in general): the carried ``last_doc`` marker dedupes
+    the common straddle case — a doc whose mentions of this surface span
+    consecutive micro-batches is counted ONCE. The count is exact
+    whenever each doc's mentions arrive contiguously per surface (true
+    for the file-stream pipeline: the sentence→mention explode preserves
+    doc order within a batch); under arbitrary doc interleaving it is an
+    upper bound. Locked by a straddle test in test_streaming.
 
     Scale: state is partitioned by the group key (surface); hot surfaces
     are single-key state rows (O(1) each), not growing lists. Emits one
@@ -206,13 +216,19 @@ def running_surface_stats(mentions: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
-        total, docs, first = (state.get if state.exists else (0, 0, None))
+        total, docs, first, last = (
+            state.get if state.exists else (0, 0, None, None)
+        )
         for pdf in pdfs:
             total += len(pdf)
-            docs += pdf["doc_id"].nunique()
-            batch_min = pdf["doc_id"].min()
+            batch_docs = pdf["doc_id"]
+            docs += batch_docs.nunique() - (
+                1 if last is not None and (batch_docs == last).any() else 0
+            )
+            batch_min = batch_docs.min()
             first = batch_min if first is None else min(first, batch_min)
-        state.update((int(total), int(docs), first))
+            last = batch_docs.iloc[-1]
+        state.update((int(total), int(docs), first, last))
         yield pd.DataFrame(
             {
                 "surface": [key[0]],

@@ -257,3 +257,42 @@ def test_distributed_kmeans_matches_numpy(spark):
             if len(pts):
                 cents[c] = pts.mean(0)
     assert np.allclose(got, cents, atol=1e-9), np.abs(got - cents).max()
+
+
+# ------------------------------------------- adversarial corpus (round 3)
+
+
+def test_adversarial_corpus_bounded_cardinality(spark):
+    """The verdict-requested stress fixture: 10^3 docs sharing boilerplate
+    shingles + 10^3 empty/short docs in ONE corpus. Every pair-generating
+    dedup op must stay cardinality-bounded — the boilerplate cluster is
+    dropped by its guard (bucket cap / df cap), the empty docs by the
+    zero-shingle exclusion, and only the genuine near-dups pair."""
+    from golden_horse_spark.operators.dedup import (
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n_boiler, n_empty = 1000, 1000
+    texts = (
+        ["copyright notice all rights reserved contact us terms of service"]
+        * n_boiler
+        + [""] * (n_empty // 2)
+        + ["ok"] * (n_empty - n_empty // 2)   # < k words ⇒ zero shingles
+        + [
+            "a genuinely unique long document about mountain weather patterns",
+            "a genuinely unique long document about mountain weather patterns",
+        ]
+    )
+    docs = _docs(spark, texts)
+    a, b = n_boiler + n_empty, n_boiler + n_empty + 1
+
+    # MinHash-LSH: boilerplate bucket (width 1000) exceeds the cap and is
+    # dropped whole; zero-shingle docs never enter banding
+    mh = minhash_dup_pairs(docs, num_hashes=4, bands=2, k=3, max_bucket=100)
+    assert {(r["doc_a"], r["doc_b"]) for r in mh.collect()} == {(a, b)}
+
+    # n-gram Jaccard: every boilerplate shingle has df = 1000 > cap, so
+    # the postings explosion (10^3 choose 2 ≈ 5·10^5 pairs) never forms
+    nj = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.2, df_cap=100)
+    assert {(r["doc_a"], r["doc_b"]) for r in nj.collect()} == {(a, b)}

@@ -363,3 +363,55 @@ def test_stream_stream_comention_join_matches_batch(
         for r in stream_comention_pairs(batch_mentions).collect()
     )
     assert got and got == want
+
+
+def test_surface_stats_doc_straddling_micro_batches(spark, tmp_path_factory):
+    """A doc whose mentions of the same surface arrive in TWO consecutive
+    micro-batches is counted once in n_docs (last_doc marker dedupe) —
+    the round-2 overcount regression."""
+    from golden_horse_spark.streaming.stream import running_surface_stats
+
+    d = tmp_path_factory.mktemp("straddle_in")
+    out = str(tmp_path_factory.mktemp("straddle_out") / "stats")
+    ckpt = str(tmp_path_factory.mktemp("straddle_ckpt"))
+
+    schema = "surface string, doc_id string"
+    # batch 1: doc A twice; batch 2: doc A again (straddle) + new doc B
+    # (same dir, two files; maxFilesPerTrigger=1 processes them as two
+    # micro-batches in modification-time order)
+    import time
+
+    spark.createDataFrame(
+        [("张三", "docA"), ("张三", "docA")], schema
+    ).coalesce(1).write.mode("append").parquet(str(d / "docs"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("张三", "docA"), ("张三", "docB")], schema
+    ).coalesce(1).write.mode("append").parquet(str(d / "docs"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "docs"))
+    )
+    stats = running_surface_stats(stream)
+
+    def sink(bdf, bid):
+        bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["batch_id"]
+    )
+    final = rows[-1]
+    assert final["total_mentions"] == 4
+    assert final["n_docs"] == 2, rows      # docA once + docB, not 3
+    assert final["first_doc"] == "docA"

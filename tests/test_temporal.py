@@ -135,6 +135,11 @@ def test_sessionize_gap_semantics(spark):
         [
             (1, _ts(0)), (1, _ts(10)), (1, _ts(45)),   # 35-min gap splits
             (1, _ts(50)), (2, _ts(0)),
+            # exact-boundary cases: session_window semantics are
+            # half-open [start, last_ts + gap), so a diff of EXACTLY
+            # gap opens a new session while gap - 1s does not
+            (3, _ts(0)), (3, _ts(30)),                 # diff == gap → new
+            (4, _ts(0)), (4, _ts(29, 59)),             # diff == gap-1s → same
         ],
         "user_id int, ts timestamp",
     )
@@ -148,6 +153,10 @@ def test_sessionize_gap_semantics(spark):
         (1, "2024-01-01 00:45:00"): 2,
         (1, "2024-01-01 00:50:00"): 2,
         (2, "2024-01-01 00:00:00"): 1,
+        (3, "2024-01-01 00:00:00"): 1,
+        (3, "2024-01-01 00:30:00"): 2,
+        (4, "2024-01-01 00:00:00"): 1,
+        (4, "2024-01-01 00:29:59"): 1,
     }
 
 
@@ -261,7 +270,24 @@ def test_sessionize_randomized_vs_python_reference(spark):
         seq = 0
         prev = None
         for t in times:
-            if prev is None or t - prev > 60:
+            # >= gap splits (half-open session_window boundary)
+            if prev is None or t - prev >= 60:
                 seq += 1
             prev = t
             assert got[(u, str(sec(t)))] == seq, (u, t)
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Multiple right rows at the same (key, ts): the greatest value
+    struct wins (window tie-break on the payload struct), independent of
+    input partitioning / sort stability."""
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a")], "k int, ts timestamp, tag string"
+    )
+    rows = [(1, _ts(3), float(v)) for v in (7, 2, 9, 4)]
+    for parts in (1, 3, 8):
+        right = spark.createDataFrame(
+            rows, "k int, ts timestamp, v double"
+        ).repartition(parts)
+        got = _collect(asof_join(left, right, on="k", value_cols=["v"]))
+        assert got == {"a": 9.0}, (parts, got)
