@@ -50,11 +50,20 @@ def fuzzy_candidates(
     jaccard_max_distance: float = 0.5,
     num_hash_tables: int = 3,
     seed: int = 42,
+    vocab_literal_max: int = 50_000,
 ) -> DataFrame:
     """MinHash-LSH blocking on char bigrams; returns candidates whose
     bigram-set Jaccard distance is STRICTLY below the threshold
     (approxSimilarityJoin filters dist < threshold). Score =
-    (1−dist)·prior."""
+    (1−dist)·prior.
+
+    The fitted CountVectorizer vocabulary is needed row-side to drop
+    grams the vectorizer would zero out. Up to ``vocab_literal_max``
+    entries it ships as a literal array in the plan (cheapest; bounded
+    by the alias dictionary's bigram inventory); beyond that the
+    restriction switches to an explode → broadcast-join → re-group shape
+    so a huge dictionary can never bloat the query plan itself
+    (round-3 guard; both paths equality-tested)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     def with_grams(df: DataFrame, col: str) -> DataFrame:
@@ -82,15 +91,36 @@ def fuzzy_candidates(
     # MinHashLSH rejects all-zero vectors. The vocabulary is fit on the
     # union of both sides, so a zero vector only appears when vocabSize
     # truncates a row's every gram; guard JVM-side by intersecting grams
-    # with the fitted vocabulary (broadcast literal — dictionary-bounded)
-    # instead of a per-row Python UDF over the vector.
-    vocab = F.array(*[F.lit(v) for v in cv.vocabulary])
-    mv = cv.transform(
-        m.withColumn("vgrams", F.array_intersect("grams", vocab))
-    ).where(F.size("vgrams") > 0)
-    av = cv.transform(
-        a.withColumn("vgrams", F.array_intersect("grams", vocab))
-    ).where(F.size("vgrams") > 0)
+    # with the fitted vocabulary instead of a per-row Python UDF over
+    # the vector.
+    if len(cv.vocabulary) <= vocab_literal_max:
+        vocab = F.array(*[F.lit(v) for v in cv.vocabulary])
+
+        def restrict(df: DataFrame, key_cols: list[str]) -> DataFrame:
+            return df.withColumn(
+                "vgrams", F.array_intersect("grams", vocab)
+            ).where(F.size("vgrams") > 0)
+
+    else:
+        spark = mentions.sparkSession
+        vocab_df = spark.createDataFrame(
+            [(v,) for v in cv.vocabulary], "_g string"
+        )
+
+        def restrict(df: DataFrame, key_cols: list[str]) -> DataFrame:
+            # explode → broadcast semi-join → regroup; rows whose every
+            # gram fell outside the vocabulary drop via the inner join
+            # (CountVectorizer is binary, so dedup/order don't matter)
+            kept = (
+                df.select(*key_cols, F.explode("grams").alias("_g"))
+                .join(F.broadcast(vocab_df), "_g")
+                .groupBy(*key_cols)
+                .agg(F.array_distinct(F.collect_list("_g")).alias("vgrams"))
+            )
+            return df.join(kept, key_cols)
+
+    mv = cv.transform(restrict(m, ["mention_id"]))
+    av = cv.transform(restrict(a, ["surface_form"]))
     lsh = MinHashLSH(
         inputCol="vec", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(av)

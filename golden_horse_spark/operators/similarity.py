@@ -77,7 +77,14 @@ def train_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Driver-side mini k-means (Lloyd, fixed iters, seeded) on a sample.
-    Centroid count is O(sqrt(N)) at scale; a few KB broadcast."""
+    Centroid count is O(sqrt(N)) at scale; a few KB broadcast.
+
+    The sample is ``limit(sample)`` — a PARTIAL scan (first partitions
+    to answer), deliberately: IVF seeding only needs plausible cluster
+    shapes, and exact operators built on these cells (blocked near-dup)
+    are correct for ANY centroids. When the init must reflect the full
+    distribution, use ``train_centroids_distributed`` (hash-spread
+    sample + distributed Lloyd)."""
     rows = embeddings.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     return _lloyd(x, n_cells, seed)
@@ -267,11 +274,24 @@ def train_centroids_distributed(
     Per iteration: ``assign_cells`` (narrow codegen pass) →
     posexplode(vector) → groupBy(cell, dim).avg — ONE keyed shuffle of
     (cell, dim, value) triples — and an O(n_cells·dim) collect of the
-    new centroids. Empty cells keep their previous centroid. Init is the
-    same seeded sample draw as the driver variant, so both are
-    deterministic for a fixed seed.
+    new centroids. Empty cells keep their previous centroid.
+
+    Init (round 3): the sample is the ``sample`` smallest rows by
+    content hash — Spark plans ``orderBy(xxhash64).limit`` as
+    TakeOrdered (per-partition top-K + driver merge, NO sort shuffle),
+    so the draw is deterministic AND spread uniformly over the data
+    instead of first-partitions-biased (``limit`` alone would seed from
+    whatever partitions answer first — on sorted data that skews every
+    init toward one region). The driver-side ``train_centroids`` keeps
+    the plain limit (partial scan; bias is harmless for IVF seeding —
+    documented there).
     """
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    rows = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(vec_col))
+        .limit(sample)
+        .collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()

@@ -245,7 +245,15 @@ def test_distributed_kmeans_matches_numpy(spark):
         [r["embedding"] for r in emb.select("embedding").collect()],
         dtype=np.float64,
     )
-    init_rows = emb.select("embedding").limit(100).collect()
+    # mirror the operator's hash-spread init draw (orderBy(xxhash64))
+    from pyspark.sql import functions as F
+
+    init_rows = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64("embedding"))
+        .limit(100)
+        .collect()
+    )
     xi = np.array([r[0] for r in init_rows], dtype=np.float64)
     rng = np.random.RandomState(42)
     cents = xi[rng.choice(len(xi), size=4, replace=False)].copy()

@@ -195,3 +195,24 @@ def test_cc_randomized_vs_union_find(spark):
         want = uf(edges, nodes)
         # union-find roots are min ids by construction of the merge rule
         assert got == want, (trial, edges, got, want)
+
+
+def test_fuzzy_vocab_join_fallback_equals_literal(spark, aliases, mentions):
+    """vocab_literal_max guard: forcing the explode→broadcast-join
+    vocabulary restriction (threshold 1) must produce exactly the same
+    candidate set as the literal-array path — the plan-size guard is a
+    pure implementation switch."""
+    from golden_horse_spark.operators.linking import fuzzy_candidates
+
+    def rows(df):
+        return {
+            (r["mention_id"], r["entity_id"], round(r["score"], 6))
+            for r in df.collect()
+        }
+
+    lit_path = fuzzy_candidates(mentions, aliases, jaccard_max_distance=0.8)
+    join_path = fuzzy_candidates(
+        mentions, aliases, jaccard_max_distance=0.8, vocab_literal_max=1
+    )
+    assert rows(lit_path) == rows(join_path)
+    assert rows(lit_path)  # non-empty: the comparison actually checks pairs
