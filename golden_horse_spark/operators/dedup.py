@@ -134,6 +134,7 @@ def minhash_dup_pairs(
     k: int = 3,
     hash_fn: str = "md5",
     max_bucket: int | None = 100,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ALL hashes within any band become a
     candidate pair. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -150,9 +151,31 @@ def minhash_dup_pairs(
     * ``max_bucket`` drops (band, key) buckets wider than the cap before
       pairing, bounding any bucket's fan-out at max_bucket² (a bucket
       that wide is a different pathology — boilerplate — not near-dup
-      signal)."""
-    docs = docs.where(F.expr(f"size({shingles_expr(text_col, k)}) > 0"))
-    sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
+      signal).
+
+    ``signatures``: optionally pass the output of ``minhash_signatures``
+    over the SAME docs (same num_hashes/k/hash_fn) to share one
+    signature pass when the caller also materializes signatures — the
+    pipeline's dedup-of-compute pattern. Zero-shingle docs are then
+    recognized by their all-filler signature and excluded, which is
+    exactly the docs-side ``size(shingles) > 0`` filter (a real shingle
+    colliding with the filler hash on every one of num_hashes planes is
+    cryptographically negligible)."""
+    if signatures is None:
+        docs = docs.where(F.expr(f"size({shingles_expr(text_col, k)}) > 0"))
+        sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
+    else:
+        if hash_fn == "md5":
+            filler = lambda j: F.md5(F.lit(f"{j}|"))  # noqa: E731
+        else:
+            filler = (  # noqa: E731
+                lambda j: F.xxhash64(F.lit(f"{j}|")).cast("string")
+            )
+        all_filler = None
+        for j in range(num_hashes):
+            c = F.col(f"h{j}") == filler(j)
+            all_filler = c if all_filler is None else (all_filler & c)
+        sig = signatures.where(~all_filler)
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(

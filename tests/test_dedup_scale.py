@@ -304,3 +304,32 @@ def test_adversarial_corpus_bounded_cardinality(spark):
     # the postings explosion (10^3 choose 2 ≈ 5·10^5 pairs) never forms
     nj = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.2, df_cap=100)
     assert {(r["doc_a"], r["doc_b"]) for r in nj.collect()} == {(a, b)}
+
+
+def test_minhash_pairs_with_precomputed_signatures(spark):
+    """signatures= shares one signature pass: identical pairs to the
+    self-computing path, including the zero-shingle (all-filler
+    signature) exclusion."""
+    from golden_horse_spark.operators.dedup import (
+        minhash_dup_pairs,
+        minhash_signatures,
+    )
+
+    texts = ["tiny"] * 10 + [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "completely different content about spark partitions here",
+    ]
+    docs = _docs(spark, texts)
+    direct = {
+        (r["doc_a"], r["doc_b"], r["n_bands"])
+        for r in minhash_dup_pairs(docs, num_hashes=4, bands=2, k=3).collect()
+    }
+    sig = minhash_signatures(docs, num_hashes=4, k=3)
+    shared = {
+        (r["doc_a"], r["doc_b"], r["n_bands"])
+        for r in minhash_dup_pairs(
+            docs, num_hashes=4, bands=2, k=3, signatures=sig
+        ).collect()
+    }
+    assert direct == shared == {(10, 11, 2)}
