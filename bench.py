@@ -430,38 +430,60 @@ def run_scaling() -> None:
     level fork/alloc contention unrelated to the engine (documented in
     BENCH.md); 4→16 measures the engine's scaling inside the machine's
     linear region. Override with SPARK_GRAFT_SCALING_CORES="8,32".
+
+    SPARK_GRAFT_SCALING_RUNS=k (default 1) measures k INTERLEAVED legs
+    per core count (lo,hi,lo,hi,…) and reports the efficiency of the
+    per-core-count throughput MEDIANS. Individual legs on this VM are
+    ±40% (host noise documented in BENCH.md), and a ratio of two single
+    legs inherits both errors; interleaving cancels slow host drift and
+    the median suppresses spikes — the per-leg numbers are all printed
+    so nothing hides.
     """
     pair = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     )
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
     n_lo, n_hi = pair
-    out = {}
-    for cores in pair:
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = str(cores)
-        env["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
-        env["SPARK_GRAFT_BENCH_DOCS"] = str(N_SCALING_DOCS)
-        p = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--pipeline-only",
-             "--master", f"local[{cores}]"],
-            capture_output=True, text=True, env=env, cwd=str(REPO),
-        )
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out[cores] = json.loads(line)
-        print(f"# local[{cores}]: {out[cores]['pipeline_sec']}s, "
-              f"{out[cores]['triples_per_sec']} triples/s", file=sys.stderr)
+    legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    for _ in range(runs):
+        for cores in pair:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cores)
+            env["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
+            env["SPARK_GRAFT_BENCH_DOCS"] = str(N_SCALING_DOCS)
+            p = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--pipeline-only",
+                 "--master", f"local[{cores}]"],
+                capture_output=True, text=True, env=env, cwd=str(REPO),
+            )
+            line = [l for l in p.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            legs[cores].append(json.loads(line))
+            print(f"# local[{cores}]: {legs[cores][-1]['pipeline_sec']}s, "
+                  f"{legs[cores][-1]['triples_per_sec']} triples/s",
+                  file=sys.stderr)
+
+    def med(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    tput = {c: med([r["triples_per_sec"] for r in legs[c]]) for c in pair}
     factor = n_hi / n_lo
-    eff = (out[n_hi]["triples_per_sec"] / out[n_lo]["triples_per_sec"]) / factor
+    eff = (tput[n_hi] / tput[n_lo]) / factor
     print(json.dumps({
         "metric": f"scaling_efficiency_local{n_lo}_to_local{n_hi}",
         "value": round(eff, 3),
         "unit": "ratio",
-        f"tput_{n_lo}": out[n_lo]["triples_per_sec"],
-        f"tput_{n_hi}": out[n_hi]["triples_per_sec"],
-        f"pipeline_sec_{n_lo}": out[n_lo]["pipeline_sec"],
-        f"pipeline_sec_{n_hi}": out[n_hi]["pipeline_sec"],
-        "n_docs": out[n_hi]["n_docs"],
-        "n_triples": out[n_hi]["n_triples"],
+        "runs_per_leg": runs,
+        f"tput_{n_lo}": tput[n_lo],
+        f"tput_{n_hi}": tput[n_hi],
+        f"tput_{n_lo}_all": [r["triples_per_sec"] for r in legs[n_lo]],
+        f"tput_{n_hi}_all": [r["triples_per_sec"] for r in legs[n_hi]],
+        f"pipeline_sec_{n_lo}": med([r["pipeline_sec"] for r in legs[n_lo]]),
+        f"pipeline_sec_{n_hi}": med([r["pipeline_sec"] for r in legs[n_hi]]),
+        "n_docs": legs[n_hi][-1]["n_docs"],
+        "n_triples": legs[n_hi][-1]["n_triples"],
     }))
 
 

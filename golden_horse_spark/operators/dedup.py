@@ -351,6 +351,7 @@ def embedding_near_dup_pairs(
     n_cells: int = 16,
     sample: int = 2000,
     seed: int = 42,
+    unroll_max_cells: int = 64,
 ) -> DataFrame:
     """EXACT cell-blocked cosine near-dup — never an all-pairs join.
 
@@ -372,10 +373,11 @@ def embedding_near_dup_pairs(
     pairs while staying an equi-join. Follow the O(√N) rule for
     ``n_cells`` in BOTH directions — each cell adds a fixed codegen cost
     for its unrolled assignment expression (~0.1 s locally, BENCH.md),
-    so small inputs want few cells; beyond a few hundred cells the
-    unrolled-literal assignment should switch to the Arrow-batched
-    matmul shape ``lsh_multitable_topk`` uses (documented seam, same
-    cell semantics). The `.cache()` on the assigned table backs exactly TWO
+    so small inputs want few cells; above ``unroll_max_cells`` the
+    assignment automatically switches to an Arrow-batched numpy matmul
+    (one matmul per batch, O(1) plan size — the shape
+    ``lsh_multitable_topk`` uses; identical argmin semantics,
+    equality-tested). The `.cache()` on the assigned table backs exactly TWO
     actions (round-3 fixed-cost shave, was three): a plain-projection
     centroid sample (vectors normalized driver-side — the sample job
     carries none of the lambda-heavy unit-norm expressions) and the
@@ -419,29 +421,71 @@ def embedding_near_dup_pairs(
         "_unit", F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
     )
 
-    # argmin centroid via array_min over (rank, cell) structs; for unit
-    # vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c)
-    from .similarity import _dot
+    if len(cents) <= unroll_max_cells:
+        # argmin centroid via array_min over (rank, cell) structs; for
+        # unit vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c)
+        from .similarity import _dot
 
-    cand_structs = [
-        F.struct(
-            (F.lit(float(np.dot(c, c))) - 2 * _dot(F.col("_unit"), c)).alias("d"),
-            F.lit(ci).alias("c"),
-        )
-        for ci, c in enumerate(cents)
-    ]
-    m = F.array_min(F.array(*cand_structs))
-    e = (
-        e0.withColumn("_m", m)
-        .select(
+        cand_structs = [
+            F.struct(
+                (F.lit(float(np.dot(c, c))) - 2 * _dot(F.col("_unit"), c)).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+        m = F.array_min(F.array(*cand_structs))
+        e = e0.withColumn("_m", m).select(
             id_col,
             vec_col,
             "_nrm",
             F.col("_m")["c"].alias("_cell"),
             F.sqrt(F.greatest(F.col("_m")["d"] + 1.0, F.lit(0.0))).alias("_cdist"),
         )
-        .cache()
-    )
+    else:
+        # Arrow path for big cell counts: one matmul per batch, O(1)
+        # plan size (the unrolled expression would be O(n_cells))
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        C = np.asarray(cents, dtype=np.float64)
+        cc = (C * C).sum(1)
+        schema = StructType(
+            [
+                e0.schema[id_col],
+                e0.schema[vec_col],
+                StructField("_nrm", DoubleType()),
+                StructField("_cell", IntegerType()),
+                StructField("_cdist", DoubleType()),
+            ]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                u = np.array(pdf["_unit"].tolist(), dtype=np.float64)
+                rank = cc[None, :] - 2.0 * (u @ C.T)
+                cell = rank.argmin(1)
+                d = np.sqrt(
+                    np.maximum(rank[np.arange(len(cell)), cell] + 1.0, 0.0)
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        vec_col: pdf[vec_col].values,
+                        "_nrm": pdf["_nrm"].values,
+                        "_cell": cell.astype("int32"),
+                        "_cdist": d,
+                    }
+                )
+
+        e = e0.mapInPandas(run, schema)
+    e = e.cache()
     # compatible cell pairs computed DISTRIBUTED inside the final job:
     # the n_cells² centroid-distance table is a literal, the per-cell
     # coverage radii are a tiny aggregate over the cached table, and the

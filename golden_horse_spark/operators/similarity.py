@@ -114,6 +114,40 @@ def assign_cells(
     return embeddings.withColumn("cell", F.array_min(F.array(*cands))["c"])
 
 
+def assign_cells_arrow(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """``assign_cells`` for LARGE centroid counts: one numpy matmul per
+    Arrow batch instead of an unrolled codegen expression. The unrolled
+    form's plan size (and codegen time) grows linearly with n_cells —
+    fine to ~64 cells, pathological at thousands; this path is O(1) in
+    plan size and rides BLAS. Same argmin semantics (ties → lowest cell
+    index, matching array_min's (d, c) struct ordering); equality-tested
+    against ``assign_cells`` in test_dedup_scale."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cc = (C * C).sum(1)
+    # copy the field list: StructType(df.schema.fields) would SHARE it,
+    # and .add() would then mutate the input DataFrame's schema object
+    schema = StructType(list(embeddings.schema.fields)).add(
+        "cell", IntegerType()
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                rank = cc[None, :] - 2.0 * (x @ C.T)
+                pdf = pdf.assign(cell=rank.argmin(1).astype("int32"))
+            else:
+                pdf = pdf.assign(cell=pd.Series([], dtype="int32"))
+            yield pdf
+
+    return embeddings.mapInPandas(run, schema)
+
+
 def ivf_topk(
     embeddings_with_cells: DataFrame,
     centroids: np.ndarray,

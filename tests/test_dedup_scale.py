@@ -333,3 +333,58 @@ def test_minhash_pairs_with_precomputed_signatures(spark):
         ).collect()
     }
     assert direct == shared == {(10, 11, 2)}
+
+
+def test_assign_cells_arrow_equals_unrolled(spark):
+    """The Arrow-matmul assignment (big-n_cells path) produces exactly
+    the same cell per vector as the unrolled codegen expression."""
+    from golden_horse_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_arrow,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    cents = train_centroids(emb, n_cells=12, sample=400)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_arrow(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert a == b and len(a) > 100
+
+
+def test_near_dup_arrow_assignment_path_exact(spark):
+    """Forcing the Arrow assignment path (unroll_max_cells=1) keeps the
+    blocked near-dup EXACT — same pairs as the expression path and as
+    brute force."""
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 8) * 2
+    rows = [
+        (i, (centers[i % 3] + rng.randn(8) * 0.6).tolist()) for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = np.array([r[1] for r in rows])
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = u @ u.T
+    expect = {
+        (a, b)
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if round(cos[a, b], 6) >= 0.8
+    }
+    for unroll_max in (64, 1):  # expression path, then forced Arrow path
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                emb, min_cosine=0.8, n_cells=6, sample=200,
+                unroll_max_cells=unroll_max,
+            ).collect()
+        }
+        assert got == expect, (unroll_max, got ^ expect)
+    assert expect  # the fixture actually has near pairs
