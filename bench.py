@@ -117,15 +117,30 @@ def run_pipeline_bench(spark) -> dict:
         mentions = mentions_with_ids(
             extract_mentions_global_dedup(sentences, e.WEIGHTS)
         ).cache()
+        # materialize each cached stage BEFORE building on it — exactly
+        # what StageWriter does in the real pipeline. Left lazy, the
+        # connected-components rounds inside canonical_entities race to
+        # populate these caches and can re-execute the NER subtree:
+        # measured 21.8-48.1 s run-to-run lazy vs 20.0-20.8 s
+        # materialized, same plan, same output (this was the entire
+        # "±40% host noise" envelope documented in rounds 1-2)
+        n_mentions = mentions.count()
+        t_ner = time.time()
         links = score_links(
             generate_candidates(mentions, aliases), mentions=mentions
         ).cache()
+        n_links = links.count()
+        t_link = time.time()
         entities = canonical_entities(links)
+        t_canon = time.time()
         triples = materialize_triples(mentions, links, entities, n_parts=64)
         n_triples = triples.count()
-        n_mentions = mentions.count()  # cached — cheap
-        n_links = links.count()
         dt = time.time() - t0
+        print(
+            f"# stages: seg+ner {t_ner-t0:.1f}s link {t_link-t_ner:.1f}s "
+            f"canon {t_canon-t_link:.1f}s triples {time.time()-t_canon:.1f}s",
+            file=sys.stderr,
+        )
         mentions.unpersist()
         links.unpersist()
         return dt, n_mentions, n_links, n_triples
