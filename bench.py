@@ -109,7 +109,17 @@ def run_pipeline_bench(spark) -> dict:
         # UDF inside one task doubles concurrent python workers per core
         # (fresh forks, oversubscription); the rebalance also evens out
         # zipf-skewed doc lengths before the compute-heavy stage
-        sentences = documents_to_sentences(docs).repartition(max(2 * n_cores, 8))
+        # materialize the segmented sentences BEFORE the NER job instead
+        # of chaining the segmenter's lambda-heavy codegen into it (the
+        # real pipeline's StageWriter materializes this stage to parquet
+        # too). Chained, the combined stage intermittently ran ~110 s
+        # slower (probes: 10/10 iterations fast materialized vs ~half
+        # slow chained, same plan shapes, same counts)
+        sentences = (
+            documents_to_sentences(docs)
+            .repartition(max(2 * n_cores, 8))
+            .localCheckpoint()
+        )
         # global dedup-of-compute: the synthetic corpus (like any web
         # corpus) repeats most sentence texts, so the NER kernel runs once
         # per DISTINCT sentence and fans back out via an 8-byte-key join
@@ -473,6 +483,9 @@ def run_scaling() -> None:
             )
             line = [l for l in p.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
+            for sl in p.stderr.splitlines():
+                if sl.startswith("# stages"):
+                    print(f"#   local[{cores}] {sl[2:]}", file=sys.stderr)
             legs[cores].append(json.loads(line))
             print(f"# local[{cores}]: {legs[cores][-1]['pipeline_sec']}s, "
                   f"{legs[cores][-1]['triples_per_sec']} triples/s",
@@ -484,11 +497,19 @@ def run_scaling() -> None:
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
     tput = {c: med([r["triples_per_sec"] for r in legs[c]]) for c in pair}
+    best = {c: max(r["triples_per_sec"] for r in legs[c]) for c in pair}
     factor = n_hi / n_lo
     eff = (tput[n_hi] / tput[n_lo]) / factor
+    # best-leg efficiency: the timeit-style noise-free estimate — the
+    # fastest leg per core count is the closest observable to the code's
+    # actual cost at that parallelism, because interference on this VM
+    # is strictly additive (slow modes add stall time, nothing here ever
+    # makes a leg run faster than the code allows)
+    best_eff = (best[n_hi] / best[n_lo]) / factor
     print(json.dumps({
         "metric": f"scaling_efficiency_local{n_lo}_to_local{n_hi}",
         "value": round(eff, 3),
+        "best_leg_value": round(best_eff, 3),
         "unit": "ratio",
         "runs_per_leg": runs,
         f"tput_{n_lo}": tput[n_lo],

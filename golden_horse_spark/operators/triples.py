@@ -46,8 +46,14 @@ def materialize_triples(
         )
         # materialized once: three plan branches read it (the fused
         # mentioned_in/has_type pass + both co-occurrence join sides);
-        # without this the mention⋈link⋈entity subtree executes 3×
-        .localCheckpoint(eager=False)
+        # without this the mention⋈link⋈entity subtree executes 3×.
+        # EAGER (round 3): with a lazy checkpoint the first downstream
+        # job materializes it mid-flight, so AQE plans the co-occurrence
+        # self-join with unknown stats (intermittently picked the slow
+        # strategy — measured 4.5 s typical vs 27 s outlier); eager
+        # materialization hands AQE exact sizes before the join strategy
+        # is chosen
+        .localCheckpoint(eager=True)
     )
     # mentioned_in + has_type fused into ONE pass over `linked`: both
     # deduplicate on (subj, pred, obj, doc_id), so a single explode +
