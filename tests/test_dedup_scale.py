@@ -388,3 +388,122 @@ def test_near_dup_arrow_assignment_path_exact(spark):
         }
         assert got == expect, (unroll_max, got ^ expect)
     assert expect  # the fixture actually has near pairs
+
+
+# ----------------------------------------------------- semantic dedup
+
+
+def _uf_components(n_ids, pairs):
+    """Union-find reference: min-id component label per id."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_semantic_dedup_matches_union_find(spark):
+    """semantic_dedup == brute-force all-pairs cosine + union-find +
+    keep-min-id, including transitive chains (a~b, b~c, a<not>~c) and
+    zero-vector passthrough."""
+    from golden_horse_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    vecs = {}
+    vid = 0
+    # 8 duplicate groups of size 2-4: base vector + tiny perturbations,
+    # perturbation scaled so consecutive members are near-dups (chain)
+    for g in range(8):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        k = 2 + g % 3
+        cur = base
+        for _ in range(k):
+            vecs[vid] = cur
+            step = rng.normal(size=16)
+            step -= step.dot(cur) * cur
+            cur = cur + 0.06 * step / np.linalg.norm(step)
+            cur /= np.linalg.norm(cur)
+            vid += 1
+    # 20 random singletons (16-dim random directions are far apart)
+    for _ in range(20):
+        v = rng.normal(size=16)
+        vecs[vid] = v / np.linalg.norm(v)
+        vid += 1
+    vecs[vid] = np.zeros(16)  # zero vector: singleton, keep=true
+    zero_id = vid
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    tau = 0.995
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(emb, min_cosine=tau, n_cells=6, sample=200).collect()
+    }
+    assert set(got) == set(vecs)
+
+    # brute-force reference (zero vector contributes no pairs); cosines
+    # rounded to 6 like the operator so threshold comparisons agree
+    ids = sorted(vecs)
+    ref_pairs = []
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ni, nj = np.linalg.norm(vecs[i]), np.linalg.norm(vecs[j])
+                if ni > 0 and nj > 0:
+                    c = round(float(vecs[i].dot(vecs[j]) / (ni * nj)), 6)
+                    if c >= tau:
+                        ref_pairs.append((i, j))
+    assert ref_pairs, "fixture must actually contain near-dup pairs"
+    comp = _uf_components(ids, ref_pairs)
+    for i in ids:
+        assert got[i][0] == comp[i], (i, got[i], comp[i])
+        assert got[i][1] == (comp[i] == i)
+    assert got[zero_id] == (zero_id, True)
+    # chains must have collapsed: at least one group of size >= 3
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    assert max(sizes.values()) >= 3
+
+
+def test_dedup_semantic_docs_keep_semantics(spark):
+    """dedup_semantic keeps exactly one doc per semantic group and every
+    doc without an embedding row."""
+    from golden_horse_spark.operators.dedup import dedup_semantic
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    far = rng.normal(size=8)
+    far -= far.dot(base) * base
+    far /= np.linalg.norm(far)
+    emb = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base]),
+            (1, [float(x) for x in base]),          # dup of 0
+            (2, [float(x) for x in far]),           # distinct
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a copy"), (2, "b"), (3, "no embedding")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_semantic(
+            docs, emb, min_cosine=0.99, n_cells=2, sample=10
+        ).collect()
+    )
+    assert kept == [0, 2, 3]
