@@ -23,7 +23,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 GOLDEN_QUERIES = ["q_ner_mentions", "q_ner_mentions_joint", "q_kg_triples",
-                  "q_ann_ivf", "q_ann_lsh", "q_pagerank", "q_kcore",
+                  "q_ann", "q_pagerank", "q_kcore",
                   "q_media_features"]
 OUT = REPO / "fixtures" / "golden_oracle_rows.json"
 
