@@ -214,6 +214,185 @@ def repetition_stats(
     return out.select(*sel)
 
 
+def _tokens(text_col: Column) -> Column:
+    """Whitespace tokens of regex-trimmed text — the shared tokenization
+    convention of every operator in this module (F.trim strips only
+    ' ', hence the regex trim; an empty/whitespace-only doc yields the
+    single token ``""``, mirrored by the DuckDB oracles)."""
+    return F.split(F.regexp_replace(text_col, r"^\s+|\s+$", ""), r"\s+")
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination signals (the GPT-3 Appendix-C /
+    Dolma / FineWeb convention, all public): a document n-gram is
+    *contaminated* when it also occurs in any evaluation-benchmark
+    text; the per-document signal is the fraction of the doc's DISTINCT
+    word n-grams that are contaminated.
+
+    Output: one row per input doc —
+    ``(doc_id, n_grams, n_contam, contam_frac)`` with ``n_grams`` =
+    distinct n-gram count (0 for docs shorter than n tokens, whose
+    ``contam_frac`` is 0.0 — nothing to match ⇒ conservatively clean).
+
+    Spark shape, sized for a 100 TB corpus vs a benchmark of at most
+    ~millions of grams: per-doc dedup happens INSIDE the array
+    (``array_distinct`` before explode — no (doc, gram) distinct
+    shuffle); the benchmark gram set is globally distinct and
+    **broadcast**, so the corpus side never shuffles for the join; the
+    only corpus shuffle is the final map-side-combinable
+    ``groupBy(doc_id)``. If the benchmark ever outgrows broadcast
+    range, drop the ``F.broadcast`` hint and the same plan degrades to
+    a sort-merge join — the semantics don't change.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_word_ngrams(_tokens(F.col(bench_text_col)), n))
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(doc_id),
+        F.explode(
+            F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(doc_id)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contam"),
+        )
+    )
+    return docs.select(doc_id).join(per_doc, doc_id, "left").select(
+        F.col(doc_id),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("n_contam"), F.lit(0)).alias("n_contam"),
+        F.round(
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0, 0.0).otherwise(
+                F.col("n_contam").cast("double") / F.col("n_grams")
+            ),
+            6,
+        ).alias("contam_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    max_contam_frac: float = 0.0,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + contamination signals + a ``clean`` flag (True iff
+    ``contam_frac <= max_contam_frac``; the default 0.0 is GPT-3's
+    remove-any-overlap rule, FineWeb-style tolerances pass e.g. 0.1)."""
+    stats = contamination_stats(
+        docs, benchmark, n, text_col, doc_id, bench_text_col
+    )
+    return docs.join(stats, doc_id, "left").withColumn(
+        "clean", F.col("contam_frac") <= F.lit(float(max_contam_frac))
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    lm_text_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style LM fluency scoring (Wenzek et al. 2020 score with a
+    KenLM model; here the n-gram LM is order-2 and trained in-engine,
+    so the whole thing stays DataFrame-native): per-document mean
+    bigram log-probability under an add-α-smoothed bigram model fit on
+    ``lm_docs`` (default: ``docs`` itself — in-corpus "typicality",
+    the same signal CCNet buckets into head/middle/tail).
+
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1·) + α·V), V = |train vocab|;
+    an unseen context scores ln(1/V). ``alpha`` defaults to 0.5 — an
+    exactly binary-representable constant, so the DuckDB oracle
+    reproduces the arithmetic bit-for-bit before rounding.
+
+    Output: ``(doc_id, n_bigrams, avg_logprob, ppl)``; docs with fewer
+    than 2 tokens get ``n_bigrams = 0, avg_logprob = 0.0, ppl = 1.0``
+    (sentinel, never NULL).
+
+    Spark shape: the two count tables are plain map-side-combined
+    aggregations of the training corpus; scoring joins doc bigrams to
+    them on the bigram/context string keys — co-partitioned equi-joins
+    that AQE turns into broadcasts when the vocabulary is small. The
+    scalar V is the only driver-side action. No Python UDFs anywhere.
+    """
+    lm_docs = docs if lm_docs is None else lm_docs
+    lm_text = text_col if lm_text_col is None else lm_text_col
+
+    def bigram_rows(df: DataFrame, tcol: str, keep_id: bool):
+        toks = _tokens(F.col(tcol))
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                    ).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,b:string>>"))
+        cols = [F.col(doc_id)] if keep_id else []
+        return df.select(*cols, F.explode(pairs).alias("p")).select(
+            *([doc_id] if keep_id else []),
+            F.col("p.w1").alias("w1"),
+            F.col("p.b").alias("b"),
+        )
+
+    train = bigram_rows(lm_docs, lm_text, keep_id=False)
+    c12 = train.groupBy("b").agg(F.count("*").alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        lm_docs.select(F.explode(_tokens(F.col(lm_text))).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+
+    a = float(alpha)
+    scored = (
+        bigram_rows(docs, text_col, keep_id=True)
+        .join(c12, "b", "left")
+        .join(c1, "w1", "left")
+        .select(
+            F.col(doc_id),
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(a))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a * v))
+            ).alias("lp"),
+        )
+        .groupBy(doc_id)
+        .agg(F.count("*").alias("n_bigrams"), F.avg("lp").alias("_avg"))
+    )
+    return docs.select(doc_id).join(scored, doc_id, "left").select(
+        F.col(doc_id),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(F.coalesce(F.col("_avg"), F.lit(0.0)), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.coalesce(F.col("_avg"), F.lit(0.0))), 6).alias("ppl"),
+    )
+
+
 def repetition_filter(
     docs: DataFrame,
     text_col: str = "text",

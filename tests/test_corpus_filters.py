@@ -10,6 +10,9 @@ from golden_horse_spark.operators.corpus_filters import (
     DUP_NS,
     GOPHER_THRESHOLDS,
     TOP_NS,
+    bigram_lm_scores,
+    contamination_stats,
+    decontaminate,
     repetition_filter,
     repetition_stats,
 )
@@ -105,6 +108,136 @@ def test_repetition_filter_flags(spark, docs_df):
     # sanity: both outcomes are actually exercised
     assert rows["d_clean"]
     assert not rows["d_allrep"] and not rows["d_toptwo"]
+
+
+def _toks(text):
+    return re.split(r"\s+", text.strip()) if text.strip() else [""]
+
+
+def _grams(text, n):
+    toks = _toks(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+BENCH = [
+    ("b1", "the quick brown fox jumps over the lazy dog"),
+    ("b2", "completely unrelated benchmark sentence about metallurgy"),
+]
+CONTAM_DOCS = [
+    # verbatim benchmark copy → fully contaminated at n=4
+    ("c_copy", "the quick brown fox jumps over the lazy dog"),
+    # shares a 4-gram window with b1 mid-sentence
+    ("c_part", "yesterday the quick brown fox jumps over a wall somewhere"),
+    ("c_clean", "entirely fresh prose with no overlap in any window here"),
+    ("c_short", "too few"),
+    ("c_empty", ""),
+]
+
+
+def test_contamination_stats_match_reference(spark):
+    docs = spark.createDataFrame(CONTAM_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id string, text string")
+    n = 4
+    bench_set = set().union(*(_grams(t, n) for _, t in BENCH))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_stats(docs, bench, n=n).collect()
+    }
+    assert set(rows) == {d for d, _ in CONTAM_DOCS}
+    for doc_id, text in CONTAM_DOCS:
+        g = _grams(text, n)
+        hit = len(g & bench_set)
+        got = rows[doc_id]
+        assert got["n_grams"] == len(g), doc_id
+        assert got["n_contam"] == hit, doc_id
+        expect = round(hit / len(g), 6) if g else 0.0
+        assert got["contam_frac"] == pytest.approx(expect, abs=2e-6), doc_id
+    assert rows["c_copy"]["contam_frac"] == 1.0
+    assert 0 < rows["c_part"]["contam_frac"] < 1
+    assert rows["c_clean"]["n_contam"] == 0
+    # shorter than n ⇒ zero grams, conservatively clean
+    assert rows["c_short"]["n_grams"] == 0
+    assert rows["c_empty"]["contam_frac"] == 0.0
+
+
+def test_decontaminate_flags(spark):
+    docs = spark.createDataFrame(CONTAM_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id string, text string")
+    strict = {
+        r["doc_id"]: r["clean"] for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert not strict["c_copy"] and not strict["c_part"]
+    assert strict["c_clean"] and strict["c_short"] and strict["c_empty"]
+    loose = {
+        r["doc_id"]: r["clean"]
+        for r in decontaminate(docs, bench, n=4, max_contam_frac=0.5).collect()
+    }
+    assert not loose["c_copy"] and loose["c_part"]
+
+
+LM_DOCS = [
+    ("l1", "a b a b a c"),
+    ("l2", "a b c d"),
+    ("l3", "d d d"),
+    ("l_one", "solo"),
+    ("l_empty", "  "),
+]
+
+
+def test_bigram_lm_scores_match_reference(spark):
+    docs = spark.createDataFrame(LM_DOCS, "doc_id string, text string")
+    alpha = 0.5
+    c12, c1 = Counter(), Counter()
+    vocab = set()
+    for _, t in LM_DOCS:
+        toks = _toks(t)
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[f"{w1} {w2}"] += 1
+            c1[w1] += 1
+    v = len(vocab)
+    import math
+
+    rows = {
+        r["doc_id"]: r.asDict() for r in bigram_lm_scores(docs, alpha=alpha).collect()
+    }
+    for doc_id, t in LM_DOCS:
+        toks = _toks(t)
+        lps = [
+            math.log(
+                (c12[f"{w1} {w2}"] + alpha) / (c1[w1] + alpha * v)
+            )
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        got = rows[doc_id]
+        assert got["n_bigrams"] == len(lps), doc_id
+        if lps:
+            avg = sum(lps) / len(lps)
+            assert got["avg_logprob"] == pytest.approx(round(avg, 6), abs=2e-6)
+            assert got["ppl"] == pytest.approx(round(math.exp(-avg), 6), abs=2e-6)
+        else:
+            assert got["avg_logprob"] == 0.0 and got["ppl"] == 1.0
+    # repetitive high-probability doc scores higher than the novel one
+    assert rows["l1"]["avg_logprob"] > rows["l2"]["avg_logprob"]
+
+
+def test_bigram_lm_separate_train_corpus(spark):
+    docs = spark.createDataFrame(
+        [("q", "a b c")], "doc_id string, text string"
+    )
+    lm = spark.createDataFrame(
+        [("t1", "a b a b"), ("t2", "c a b")], "doc_id string, text string"
+    )
+    import math
+
+    # train stats: c12: {a b:3, b a:1, c a:1}; c1: {a:3, b:1, c:1}; V=3
+    out = bigram_lm_scores(docs, lm_docs=lm, alpha=0.5).collect()[0]
+    exp = (
+        math.log((3 + 0.5) / (3 + 1.5)) + math.log((0 + 0.5) / (1 + 1.5))
+    ) / 2
+    assert out["avg_logprob"] == pytest.approx(round(exp, 6), abs=2e-6)
 
 
 def test_repetition_filter_custom_thresholds(spark, docs_df):
