@@ -224,3 +224,55 @@ def rolling_min_fingerprint(
         docs.where(F.length(F.col(text_col)) >= k)
         .select("doc_id", _rfp(F.col(text_col)).alias("rfp"))
     )
+
+
+# ---------------------------------------------------------------- PII
+# Portable patterns: the intersection of Java regex (Spark) and RE2
+# (DuckDB oracle) — no lookaround, no backrefs, \b and {m,n} only.
+# Redaction order is part of the contract: emails first (their dots
+# must not be mistaken for IPv4 octets), then +international phones
+# (charset [0-9 -] cannot cross a dot, so IPv4 octets are safe), then
+# IPv4. Both engines apply the same order, so the redacted text —
+# not just the counts — is cross-engine value-exact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9][0-9 -]{5,16}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-kind PII match counts as pure Column expressions
+    (regexp_count is JVM-side, whole-stage codegen)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Masks every PII span with its typed token, in PII_PATTERNS
+    order. Chained regexp_replace — zero Python in the hot path."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII report: per-kind counts, total, and the md5
+    fingerprint of the redacted text (fingerprint-after-redaction is
+    the idempotence check a curation pipeline runs before shipping:
+    redact(redact(x)) == redact(x) because the mask tokens contain no
+    digits or '@')."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        total.alias("n_pii"),
+        F.md5(redact_pii(t)).alias("redacted_fp"),
+    )
