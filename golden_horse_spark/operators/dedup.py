@@ -618,3 +618,105 @@ def dedup_semantic(
     have_vec = embeddings.select(F.col(id_col).alias(doc_id)).distinct()
     no_vec = docs.join(have_vec, doc_id, "left_anti")
     return docs.join(survivors, doc_id, "left_semi").unionByName(no_vec)
+
+
+# ----------------------------------- cross-doc duplicated spans (Lee+22)
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document coverage by k-token spans that also occur in at
+    least ``min_docs - 1`` OTHER documents — the substring-dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed relationally instead of via a suffix
+    array: rolling gram hashes -> gram document frequency -> semi-join
+    back -> per-doc interval union.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_span_frac).
+
+    Scale shape (this is NOT a pair generator):
+    * grams = one narrow explode, ~n_tokens rows per doc;
+    * gram DF = map-side-combined groupBy on the 16-byte hash — uniform
+      keys, no skew. Hot boilerplate grams cost nothing extra: each
+      occurrence row semi-joins exactly once, so there is no postings
+      fan-out to cap (unlike Jaccard pair generation);
+    * coverage = ONE window shuffle keyed by doc_id. Interval union via
+      running max of span ends (no per-row Python, no collect).
+
+    Complements the Gopher repetition stats (within-doc duplication) —
+    this measures cross-document duplication. md5 grams keep the DuckDB
+    oracle value-exact; the hash only buckets equal strings, so any
+    collision-free-enough hash preserves semantics.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("n_tokens"),
+    )
+    # one gram struct per window start; token array bound once as a
+    # lambda var (no CSE inside lambdas — see shingles_expr)
+    gram_expr = (
+        f"flatten(transform(array(w), toks -> "
+        f"case when size(toks) >= {k} then "
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> struct(i as pos, md5(concat_ws(' ', slice(toks, i + 1, {k}))) as gh)) "
+        f"else array() end))"
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.expr(gram_expr)).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_grams, "gh", "left_semi")
+
+    # interval union of [pos, pos+k) per doc: a position contributes
+    # only the part past the furthest end seen so far
+    prev_end = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    covered = (
+        dup_pos.withColumn(
+            "prev_max_end", F.max(F.col("pos") + k).over(prev_end)
+        )
+        .withColumn(
+            "c",
+            F.greatest(
+                F.lit(0),
+                F.col("pos") + k
+                - F.greatest(
+                    F.col("pos"),
+                    F.coalesce(F.col("prev_max_end"), F.col("pos")),
+                ),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup_tokens"))
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                    / F.col("n_tokens")
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -507,3 +507,59 @@ def test_dedup_semantic_docs_keep_semantics(spark):
         ).collect()
     )
     assert kept == [0, 2, 3]
+
+
+def test_dup_span_stats_vs_bruteforce(spark):
+    """Interval-union coverage matches a brute-force python reference
+    (set of covered token indices) on a corpus with overlapping,
+    adjacent, and nested duplicated spans."""
+    import random
+
+    from golden_horse_spark.operators.dedup import dup_span_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "the quick brown fox jumps over the lazy dog".split()
+    texts = []
+    for d in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        if d % 3 == 0:  # shared boilerplate at a random offset
+            at = rng.randint(0, max(0, len(words) - 1))
+            words[at:at] = boiler
+        if d % 7 == 0:  # second copy -> overlapping/nested intervals
+            words.extend(boiler[:8])
+        texts.append((d, " ".join(words)))
+    texts.append((98, ""))
+    texts.append((99, "short doc"))
+
+    k = 5
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # brute force: covered = union of [i, i+k) for grams in >=2 docs
+    toks = {d: t.split() for d, t in texts if t.strip()}
+    gram_docs = {}
+    for d, w in toks.items():
+        for i in range(len(w) - k + 1):
+            gram_docs.setdefault(tuple(w[i:i + k]), set()).add(d)
+    expect = {}
+    for d, t in texts:
+        w = toks.get(d, [])
+        cov = set()
+        for i in range(len(w) - k + 1):
+            if len(gram_docs[tuple(w[i:i + k])]) >= 2:
+                cov.update(range(i, i + k))
+        expect[d] = (len(w), len(cov))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_span_frac"])
+        for r in dup_span_stats(docs, k=k).collect()
+    }
+    assert set(got) == set(expect)
+    n_nonzero = 0
+    for d, (n_tok, n_dup) in expect.items():
+        assert got[d][0] == n_tok, (d, got[d], n_tok)
+        assert got[d][1] == n_dup, (d, got[d], n_dup)
+        want_frac = round(n_dup / n_tok, 6) if n_tok else 0.0
+        assert abs(got[d][2] - want_frac) < 1e-9
+        n_nonzero += n_dup > 0
+    assert n_nonzero >= 10  # the fixture genuinely exercises coverage
