@@ -574,19 +574,30 @@ def semantic_dedup(
     bounded. The left-anti-free design (one left join + coalesce) keeps
     singleton handling shuffle-cheap.
     """
-    from .canonicalize import connected_components
-
     pairs = embedding_near_dup_pairs(
         embeddings, min_cosine, id_col=id_col, vec_col=vec_col,
         **near_dup_kwargs,
     )
+    ids = embeddings.select(id_col).distinct()
+    return _keep_min_representative(ids, pairs, id_col)
+
+
+def _keep_min_representative(
+    ids: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared cluster-then-keep-one tail of the fuzzy/semantic dedup
+    family: duplicate-pair graph → connected components → keep exactly
+    the min-id representative of each group; ids absent from the pair
+    graph pass through as singletons (keep=true). Deterministic — no
+    sampling, reruns agree."""
+    from .canonicalize import connected_components
+
     # materialize ONCE: connected_components symmetrizes with a
-    # self-union, which would execute the (expensive) blocked-pair
+    # self-union, which would execute the (expensive) pair-generation
     # subtree twice; at cluster scale this is a stage-table write,
     # locally a localCheckpoint (measured 2× on the sf0.1 probe)
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
     comp = connected_components(pairs, "id_a", "id_b")
-    ids = embeddings.select(id_col).distinct()
     labeled = (
         ids.join(comp, ids[id_col] == comp["node"], "left")
         .select(
@@ -595,6 +606,46 @@ def semantic_dedup(
         )
     )
     return labeled.withColumn("keep", F.col(id_col) == F.col("component"))
+
+
+def fuzzy_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    hash_fn: str = "xxhash64",
+    signatures: DataFrame | None = None,
+    **pair_kwargs,
+) -> DataFrame:
+    """End-to-end MinHash fuzzy deduplication with keep/drop decisions —
+    the full document-level near-dup recipe of public LLM-corpus
+    pipelines (RefinedWeb §3.3 / Dolma / RedPajama-v2): LSH-banded
+    candidate pairs → connected components over the duplicate graph →
+    keep ONE representative (min doc id) per duplicate cluster.
+
+    Clustering (rather than greedy pairwise removal) is what makes the
+    result order-independent: for a chain a~b, b~c with a≁c the whole
+    chain is one group and exactly one doc survives, matching the
+    published recipes. Output: (doc_id, component, keep) for EVERY
+    input doc — zero-shingle docs and docs in no candidate pair are
+    singletons with keep=true.
+
+    Scale: inherits ``minhash_dup_pairs``'s guards (banded single
+    self-join, zero-shingle exclusion, bucket-width cap) and
+    ``connected_components``'s co-partitioned hash-to-min rounds; the
+    dup graph is tiny islands at web scale, so CC converges in a few
+    cheap rounds. Pass ``signatures`` to reuse an already-computed
+    signature table (one pass shared with reporting queries).
+    """
+    pairs = minhash_dup_pairs(
+        docs, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, k=k, hash_fn=hash_fn, signatures=signatures,
+        **pair_kwargs,
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    ids = docs.select(doc_id).distinct()
+    return _keep_min_representative(ids, pairs, doc_id)
 
 
 def dedup_semantic(

@@ -276,3 +276,99 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         total.alias("n_pii"),
         F.md5(redact_pii(t)).alias("redacted_fp"),
     )
+
+
+# ------------------------------------- training-mixture sampling + packing
+
+
+def _md5_byte(text: Column, salt: str) -> Column:
+    """First byte (0..255) of md5(salt || '|' || text) — the portable
+    deterministic-uniform primitive shared with ``hash_split``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), text)), 1, 2), 16, 10
+    ).cast("int")
+
+
+def mixture_keep(
+    text: Column,
+    domain: Column,
+    rates: dict,
+    default_rate: float = 1.0,
+) -> Column:
+    """Deterministic domain-mixture sampling decision (boolean): keep a
+    doc with probability ``rates[domain]`` (Pile/DoReMi-style mixture
+    reweighting by downsampling over-represented sources), decided by a
+    content hash rather than an RNG — stable across runs, partitionings,
+    and engines, and independent of the ``hash_split`` byte (different
+    salt ⇒ independent md5 bytes). Rates quantize onto 256 buckets
+    (bias < 1/256), matching the oracle twin exactly.
+    """
+    expr = F.lit(round(256 * default_rate))
+    for dom, rate in sorted(rates.items()):
+        expr = F.when(domain == dom, round(256 * rate)).otherwise(expr)
+    return _md5_byte(text, "mix") < expr
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    partition_cols: tuple = (),
+    keep_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): concatenate the
+    token stream of every (kept) document in a deterministic order and
+    cut it into fixed ``budget``-token training sequences. Per doc the
+    occupied chunk interval is pure window arithmetic —
+    ``chunk_first = floor((cum - tok)/B)``, ``chunk_last =
+    floor((cum - 1)/B)`` over a running token sum — so the whole
+    operator is JVM-side window + projection, no Python.
+
+    Scale: a single global concatenation would be one total order — a
+    1-task sort at 100 TB. Instead docs are salted into ``n_shards``
+    deterministic shards (md5 of the text, so shard assignment is
+    content-stable) and packed per (partition_cols..., shard): the
+    window's PARTITION BY gives one independent token stream per shard,
+    each a bounded sort, all shuffled in ONE exchange. Waste is at most
+    one partial tail chunk per shard — choose n_shards so
+    shard_tokens >> budget (n_shards ≈ cores × k at cluster scale).
+
+    ``keep_col`` (boolean) integrates mixture sampling: dropped docs
+    contribute zero tokens and get NULL chunk bounds, but stay in the
+    output so callers can report pre/post-sampling stats in one pass.
+
+    Returns the input columns plus (shard, tok, chunk_first,
+    chunk_last, crosses_boundary).
+    """
+    from pyspark.sql import Window
+
+    tok = token_count(F.col(text_col))
+    if keep_col is not None:
+        tok = F.when(F.col(keep_col), tok).otherwise(F.lit(0))
+    out = docs.withColumn(
+        "shard", _md5_byte(F.col(text_col), "shard") % n_shards
+    ).withColumn("tok", tok.cast("long"))
+    w = (
+        Window.partitionBy(*partition_cols, "shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("cum", F.sum("tok").over(w))
+    live = F.col("tok") > 0
+    return (
+        out.withColumn(
+            "chunk_first",
+            F.when(live, F.floor((F.col("cum") - F.col("tok")) / budget)),
+        )
+        .withColumn(
+            "chunk_last",
+            F.when(live, F.floor((F.col("cum") - 1) / budget)),
+        )
+        .withColumn(
+            "crosses_boundary",
+            F.when(live, F.col("chunk_last") > F.col("chunk_first")),
+        )
+        .drop("cum")
+    )

@@ -563,3 +563,61 @@ def test_dup_span_stats_vs_bruteforce(spark):
         assert abs(got[d][2] - want_frac) < 1e-9
         n_nonzero += n_dup > 0
     assert n_nonzero >= 10  # the fixture genuinely exercises coverage
+
+
+# ------------------------------------------------ fuzzy dedup end-to-end
+
+
+def test_fuzzy_dedup_matches_union_find(spark):
+    """fuzzy_dedup == union-find over its own LSH candidate-pair graph
+    + keep-min-id, with zero-shingle docs and non-duplicated docs
+    passing through as keep=true singletons."""
+    from golden_horse_spark.operators.dedup import (
+        fuzzy_dedup,
+        minhash_dup_pairs,
+    )
+
+    words = [f"w{i:03d}" for i in range(400)]
+    texts = []
+    # 5 duplicate clusters of exact copies over DISJOINT vocabulary
+    # (identical shingle sets within a cluster -> every band collides;
+    # zero shared shingles across clusters -> zero cross-cluster
+    # minhash agreement, so the expected graph is deterministic)
+    for g in range(5):
+        body = " ".join(words[g * 20:(g + 1) * 20])
+        texts += [body] * (2 + g % 3)
+    for i in range(10):  # disjoint-vocab singletons
+        texts.append(" ".join(words[120 + i * 15:120 + (i + 1) * 15]))
+    texts += ["", "short one"]  # zero-shingle docs (< k words)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    for fn in ("md5", "xxhash64"):
+        out = {
+            r["doc_id"]: (r["component"], r["keep"])
+            for r in fuzzy_dedup(
+                docs, num_hashes=4, bands=2, k=3, hash_fn=fn
+            ).collect()
+        }
+        assert set(out) == set(range(len(texts)))  # every doc labeled
+
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_dup_pairs(
+                docs, num_hashes=4, bands=2, k=3, hash_fn=fn
+            ).collect()
+        ]
+        expect = _uf_components(range(len(texts)), pairs)
+        for i in range(len(texts)):
+            assert out[i] == (expect[i], expect[i] == i), (fn, i)
+
+        # exactly one survivor per cluster; disjoint vocab means the
+        # clusters are exactly the 5 copy groups
+        comps = {}
+        for i, (c, _) in out.items():
+            comps.setdefault(c, []).append(i)
+        assert sum(len(v) > 1 for v in comps.values()) == 5
+        for c, members in comps.items():
+            assert sum(out[i][1] for i in members) == 1
+            assert out[min(members)][1]  # the min id is the survivor

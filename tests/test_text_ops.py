@@ -123,3 +123,90 @@ def test_pii_redaction_idempotent_and_clean(spark):
     assert agg["email"] == 0 and agg["phone"] == 0 and agg["ipv4"] == 0
     r1 = {r["doc_id"]: r["r1"] for r in once.collect()}
     assert r1[0] == "<EMAIL> from <IP> dial <PHONE> ok"
+
+
+# ------------------------------------- mixture sampling + sequence packing
+
+
+def test_mixture_keep_deterministic_and_rate(spark):
+    from golden_horse_spark.operators.text_analysis import (
+        hash_split,
+        mixture_keep,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with several words", f"src{i % 3}")
+         for i in range(3000)],
+        "doc_id long, text string, source string",
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    keep = mixture_keep(F.col("text"), F.col("source"), rates)
+    got = docs.groupBy("source").agg(
+        F.avg(keep.cast("double")).alias("frac")
+    ).collect()
+    for r in got:
+        # md5 bytes are uniform; 1000 draws per source -> ±5% absolute
+        assert abs(r["frac"] - rates[r["source"]]) < 0.05, r
+    # deterministic: two evaluations agree row-for-row
+    a = docs.select("doc_id", keep.alias("k")).collect()
+    b = docs.select("doc_id", keep.alias("k")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # independent salts: keep is not a function of the split label
+    both = docs.select(
+        hash_split(F.col("text")).alias("split"), keep.alias("k")
+    ).groupBy("split").agg(F.avg(F.col("k").cast("double")).alias("f")).collect()
+    fr = {r["split"]: r["f"] for r in both}
+    assert max(fr.values()) - min(fr.values()) < 0.15
+
+
+def test_pack_chunks_invariants_and_hand_case(spark):
+    from golden_horse_spark.operators.text_analysis import pack_chunks
+    from pyspark.sql import functions as F
+
+    # hand case: single shard, known token counts 3,4,5,2 and budget 4.
+    # concat stream offsets: [0,3) [3,7) [7,12) [12,14)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, "h i j k l"), (3, "m n")],
+        "doc_id long, text string",
+    )
+    out = pack_chunks(docs, budget=4, n_shards=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    expect = {0: (0, 0, False), 1: (0, 1, True), 2: (1, 2, True), 3: (3, 3, False)}
+    for i, (cf, cl, cb) in expect.items():
+        r = rows[i]
+        assert (r["chunk_first"], r["chunk_last"], r["crosses_boundary"]) == (
+            cf, cl, cb), i
+
+    # invariants at scale: every kept token lands in exactly one chunk,
+    # chunk ids are contiguous per (split, shard), and dropped docs get
+    # NULL bounds but stay in the output
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1 + i % 37)),
+          i % 4 == 0)  # 25% dropped
+         for i in range(500)],
+        "doc_id long, text string, dropped boolean",
+    ).withColumn("keep", ~F.col("dropped"))
+    p = pack_chunks(docs2, budget=64, n_shards=4, keep_col="keep").collect()
+    assert len(p) == 500
+    by_shard = {}
+    for r in p:
+        if r["dropped"]:
+            assert r["tok"] == 0 and r["chunk_first"] is None
+            continue
+        assert r["chunk_first"] is not None
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        total = sum(r["tok"] for r in rs)
+        # reconstruct the concat stream: doc i occupies [cum-tok, cum)
+        cum = 0
+        for r in rs:
+            start, end = cum, cum + r["tok"]
+            assert r["chunk_first"] == start // 64
+            assert r["chunk_last"] == (end - 1) // 64
+            assert r["crosses_boundary"] == (r["chunk_last"] > r["chunk_first"])
+            cum = end
+        n_chunks = (total - 1) // 64 + 1
+        assert max(r["chunk_last"] for r in rs) == n_chunks - 1
