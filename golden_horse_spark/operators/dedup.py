@@ -597,7 +597,17 @@ def _keep_min_representative(
     # subtree twice; at cluster scale this is a stage-table write,
     # locally a localCheckpoint (measured 2× on the sf0.1 probe)
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
-    comp = connected_components(pairs, "id_a", "id_b")
+    # size the CC co-partition width to the PAIR GRAPH, not the corpus:
+    # the dup graph is orders smaller than the input (tiny islands), so
+    # session-default-wide rounds are pure scheduling overhead — 588
+    # edges across 16-task stages measured ~4× slower than 1-task
+    # rounds. The count is a bounded action on the materialized
+    # checkpoint; ~1M edges/partition keeps shuffle blocks ≲50 MB at
+    # cluster scale, and the session default stays the ceiling.
+    n_pairs = pairs.count()
+    default_p = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cc_p = min(default_p, n_pairs // 1_000_000 + 1)
+    comp = connected_components(pairs, "id_a", "id_b", num_partitions=cc_p)
     labeled = (
         ids.join(comp, ids[id_col] == comp["node"], "left")
         .select(
@@ -617,6 +627,7 @@ def fuzzy_dedup(
     k: int = 3,
     hash_fn: str = "xxhash64",
     signatures: DataFrame | None = None,
+    pairs: DataFrame | None = None,
     **pair_kwargs,
 ) -> DataFrame:
     """End-to-end MinHash fuzzy deduplication with keep/drop decisions —
@@ -637,13 +648,20 @@ def fuzzy_dedup(
     ``connected_components``'s co-partitioned hash-to-min rounds; the
     dup graph is tiny islands at web scale, so CC converges in a few
     cheap rounds. Pass ``signatures`` to reuse an already-computed
-    signature table (one pass shared with reporting queries).
+    signature table, or ``pairs`` (a ``minhash_dup_pairs`` result over
+    the SAME docs) to reuse the whole candidate subtree — the
+    dedup-of-compute pattern when a reporting query also materializes
+    signatures/pairs.
     """
-    pairs = minhash_dup_pairs(
-        docs, text_col=text_col, num_hashes=num_hashes,
-        bands=bands, k=k, hash_fn=hash_fn, signatures=signatures,
-        **pair_kwargs,
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    if pairs is None:
+        pairs = minhash_dup_pairs(
+            docs, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, k=k, hash_fn=hash_fn, signatures=signatures,
+            **pair_kwargs,
+        )
+    pairs = pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
     ids = docs.select(doc_id).distinct()
     return _keep_min_representative(ids, pairs, doc_id)
 
