@@ -372,3 +372,56 @@ def pack_chunks(
         )
         .drop("cum")
     )
+
+
+# --------------------------------------------- quantile-threshold curation
+
+
+def quantile_keep(
+    score: Column,
+    frac: float,
+    partition_col: str = "lang",
+    tiebreak_col: str = "doc_id",
+) -> Column:
+    """EXACT top-``frac`` keep decision per partition key (FineWeb-Edu /
+    DCLM-style curation: keep the best X% by a quality/classifier score
+    within each language): percent_rank over (score DESC, tiebreak) —
+    the tiebreak makes the total order deterministic, so the decision is
+    reproducible and has an exact cross-engine SQL twin.
+
+    This is the small/medium path: one window sort per partition key.
+    At 100 TB a per-key total sort is the bottleneck — use
+    :func:`quantile_thresholds` (approx-percentile cutoff + broadcast
+    join) there instead.
+
+    Window expressions can't sit in WHERE — materialize first:
+    ``docs.withColumn("keep", quantile_keep(...)).where("keep")``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(
+        score.desc(), F.col(tiebreak_col)
+    )
+    return F.percent_rank().over(w) < frac
+
+
+def quantile_thresholds(
+    docs: DataFrame,
+    score: Column,
+    frac: float,
+    partition_col: str = "lang",
+) -> DataFrame:
+    """Scale path for quantile curation: per-key score cutoff at the
+    (1−frac) quantile via ``percentile_approx`` — one map-side-combined
+    aggregation (no per-key sort), the thresholds table is
+    |distinct keys| rows and broadcasts back for the keep join:
+
+        thr = quantile_thresholds(docs, score, 0.5)
+        kept = docs.join(F.broadcast(thr), "lang").where(score >= F.col("thr"))
+
+    Approximate at the boundary (percentile_approx error bound), exact
+    in the interior — the standard trade at corpus scale.
+    """
+    return docs.groupBy(partition_col).agg(
+        F.percentile_approx(score, 1.0 - frac, 10000).alias("thr")
+    )

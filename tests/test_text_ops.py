@@ -210,3 +210,45 @@ def test_pack_chunks_invariants_and_hand_case(spark):
             cum = end
         n_chunks = (total - 1) // 64 + 1
         assert max(r["chunk_last"] for r in rs) == n_chunks - 1
+
+
+def test_quantile_keep_exact_and_threshold_path(spark):
+    from golden_horse_spark.operators.text_analysis import (
+        quantile_keep,
+        quantile_thresholds,
+    )
+    from pyspark.sql import functions as F
+
+    # two langs with known score ladders: en scores 0..99, zh 0..49
+    rows = [(i, "en", float(i)) for i in range(100)]
+    rows += [(1000 + i, "zh", float(i)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+    kept = (
+        docs.withColumn("_k", quantile_keep(F.col("score"), 0.25))
+        .where("_k").collect()
+    )
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["score"])
+    # percent_rank < 0.25 over DESC order keeps the strict top quarter
+    assert by_lang["en"] == {float(s) for s in range(76, 100)} | {75.0}
+    assert by_lang["zh"] == {float(s) for s in range(38, 50)} | {37.0}
+
+    # scale path: approx threshold + broadcast join keeps a similar set
+    thr = quantile_thresholds(docs, F.col("score"), 0.25)
+    kept2 = (
+        docs.join(F.broadcast(thr), "lang")
+        .where(F.col("score") >= F.col("thr"))
+        .groupBy("lang").count().collect()
+    )
+    counts = {r["lang"]: r["count"] for r in kept2}
+    assert abs(counts["en"] - 25) <= 2 and abs(counts["zh"] - 13) <= 2
+
+    # deterministic tie handling: constant scores fall back to doc_id
+    ties = spark.createDataFrame(
+        [(i, "en", 1.0) for i in range(8)], "doc_id long, lang string, score double"
+    )
+    k1 = sorted(r["doc_id"] for r in ties.withColumn(
+        "_k", quantile_keep(F.col("score"), 0.5)).where("_k").collect())
+    assert k1 == [0, 1, 2, 3]  # doc_id tiebreak -> lowest ids survive
