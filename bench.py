@@ -371,6 +371,74 @@ def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -
     }
 
 
+def run_dedup_bench(spark, n_docs: int = 100_000) -> dict:
+    """End-to-end fuzzy dedup (signatures → LSH bands → pairs → CC →
+    keep decisions) at 10^5-doc scale — large-scale evidence for the
+    full RefinedWeb/Dolma recipe shape, production xxhash64 hashing.
+    Corpus synthesized JVM-side: 20% of docs draw their text from 1,000
+    shared seeds (exact-duplicate clusters averaging ~20 members), 80%
+    unique; 20-79 words from a 50k vocabulary."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.dedup import fuzzy_dedup
+
+    base = F.when(
+        F.col("id") % 5 == 0, F.pmod(F.xxhash64("id"), F.lit(1000))
+    ).otherwise(F.col("id") + 1000)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.lit(19) + F.pmod(F.xxhash64(base), F.lit(60)))
+                        .cast("int"),
+                    ),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(base, i), F.lit(50000))
+                        .cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .localCheckpoint()  # pin the synthesized input out of the timing
+    )
+
+    # cold + 2 warm iterations, min-of-warm (pipeline-bench convention).
+    # The gc.collect between runs is load-bearing: each run's
+    # localCheckpoint blocks are reclaimed by Spark's ContextCleaner only
+    # after Python drops its py4j references — in a tight loop CPython's
+    # cycle collector hasn't run yet, orphaned blocks pile up, and the
+    # SAME work measured 39 s → 173 s across iterations before the fix
+    # (14 s / 7 s after). A long-lived driver GCs naturally; a benchmark
+    # loop must do it explicitly.
+    import gc
+
+    secs = []
+    for _ in range(3):
+        t0 = _t.time()
+        n_dropped = fuzzy_dedup(docs).where(~F.col("keep")).count()
+        secs.append(round(_t.time() - t0, 2))
+        # every doc sharing a seed is an exact copy: the dup mass is known
+        assert n_dropped > 0.15 * n_docs, n_dropped
+        gc.collect()
+        _t.sleep(2)
+    sec = min(secs[1:])
+    return {
+        "n_docs": n_docs,
+        "dedup_sec": sec,
+        "dedup_sec_cold": secs[0],
+        "dedup_docs_per_sec": round(n_docs / sec, 1),
+        "n_dropped": n_dropped,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
@@ -383,6 +451,9 @@ def main() -> None:
     ap.add_argument("--temporal", action="store_true",
                     help="as-of + sessionize 10^6-row bench only")
     ap.add_argument("--temporal-events", type=int, default=2_000_000)
+    ap.add_argument("--dedup", action="store_true",
+                    help="end-to-end fuzzy dedup 10^5-doc bench only")
+    ap.add_argument("--dedup-docs", type=int, default=100_000)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -419,6 +490,17 @@ def main() -> None:
         out = {"metric": "cc_graph_bench", "unit": "sec"}
         out.update(run_cc_bench(spark))
         out["value"] = out["cc_sec"]
+        print(json.dumps(out))
+        return
+
+    if args.dedup:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-dedup", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "fuzzy_dedup_bench", "unit": "sec"}
+        out.update(run_dedup_bench(spark, args.dedup_docs))
+        out["value"] = out["dedup_sec"]
         print(json.dumps(out))
         return
 

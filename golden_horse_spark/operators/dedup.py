@@ -79,48 +79,77 @@ def shingles_expr(text_col: str, k: int = 3) -> str:
 # ----------------------------------------------------------- MinHash+LSH
 
 
+def _xx_filler(j: int):
+    """Sentinel signature value for zero-shingle docs on the xxhash64
+    path — must match between ``minhash_signatures`` and
+    ``minhash_dup_pairs``'s all-filler detection."""
+    return F.xxhash64(F.lit(j), F.xxhash64(F.lit(f"{j}|")))
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}): h_j = min over shingles of hash(j || '|' || s).
+    """(doc_id, h0..h{n-1}) minhash signature table.
 
-    ``hash_fn="md5"`` (default): hex min taken lexicographically —
-    portable to any SQL engine, used by the DuckDB oracle twin.
-    ``hash_fn="xxhash64"``: the PRODUCTION setting — JVM-codegen 64-bit
-    hash, roughly an order of magnitude cheaper than md5; at web scale
-    the signature pass is hash-bound (docs × shingles × num_hashes), so
-    this is the knob that matters. Same LSH semantics either way.
-    Docs shorter than k words get the hash of the empty marker (stable).
+    ``hash_fn="md5"`` (default): h_j = lexicographic min over shingles
+    of md5(j || '|' || s) — portable to any SQL engine, used by the
+    DuckDB oracle twin.
+    ``hash_fn="xxhash64"``: the PRODUCTION setting — each shingle is
+    string-hashed ONCE (H = xxhash64(s)), then the num_hashes values
+    derive as xxhash64(j, H): Broder's universal-hash-family trick, so
+    the string-hash cost is paid once instead of num_hashes times (the
+    signature pass is string-hash-bound at web scale; measured ~5× on
+    the 10^5-doc dedup bench, and the gap widens with num_hashes).
+    Signature columns are LONG here, not hex strings. Any consistent
+    per-j total order gives valid LSH semantics — only signature
+    EQUALITY feeds the banding.
+    Docs shorter than k words get a stable filler signature either way.
     """
-    if hash_fn == "md5":
-        mk = lambda col: F.md5(col)  # noqa: E731
-    elif hash_fn == "xxhash64":
-        mk = lambda col: F.xxhash64(col).cast("string")  # noqa: E731
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    # Shape: explode shingles once, hash each ONCE per j, map-side-combined
-    # min per doc. The tempting all-column form — num_hashes expressions
-    # each containing transform(shingles, …) — re-evaluates split()/slice()
-    # per ARRAY ELEMENT per column (Catalyst doesn't CSE inside lambdas):
-    # measured 6× slower at sf0.1 and quadratically worse with num_hashes.
-    # A NULL marker element keeps shingle-less docs in the output.
+    # Shape: explode shingles once, hash once per row (+ cheap per-j
+    # long-hashes), map-side-combined min per doc. The tempting
+    # all-column form — num_hashes expressions each containing
+    # transform(shingles, …) — re-evaluates split()/slice() per ARRAY
+    # ELEMENT per column (Catalyst doesn't CSE inside lambdas):
+    # measured 6× slower at sf0.1 and quadratically worse with
+    # num_hashes. A NULL marker element keeps shingle-less docs in the
+    # output.
     sh = F.expr(shingles_expr(text_col, k))
     ex = docs.select(
         "doc_id", F.explode(F.concat(sh, F.array(F.lit(None)))).alias("s")
     )
-    aggs = [
-        F.min(
-            F.when(
-                F.col("s").isNotNull(),
-                mk(F.concat(F.lit(f"{j}|"), F.col("s"))),
-            )
-        ).alias(f"m{j}")
-        for j in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("s").isNotNull(),
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))),
+                )
+            ).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
+        fill = [F.md5(F.lit(f"{j}|")) for j in range(num_hashes)]
+    elif hash_fn == "xxhash64":
+        ex = ex.withColumn(
+            "_hs", F.when(F.col("s").isNotNull(), F.xxhash64("s"))
+        )
+        # xxhash64 skips NULL args (would hash the j-lit alone), so the
+        # isNotNull guard must wrap the whole expression
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("_hs").isNotNull(),
+                    F.xxhash64(F.lit(j), F.col("_hs")),
+                )
+            ).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
+        fill = [_xx_filler(j) for j in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     g = ex.groupBy("doc_id").agg(*aggs)
     cols = [F.col("doc_id")] + [
-        F.coalesce(F.col(f"m{j}"), mk(F.lit(f"{j}|"))).alias(f"h{j}")
+        F.coalesce(F.col(f"m{j}"), fill[j]).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return g.select(*cols)
@@ -168,9 +197,7 @@ def minhash_dup_pairs(
         if hash_fn == "md5":
             filler = lambda j: F.md5(F.lit(f"{j}|"))  # noqa: E731
         else:
-            filler = (  # noqa: E731
-                lambda j: F.xxhash64(F.lit(f"{j}|")).cast("string")
-            )
+            filler = _xx_filler
         all_filler = None
         for j in range(num_hashes):
             c = F.col(f"h{j}") == filler(j)
