@@ -153,6 +153,17 @@ def run_pipeline_bench(spark) -> dict:
         )
         mentions.unpersist()
         links.unpersist()
+        # release py4j refs so ContextCleaner reclaims the CC rounds'
+        # localCheckpoint blocks inside canonical_entities before the
+        # next iteration: without this, seg+ner degraded monotonically
+        # 25.5 s → 47.6 s → 68.4 s across iterations (same work), the
+        # round-1/2 "intermittent stall" signature. See BENCH.md --dedup
+        # section for the mechanism.
+        import gc
+
+        entities = triples = sentences = None
+        gc.collect()
+        time.sleep(2)
         return dt, n_mentions, n_links, n_triples
 
     # steady-state measurement: iteration 1 warms JIT/codegen + the python
@@ -166,7 +177,7 @@ def run_pipeline_bench(spark) -> dict:
     # in BENCH.md); min-of-k skips past it, so the reported number is
     # the code's cost, not stall luck. All iterations are surfaced in
     # pipeline_sec_warm_all.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "2"))
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3"))
     warm = [run_once() for _ in range(warm_runs)]
     dt, n_mentions, n_links, n_triples = min(warm, key=lambda r: r[0])
     docs.unpersist()
@@ -521,6 +532,8 @@ def main() -> None:
     total += pipe["pipeline_sec"]
 
     if not args.pipeline_only:
+        import gc
+
         import __spark_entry__ as e
 
         qs = e.queries()
@@ -532,6 +545,12 @@ def main() -> None:
             qtimes[name] = dt
             total += dt
             print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+            # release py4j refs so ContextCleaner reclaims each query's
+            # localCheckpoint blocks before the next timing (see the
+            # --dedup section of BENCH.md; orphaned blocks degraded
+            # identical reruns ~4x)
+            df = None
+            gc.collect()
 
     result["queries"] = qtimes
     result["value"] = round(total, 2)
