@@ -215,3 +215,119 @@ def k_core(
             break
         n_alive = n_new
     return alive
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-source shortest hop distances (unweighted BFS) →
+    (node, dist), reachable nodes only, dist ≤ ``max_hops``.
+
+    Frontier-relational iteration, same discipline as the other loops
+    here: the symmetrized edge table is hash-partitioned on the probe
+    key once and checkpoint-pinned; each hop is ONE co-partitioned join
+    (frontier → neighbors) + distinct + anti-join against the settled
+    set. The frontier is checkpointed per hop (O(1) plan), convergence
+    is an aggregate count of the new frontier. Rounds = eccentricity of
+    the source (small-world graphs: a handful), each a bounded-size
+    shuffle — no per-node driver state, so 10^9-edge graphs ride the
+    same plan.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    first = edges.sparkSession.createDataFrame(
+        [(source, 0)], schema="node long, dist int"
+    )
+    dist = first.repartition(p, "node").localCheckpoint()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Link prediction by common-neighbor count: non-adjacent node pairs
+    (u, v) with ≥ ``min_common`` shared neighbors → (u, v, n_common) —
+    the classic candidate generator for missing KG edges (the integer
+    core of Adamic-Adar/Jaccard scoring; those reweight the same wedge
+    join).
+
+    Shape: ONE self-join of the symmetrized adjacency on the center
+    node (every wedge u–n–v with u<v), count per (u, v), anti-join
+    against existing edges. Wedge fan-out is Σ deg(n)², so hubs are the
+    scale hazard — ``max_degree`` drops center nodes wider than the cap
+    before the join (a 10^6-degree hub contributes 10^12 wedges and
+    zero link-prediction signal; same guard philosophy as the minhash
+    bucket cap, mirror it in any oracle).
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    sym = sym.repartition(p, "a").localCheckpoint()
+    # the cap limits WEDGE CENTERS only; adjacency for the anti-join
+    # must stay uncapped, else hub-incident edges would resurface as
+    # "predicted" links
+    centers = sym
+    if max_degree is not None:
+        ok = (
+            sym.groupBy("a").agg(F.count("*").alias("_d"))
+            .where(F.col("_d") <= max_degree)
+            .select("a")
+        )
+        centers = sym.join(ok, "a", "left_semi")
+    wedges = (
+        centers.alias("l")
+        .join(centers.alias("r"), F.col("l.a") == F.col("r.a"))
+        .where(F.col("l.b") < F.col("r.b"))
+        .groupBy(F.col("l.b").alias("u"), F.col("r.b").alias("v"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    existing = sym.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return (
+        wedges.join(existing, ["u", "v"], "left_anti")
+        .where(F.col("n_common") >= min_common)
+    )

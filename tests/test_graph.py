@@ -141,3 +141,98 @@ def test_k_core_vs_python_peel(spark):
                 ).collect()
             }
             assert got == peel(edges, k), (trial, k, edges)
+
+
+# ------------------------------------------------ BFS + link prediction
+
+
+def test_bfs_distances_path_and_unreachable(spark):
+    from golden_horse_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4 plus a separate component {10, 11}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # unreachable absent
+
+    # max_hops caps the expansion
+    got2 = {r["node"]: r["dist"] for r in
+            bfs_distances(edges, 0, max_hops=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}
+
+    # undirected: reverse edge direction reaches the same set
+    got3 = {r["node"]: r["dist"] for r in bfs_distances(edges, 4).collect()}
+    assert got3 == {4: 0, 3: 1, 2: 2, 1: 3, 0: 4}
+
+
+def test_bfs_distances_vs_python_reference(spark):
+    import random
+    from collections import deque
+
+    from golden_horse_spark.operators.graph import bfs_distances
+
+    rng = random.Random(5)
+    n = 60
+    es = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    edges = spark.createDataFrame(es, "src long, dst long")
+
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ref, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        for w in adj.get(u, []):
+            if w not in ref:
+                ref[w] = ref[u] + 1
+                q.append(w)
+
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, 0, max_hops=30).collect()}
+    assert got == ref
+
+
+def test_common_neighbor_pairs_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from golden_horse_spark.operators.graph import common_neighbor_pairs
+
+    rng = random.Random(9)
+    n = 40
+    es = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(140)})
+    edges = spark.createDataFrame(es, "src long, dst long")
+
+    adj = {i: set() for i in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = set(es)
+    want = {}
+    for u, v in itertools.combinations(range(n), 2):
+        if (u, v) in eset:
+            continue
+        c = len(adj[u] & adj[v])
+        if c >= 2:
+            want[(u, v)] = c
+
+    got = {(r["u"], r["v"]): r["n_common"]
+           for r in common_neighbor_pairs(edges, min_common=2).collect()}
+    assert got == want and want  # fixture genuinely has candidates
+
+
+def test_common_neighbor_pairs_hub_cap(spark):
+    from golden_horse_spark.operators.graph import common_neighbor_pairs
+
+    # star: hub 0 connected to 1..20 (plus one real wedge via node 21)
+    es = [(0, i) for i in range(1, 21)] + [(1, 21), (2, 21)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    # uncapped: hub generates C(20,2) = 190 leaf pairs, plus (0, 21)
+    # via centers 1 and 2
+    assert common_neighbor_pairs(edges, min_common=1, max_degree=None).count() == 191
+    # cap below the hub degree: node 0 stops acting as a wedge CENTER
+    # (190 leaf pairs gone) but its edges still count as adjacency
+    got = {(r["u"], r["v"]): r["n_common"]
+           for r in common_neighbor_pairs(edges, min_common=1, max_degree=5).collect()}
+    assert got == {(1, 2): 1, (0, 21): 2}
