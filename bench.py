@@ -315,6 +315,20 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     n_core5 = k_core(edges, k=5).count()
     kcore5_sec = round(_t.time() - t0, 2)
     assert n_core5 == 0, n_core5
+
+    # BFS from the hub: every clique root is 1 hop, every non-root clique
+    # member 2 — the whole 2M-node graph settles in two frontier rounds,
+    # and the exact level sizes are asserted
+    from golden_horse_spark.operators.graph import bfs_distances
+
+    t0 = _t.time()
+    levels = {
+        r["dist"]: r["n"]
+        for r in bfs_distances(edges, n_nodes, max_hops=4)
+        .groupBy("dist").agg(F.count("*").alias("n")).collect()
+    }
+    bfs_sec = round(_t.time() - t0, 2)
+    assert levels == {0: 1, 1: n_cliques, 2: 4 * n_cliques}, levels
     return {
         "n_nodes": n_nodes + 1,
         "n_edges": n_edges,
@@ -326,6 +340,8 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         "pagerank_nodes_ranked": n_ranked,
         "kcore4_sec": kcore4_sec,
         "kcore5_cascade_sec": kcore5_sec,
+        "bfs_sec": bfs_sec,
+        "bfs_nodes_per_sec": round((n_nodes + 1) / bfs_sec, 1),
     }
 
 

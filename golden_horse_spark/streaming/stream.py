@@ -17,6 +17,9 @@ continuous ingestion of interleaved documents with exactly-once sinks.
   broadcast join against the alias dictionary (== batch candidates).
 * ``stream_comention_pairs`` — stream–stream watermarked self-join
   with an event-time range bound (== batch self-join; state bounded).
+* ``curate_documents_stream`` — streaming corpus curation (quality
+  filter + deterministic domain-mixture sampling); stateless Column
+  exprs, so stream == batch decisions by construction (tested).
 * ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
   then stop: deterministic for tests/benchmarks) into a parquet sink
   with checkpointing — kill/restart resumes from the checkpoint.
@@ -265,3 +268,41 @@ def run_to_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def curate_documents_stream(
+    docs_stream: DataFrame,
+    mixture_rates: dict | None = None,
+    min_quality: float = 0.7,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Streaming corpus curation: the batch quality-filter + deterministic
+    domain-mixture sampling applied to a document stream. Everything here
+    is a stateless Column expression (no state store, no watermark
+    needed), so stream and batch decisions are IDENTICAL by construction
+    — the content-hash mixture decision does not depend on arrival order,
+    which an RNG-based sampler could not guarantee. Adds (quality,
+    n_tokens, keep_quality, keep_mixture, keep) and passes rows through
+    for downstream sinks to filter on ``keep``."""
+    from ..operators.text_analysis import (
+        mixture_keep,
+        quality_score,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    out = docs_stream.withColumn("quality", quality_score(t)).withColumn(
+        "n_tokens", token_count(t).cast("long")
+    )
+    kq = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= 10)
+    km = (
+        mixture_keep(t, F.col(domain_col), mixture_rates)
+        if mixture_rates is not None
+        else F.lit(True)
+    )
+    return (
+        out.withColumn("keep_quality", kq)
+        .withColumn("keep_mixture", km)
+        .withColumn("keep", kq & km)
+    )

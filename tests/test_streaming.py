@@ -415,3 +415,46 @@ def test_surface_stats_doc_straddling_micro_batches(spark, tmp_path_factory):
     assert final["total_mentions"] == 4
     assert final["n_docs"] == 2, rows      # docA once + docB, not 3
     assert final["first_doc"] == "docA"
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path_factory):
+    """curate_documents_stream == the same Column exprs on the batch
+    table: quality + mixture decisions are stateless content functions,
+    so arrival order / micro-batching cannot change them."""
+    from golden_horse_spark.streaming.stream import (
+        curate_documents_stream,
+        run_to_sink,
+    )
+
+    d = tmp_path_factory.mktemp("curate_in")
+    rows = [
+        (i,
+         " ".join(f"w{(i * 7 + j) % 90}" for j in range(5 + i % 40)),
+         f"src{i % 3}")
+        for i in range(300)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    batch.repartition(4).write.mode("overwrite").parquet(str(d / "docs"))
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(str(d / "docs"))
+    )
+    out = tmp_path_factory.mktemp("curate_out")
+    run_to_sink(
+        curate_documents_stream(stream_in, mixture_rates=rates),
+        str(out / "curated"), str(out / "ckpt"),
+    )
+    got = {r["doc_id"]: (r["quality"], r["n_tokens"], r["keep"])
+           for r in spark.read.parquet(str(out / "curated")).collect()}
+
+    want_df = curate_documents_stream(
+        spark.read.parquet(str(d / "docs")), mixture_rates=rates
+    )
+    want = {r["doc_id"]: (r["quality"], r["n_tokens"], r["keep"])
+            for r in want_df.collect()}
+    assert got == want and len(got) == 300
+    kept = sum(1 for v in got.values() if v[2])
+    assert 0 < kept < 300  # both decisions actually fire
