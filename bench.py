@@ -288,9 +288,12 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     edges = cliques.union(bridges).union(hub)
     n_edges = edges.count()
 
+    import gc
+
     t0 = _t.time()
     tri = triangle_count(edges).head()["n_triangles"]
     tri_sec = round(_t.time() - t0, 2)
+    gc.collect()
     expected = 10 * n_cliques + (n_cliques - 1)
     assert tri == expected, (tri, expected)
 
@@ -299,6 +302,7 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     pr = pagerank(sym, n_iter=5)
     n_ranked = pr.count()
     pr_sec = round(_t.time() - t0, 2)
+    gc.collect()
 
     # k-core at the same scale, with exactly-known fixpoints: the whole
     # graph is a 4-core (non-root clique nodes have degree exactly 4,
@@ -310,10 +314,12 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     t0 = _t.time()
     n_core4 = k_core(edges, k=4).count()
     kcore4_sec = round(_t.time() - t0, 2)
+    gc.collect()
     assert n_core4 == n_nodes + 1, n_core4
     t0 = _t.time()
     n_core5 = k_core(edges, k=5).count()
     kcore5_sec = round(_t.time() - t0, 2)
+    gc.collect()
     assert n_core5 == 0, n_core5
 
     # BFS from the hub: every clique root is 1 hop, every non-root clique

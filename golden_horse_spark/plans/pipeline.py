@@ -60,6 +60,12 @@ class PipelineConfig:
     # be near-duplicate-free where the distinct+join overhead isn't paid
     # back.
     dedup_ner: bool = True
+    # document-level fuzzy dedup (MinHash-LSH → CC → keep one per
+    # duplicate cluster) as a resumable stage BEFORE extraction — the
+    # standard curation step of web-corpus pipelines. Off by default:
+    # unlike dedup_ner it CHANGES the output (duplicate docs emit no
+    # triples), so it's an explicit corpus-curation decision.
+    dedup_docs: bool = False
 
 
 class StageWriter:
@@ -135,6 +141,34 @@ def run_pipeline(
 
     docs = store.load_or_compute("documents", fp0, lambda: documents)
 
+    if cfg.dedup_docs:
+        from ..operators.dedup import dedup_exact, fuzzy_dedup
+
+        def _dedup() -> DataFrame:
+            if "text" in docs.columns:
+                flat = docs.select("doc_id", "text")
+            else:  # interleaved schema: text lives in spans
+                flat = docs.select(
+                    "doc_id",
+                    F.concat_ws(
+                        "\n",
+                        F.expr(
+                            "transform(filter(spans, s -> s.kind = 'text'),"
+                            " s -> s.text)"
+                        ),
+                    ).alias("text"),
+                )
+            # standard curation order: EXACT first (fingerprint groupBy —
+            # catches identical docs regardless of length, including the
+            # zero-shingle short docs fuzzy banding deliberately skips),
+            # then MinHash fuzzy on the survivors
+            flat = dedup_exact(flat)
+            keep = fuzzy_dedup(flat).where(F.col("keep")).select("doc_id")
+            return docs.join(keep, "doc_id", "left_semi")
+
+        fp0 = store.fingerprint("docs_dedup", fp0 + ":exact+fuzzy")
+        docs = store.load_or_compute("docs_dedup", fp0, _dedup)
+
     fp_sent = store.fingerprint("sentences", fp0)
     sentences = store.load_or_compute(
         "sentences", fp_sent, lambda: documents_to_sentences(docs)
@@ -185,7 +219,8 @@ def run_pipeline(
 
     # metrics table: per-partition lineage + headline counters
     rows = []
-    for stage in ("sentences", "mentions", "candidates", "links", "entities", "triples"):
+    for stage in ("docs_dedup", "sentences", "mentions", "candidates",
+                  "links", "entities", "triples"):
         man = store.manifest(stage) or {}
         for part, n in (man.get("partitions") or {}).items():
             rows.append(

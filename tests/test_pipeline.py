@@ -137,3 +137,47 @@ def test_empty_corpus_pipeline_completes(spark, weights_path, tmp_path_factory):
         PipelineConfig(output_dir=str(out), weights_path=weights_path),
     )
     assert stages2["triples"].count() == 0
+
+
+def test_dedup_docs_stage(spark, weights_path, tmp_path_factory):
+    """cfg.dedup_docs inserts a resumable fuzzy-dedup stage: duplicate
+    documents emit no downstream rows, exactly one representative per
+    duplicate cluster survives, and the stage manifests + resumes like
+    any other."""
+    out = tmp_path_factory.mktemp("kg_dedup")
+    base = synthesize_documents(spark, 40, seed=7, partitions=4)
+    # duplicate every doc once under a fresh id (dup_ prefix sorts AFTER
+    # the originals, so the min-id representative is always the original)
+    dups = base.select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"), "spans"
+    )
+    docs = base.unionByName(dups)
+    cfg = PipelineConfig(
+        output_dir=str(out),
+        weights_path=weights_path,
+        alias_limit=500,
+        extra_alias_surfaces=("张三", "北京", "上海"),
+        triple_parts=4,
+        dedup_docs=True,
+    )
+    stages = run_pipeline(spark, docs, cfg)
+
+    kept = [r["doc_id"] for r in stages["sentences"].select("doc_id").distinct().collect()]
+    assert kept and all(not d.startswith("dup_") for d in kept)
+    assert stages["triples"].where(F.col("doc_id").startswith("dup_")).count() == 0
+
+    man = json.loads((out / "docs_dedup.manifest.json").read_text())
+    # every dup_ copy collapses onto its original (min id); base docs
+    # sharing pool sentences may merge further, so <= 40
+    assert man["status"] == "complete" and 0 < man["rows"] <= 40
+    # the dedup stage appears in the per-partition metrics table
+    m = spark.read.parquet(str(out / "metrics"))
+    assert m.where(F.col("stage") == "docs_dedup").count() > 0
+
+    # resume: identical triples, stage not recomputed (manifest mtime fixed)
+    mtime = (out / "docs_dedup.manifest.json").stat().st_mtime
+    t1 = {tuple(r) for r in stages["triples"].collect()}
+    stages2 = run_pipeline(spark, docs, cfg)
+    t2 = {tuple(r) for r in stages2["triples"].collect()}
+    assert t1 == t2
+    assert (out / "docs_dedup.manifest.json").stat().st_mtime == mtime

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--fuzzy", action="store_true",
                     help="enable MinHash-LSH fuzzy candidate generation")
+    ap.add_argument("--dedup-docs", action="store_true",
+                    help="fuzzy-dedup documents (keep one per duplicate "
+                         "cluster) before extraction")
     ap.add_argument("--alias-limit", type=int, default=50000)
     ap.add_argument("--triple-parts", type=int, default=64)
     args = ap.parse_args()
@@ -60,6 +63,7 @@ def main() -> None:
         fuzzy_linking=args.fuzzy,
         triple_parts=args.triple_parts,
         resume=args.resume,
+        dedup_docs=args.dedup_docs,
     )
     t0 = time.time()
     stages = run_pipeline(spark, docs, cfg)
