@@ -31,10 +31,21 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     num_partitions: int | None = None,
+    sources=None,
 ) -> DataFrame:
     """Directed edges(src, dst) → (node, rank), fixed ``n_iter`` power
     iterations (fixed count keeps the result deterministic for oracles;
-    pass the symmetrized edge table for an undirected walk)."""
+    pass the symmetrized edge table for an undirected walk).
+
+    ``sources``: optional list of node ids — PERSONALIZED PageRank: the
+    teleport (and dangling-mass) distribution concentrates uniformly on
+    the source set instead of all nodes, giving importance RELATIVE to
+    the seeds (the standard KG seed-entity relevance walk). The reset
+    vector becomes a per-node column on the pinned nodes table (one
+    broadcast semi-join, computed once); each round's update is the same
+    single-shuffle contribution aggregate — no extra exchanges vs the
+    global walk.
+    """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -62,7 +73,28 @@ def pagerank(
     )
     n_dangling = dangling_nodes.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if sources is not None:
+        spark_sources = spark.createDataFrame(
+            [(s,) for s in sources], schema=nodes.select("node").schema
+        )
+        reset_nodes = (
+            nodes.join(
+                F.broadcast(spark_sources.withColumn("_s", F.lit(True))),
+                "node", "left",
+            )
+            .select(
+                "node",
+                F.when(F.col("_s"), 1.0 / len(sources)).otherwise(0.0)
+                .alias("reset"),
+            )
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        ranks = reset_nodes.select("node", F.col("reset").alias("rank"))
+    else:
+        reset_nodes = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
     for _ in range(n_iter):
         if n_dangling:
             dangling = (
@@ -73,7 +105,6 @@ def pagerank(
             )
         else:
             dangling = 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(
@@ -83,14 +114,26 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        if reset_nodes is None:
+            base = (1.0 - damping) / n + damping * dangling / n
+            new_rank = (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank")
+            joined = nodes.join(contribs, "node", "left")
+        else:
+            # personalized: per-node reset column; dangling mass returns
+            # to the source distribution
+            new_rank = (
+                (F.lit(1.0 - damping) + F.lit(damping * dangling))
+                * F.col("reset")
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank")
+            joined = reset_nodes.join(contribs, "node", "left")
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+            joined.select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+                new_rank,
             )
             # NO repartition here: the contribution agg and the pinned
             # nodes table are both hash-partitioned on `node` already,

@@ -236,3 +236,55 @@ def test_common_neighbor_pairs_hub_cap(spark):
     got = {(r["u"], r["v"]): r["n_common"]
            for r in common_neighbor_pairs(edges, min_common=1, max_degree=5).collect()}
     assert got == {(1, 2): 1, (0, 21): 2}
+
+
+def _numpy_ppr(edges, n_nodes, sources, damping=0.85, n_iter=10):
+    """Dense personalized-PageRank reference: teleport AND dangling mass
+    go to the uniform distribution over ``sources``."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    p = np.zeros(n_nodes)
+    for s in sources:
+        p[s] = 1.0 / len(sources)
+    r = p.copy()
+    for _ in range(n_iter):
+        dangling = sum(r[v] for v in range(n_nodes) if v not in out)
+        new = ((1 - damping) + damping * dangling) * p
+        for s, ds in out.items():
+            for d in ds:
+                new[d] += damping * r[s] / len(ds)
+        r = new
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 3), (4, 0), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for sources in ([0], [2, 4]):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, n_iter=10, sources=sources).collect()}
+        want = _numpy_ppr(edges, 5, sources, n_iter=10)
+        assert set(got) == set(range(5))
+        for v in range(5):
+            assert abs(got[v] - want[v]) < 1e-9, (sources, v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # seed locality: with sources=[0], the seed outranks the global walk's
+    # rank for it, and a node far from the seed ranks lower
+    glob = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    ppr0 = {r["node"]: r["rank"]
+            for r in pagerank(df, n_iter=10, sources=[0]).collect()}
+    assert ppr0[0] > glob[0]
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(spark):
+    # 3 is dangling: its mass must flow back to the seed, not uniformly;
+    # component {2, 4} is unreachable from the seed
+    edges = [(0, 1), (1, 3), (2, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=15, sources=[0]).collect()}
+    want = _numpy_ppr(edges, 5, [0], n_iter=15)
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9
+    assert got[2] == 0.0 and got[4] == 0.0  # unreachable: exactly zero
