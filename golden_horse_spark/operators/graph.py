@@ -322,12 +322,19 @@ def common_neighbor_pairs(
     src: str = "src",
     dst: str = "dst",
     max_degree: int | None = 1000,
+    adamic_adar: bool = False,
 ) -> DataFrame:
     """Link prediction by common-neighbor count: non-adjacent node pairs
     (u, v) with ≥ ``min_common`` shared neighbors → (u, v, n_common) —
-    the classic candidate generator for missing KG edges (the integer
-    core of Adamic-Adar/Jaccard scoring; those reweight the same wedge
-    join).
+    the classic candidate generator for missing KG edges.
+
+    ``adamic_adar=True`` adds the Adamic-Adar score column
+    ``aa_score = Σ_{n ∈ Γ(u)∩Γ(v)} 1/ln(deg(n))`` — the same wedge join
+    with each center weighted by its inverse log-degree (rare shared
+    neighbors count more), at the cost of one extra degree join on the
+    center key (co-partitioned: the adjacency is already hashed on it).
+    Degrees are computed on the UNCAPPED graph (the true deg(n)); the
+    cap only limits which centers generate wedges.
 
     Shape: ONE self-join of the symmetrized adjacency on the center
     node (every wedge u–n–v with u<v), count per (u, v), anti-join
@@ -360,12 +367,19 @@ def common_neighbor_pairs(
             .select("a")
         )
         centers = sym.join(ok, "a", "left_semi")
+    aggs = [F.count("*").alias("n_common")]
+    if adamic_adar:
+        deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+        centers = centers.join(deg, "a")  # co-partitioned on a
+        aggs.append(
+            F.sum(1.0 / F.log(F.col("l._deg"))).alias("aa_score")
+        )
     wedges = (
         centers.alias("l")
         .join(centers.alias("r"), F.col("l.a") == F.col("r.a"))
         .where(F.col("l.b") < F.col("r.b"))
         .groupBy(F.col("l.b").alias("u"), F.col("r.b").alias("v"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(*aggs)
     )
     existing = sym.where(F.col("a") < F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")

@@ -288,3 +288,38 @@ def test_personalized_pagerank_dangling_returns_to_seeds(spark):
     for v in range(5):
         assert abs(got[v] - want[v]) < 1e-9
     assert got[2] == 0.0 and got[4] == 0.0  # unreachable: exactly zero
+
+
+def test_adamic_adar_vs_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    from golden_horse_spark.operators.graph import common_neighbor_pairs
+
+    rng = random.Random(13)
+    n = 30
+    es = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)})
+    edges = spark.createDataFrame(es, "src long, dst long")
+
+    adj = {i: set() for i in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = set(es)
+    want = {}
+    for u, v in itertools.combinations(range(n), 2):
+        if (u, v) in eset:
+            continue
+        shared = adj[u] & adj[v]
+        if len(shared) >= 2:
+            want[(u, v)] = (len(shared),
+                            sum(1.0 / math.log(len(adj[c])) for c in shared))
+
+    got = {(r["u"], r["v"]): (r["n_common"], r["aa_score"])
+           for r in common_neighbor_pairs(
+               edges, min_common=2, adamic_adar=True).collect()}
+    assert set(got) == set(want) and want
+    for k, (nc, aa) in want.items():
+        assert got[k][0] == nc
+        assert abs(got[k][1] - aa) < 1e-9, (k, got[k][1], aa)
