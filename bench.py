@@ -559,20 +559,32 @@ def main() -> None:
         import __spark_entry__ as e
 
         qs = e.queries()
+        # min-of-k per query — the pipeline's own protocol applied to the
+        # suite (round-3 verdict ask #1): on this VM a single-shot timing
+        # rolls dice against random 40-60 s host stalls (BENCH_r03
+        # recorded 65 s for a ~4 s query that way). k runs with
+        # gc.collect() between (ContextCleaner needs the py4j refs
+        # dropped — see the --dedup section of BENCH.md), report the
+        # MIN: interference here is strictly additive, so the fastest
+        # run is the closest observable to the code's cost. All runs are
+        # surfaced in queries_all_runs + stderr.
+        query_runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
+        all_runs: dict = {}
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            df = qs[name](spark, sf)
-            n = df.count()
-            dt = round(time.time() - t0, 2)
+            times = []
+            for _ in range(query_runs):
+                t0 = time.time()
+                df = qs[name](spark, sf)
+                n = df.count()
+                times.append(round(time.time() - t0, 2))
+                df = None
+                gc.collect()
+            dt = min(times)
             qtimes[name] = dt
+            all_runs[name] = times
             total += dt
-            print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
-            # release py4j refs so ContextCleaner reclaims each query's
-            # localCheckpoint blocks before the next timing (see the
-            # --dedup section of BENCH.md; orphaned blocks degraded
-            # identical reruns ~4x)
-            df = None
-            gc.collect()
+            print(f"# {name}: {n} rows, min {dt}s of {times}", file=sys.stderr)
+        result["queries_all_runs"] = all_runs
 
     result["queries"] = qtimes
     result["value"] = round(total, 2)

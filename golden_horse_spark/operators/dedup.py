@@ -378,7 +378,7 @@ def embedding_near_dup_pairs(
     n_cells: int = 16,
     sample: int = 2000,
     seed: int = 42,
-    unroll_max_cells: int = 64,
+    unroll_max_cells: int = 0,
 ) -> DataFrame:
     """EXACT cell-blocked cosine near-dup — never an all-pairs join.
 
@@ -397,19 +397,22 @@ def embedding_near_dup_pairs(
 
     Scale: tight clusters + high τ ⇒ few compatible pairs ⇒ near-linear;
     overlapping clusters or low τ degrade gracefully toward more cell
-    pairs while staying an equi-join. Follow the O(√N) rule for
-    ``n_cells`` in BOTH directions — each cell adds a fixed codegen cost
-    for its unrolled assignment expression (~0.1 s locally, BENCH.md),
-    so small inputs want few cells; above ``unroll_max_cells`` the
-    assignment automatically switches to an Arrow-batched numpy matmul
-    (one matmul per batch, O(1) plan size — the shape
-    ``lsh_multitable_topk`` uses; identical argmin semantics,
-    equality-tested). The `.cache()` on the assigned table backs exactly TWO
-    actions (round-3 fixed-cost shave, was three): a plain-projection
-    centroid sample (vectors normalized driver-side — the sample job
-    carries none of the lambda-heavy unit-norm expressions) and the
-    final query, inside which the per-cell radii aggregate runs as a
-    broadcast subtree joined to the literal centroid-distance table —
+    pairs while staying an equi-join; ``n_cells`` follows the O(√N)
+    rule. The assignment runs as an Arrow-batched numpy matmul by
+    DEFAULT (round-4 fixed-cost shave): normalization AND centroid
+    argmin happen in ONE numpy pass per batch, so the plan carries no
+    lambda-heavy expressions at all — every invocation of the unrolled
+    expression path paid a fresh whole-stage-codegen compile (lambda
+    variable ids differ per call, so the source never hits the codegen
+    cache; measured 3.6–3.8 s warm unrolled vs 2.6–2.9 s Arrow at
+    sf0.1, and the gap grows with n_cells). Pass
+    ``unroll_max_cells ≥ n_cells`` to force the all-JVM unrolled
+    expression instead (useful where Python workers are at a premium;
+    identical argmin semantics, equality-tested both ways). The
+    `.cache()` on the assigned table backs exactly TWO actions
+    (round-3 shave, was three): a plain-projection centroid sample and
+    the final query, inside which the per-cell radii aggregate runs as
+    a broadcast subtree joined to the literal centroid-distance table —
     no separate radii collect. At cluster scale persist the assigned
     table to a stage table instead — same shape.
     """
@@ -435,24 +438,26 @@ def embedding_near_dup_pairs(
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     cents = _lloyd(x, n_cells, seed)
 
-    # norms precomputed per ROW before any join — computing them in the
-    # pair projection costs O(pairs) array passes instead of O(N)
-    e0 = e0.withColumn(
-        "_nrm",
-        F.sqrt(
-            F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
-        ),
-    ).where(F.col("_nrm") > 0)  # zero vectors have undefined cosine (same
-    # as the brute-force NULL-cosine drop)
-    e0 = e0.withColumn(
-        "_unit", F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
-    )
-
     if len(cents) <= unroll_max_cells:
+        # opt-in all-JVM path: norms + unit vectors as expressions, then
         # argmin centroid via array_min over (rank, cell) structs; for
-        # unit vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c)
+        # unit vectors true dist² = rank + 1 (rank = ‖c‖² − 2·x̂·c).
+        # Norms precomputed per ROW before any join — computing them in
+        # the pair projection costs O(pairs) array passes instead of O(N)
         from .similarity import _dot
 
+        e0 = e0.withColumn(
+            "_nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        ).where(F.col("_nrm") > 0)  # zero vectors have undefined cosine
+        # (same as the brute-force NULL-cosine drop)
+        e0 = e0.withColumn(
+            "_unit", F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+        )
         cand_structs = [
             F.struct(
                 (F.lit(float(np.dot(c, c))) - 2 * _dot(F.col("_unit"), c)).alias("d"),
@@ -469,8 +474,12 @@ def embedding_near_dup_pairs(
             F.sqrt(F.greatest(F.col("_m")["d"] + 1.0, F.lit(0.0))).alias("_cdist"),
         )
     else:
-        # Arrow path for big cell counts: one matmul per batch, O(1)
-        # plan size (the unrolled expression would be O(n_cells))
+        # Arrow DEFAULT: normalization + centroid argmin in ONE numpy
+        # pass per batch — O(1) plan size in n_cells AND zero lambda
+        # expressions anywhere in the assignment subtree (each lambda
+        # expression recompiles per invocation; this path's fixed cost
+        # is a reusable python worker). Zero-norm vectors are dropped
+        # here, mirroring the expression path's `_nrm > 0` filter.
         import pandas as pd
         from pyspark.sql.types import (
             DoubleType,
@@ -495,7 +504,12 @@ def embedding_near_dup_pairs(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                u = np.array(pdf["_unit"].tolist(), dtype=np.float64)
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                nrm = np.sqrt((v * v).sum(1))
+                ok = nrm > 0
+                if not ok.any():
+                    continue
+                u = v[ok] / nrm[ok, None]
                 rank = cc[None, :] - 2.0 * (u @ C.T)
                 cell = rank.argmin(1)
                 d = np.sqrt(
@@ -503,9 +517,9 @@ def embedding_near_dup_pairs(
                 )
                 yield pd.DataFrame(
                     {
-                        id_col: pdf[id_col].values,
-                        vec_col: pdf[vec_col].values,
-                        "_nrm": pdf["_nrm"].values,
+                        id_col: pdf[id_col].values[ok],
+                        vec_col: pdf[vec_col].values[ok],
+                        "_nrm": nrm[ok],
                         "_cell": cell.astype("int32"),
                         "_cdist": d,
                     }
