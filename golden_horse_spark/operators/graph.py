@@ -74,9 +74,23 @@ def pagerank(
     n_dangling = dangling_nodes.count()
 
     if sources is not None:
+        # seed hygiene: duplicates would double-count reset mass, an
+        # empty list has no teleport target, and seeds absent from the
+        # edge set carry no mass — renormalize over the PRESENT seeds so
+        # the teleport distribution still sums to 1 (one bounded count)
+        sources = list(dict.fromkeys(sources))
+        if not sources:
+            raise ValueError("personalized PageRank needs ≥1 source node")
         spark_sources = spark.createDataFrame(
             [(s,) for s in sources], schema=nodes.select("node").schema
         )
+        n_present = nodes.join(
+            F.broadcast(spark_sources), "node", "left_semi"
+        ).count()
+        if n_present == 0:
+            raise ValueError(
+                "no personalization source is a node of the edge set"
+            )
         reset_nodes = (
             nodes.join(
                 F.broadcast(spark_sources.withColumn("_s", F.lit(True))),
@@ -84,7 +98,7 @@ def pagerank(
             )
             .select(
                 "node",
-                F.when(F.col("_s"), 1.0 / len(sources)).otherwise(0.0)
+                F.when(F.col("_s"), 1.0 / n_present).otherwise(0.0)
                 .alias("reset"),
             )
             .repartition(p, "node")
@@ -213,12 +227,21 @@ def k_core(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Nodes of the k-core (maximal subgraph where every node has degree
-    ≥ k), by iterative peeling — same relational-iteration discipline as
-    ``connected_components``: the symmetrized edge table is hash-
-    partitioned on the probe key once and checkpoint-pinned; each round
-    is two co-partitioned semi-joins (edge alive-ness) + one degree
-    groupBy; convergence is an aggregate count, not a collect. Rounds ≤
-    peel depth (typically ≪ nodes; cap guards pathological chains).
+    ≥ k), by INCREMENTAL peeling (Matula–Beck degree decrements, the
+    relational form): degrees are computed from the full edge table
+    exactly once; each round only the edges incident to the nodes peeled
+    THIS round move — a co-partitioned semi-join against the pinned
+    adjacency followed by one groupBy of the incident edges — and the
+    surviving nodes' degrees update by decrement. Every edge therefore
+    contributes exactly one decrement in the whole run (the round its
+    first endpoint peels), so total shuffled volume is O(m) regardless
+    of peel depth, vs O(m · rounds) for the recompute-degrees-per-round
+    formulation this replaces (round-3 bench: the 2M-node k=5 cascade
+    spent ~12 s/round re-shuffling the full 10M-row adjacency twice per
+    round). One action per round (the peeled-count convergence check)
+    also materializes that round's lazy checkpoint before the degree
+    table is referenced again — no unmaterialized double-reference race.
+    Rounds ≤ peel depth; cap guards pathological chains.
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -233,31 +256,40 @@ def k_core(
         .repartition(p, "a")
         .localCheckpoint()
     )
-    alive = (
-        sym.select(F.col("a").alias("node")).distinct()
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("a", "node")
         .repartition(p, "node")
         .localCheckpoint()
     )
-    n_alive = alive.count()
     for _ in range(max_iter):
-        deg = (
-            sym.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
-            .groupBy("a")
-            .agg(F.count("*").alias("deg"))
-        )
-        new_alive = (
-            deg.where(F.col("deg") >= k)
-            .select(F.col("a").alias("node"))
-            .repartition(p, "node")
-            .localCheckpoint()
-        )
-        n_new = new_alive.count()
-        alive = new_alive
-        if n_new == n_alive:
+        peeled = deg.where(F.col("deg") < k).select("node")
+        # the ONE action per round: materializes this round's deg
+        # checkpoint and decides convergence
+        if peeled.count() == 0:
             break
-        n_alive = n_new
-    return alive
+        # decrements: only edges whose a-side peeled this round move
+        # (sym pinned on a, peeled hashed on the same key — the semi-join
+        # is co-partitioned); targets that peeled in the same round drop
+        # out naturally in the survivor filter below
+        dec = (
+            sym.join(peeled.withColumnRenamed("node", "a"), "a", "left_semi")
+            .groupBy("b")
+            .agg(F.count("*").alias("_dec"))
+            .withColumnRenamed("b", "node")
+        )
+        deg = (
+            deg.where(F.col("deg") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("_dec"), F.lit(0)))
+                .alias("deg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return deg.select("node")
 
 
 def bfs_distances(
@@ -294,8 +326,19 @@ def bfs_distances(
         .repartition(p, "a")
         .localCheckpoint()
     )
+    # seed schema derives from the edge table (as pagerank does for
+    # sources) — a hardcoded 'node long' coerced string/int node ids and
+    # broke the frontier join for non-long graphs
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     first = edges.sparkSession.createDataFrame(
-        [(source, 0)], schema="node long, dist int"
+        [(source, 0)],
+        schema=StructType(
+            [
+                StructField("node", sym.schema["a"].dataType),
+                StructField("dist", IntegerType()),
+            ]
+        ),
     )
     dist = first.repartition(p, "node").localCheckpoint()
     frontier = dist

@@ -323,3 +323,40 @@ def test_adamic_adar_vs_bruteforce(spark):
     for k, (nc, aa) in want.items():
         assert got[k][0] == nc
         assert abs(got[k][1] - aa) < 1e-9, (k, got[k][1], aa)
+
+
+def test_bfs_distances_string_node_ids(spark):
+    # round-4 ADVICE: the seed schema must derive from the edge table,
+    # not a hardcoded long — string-id graphs are the KG norm
+    from golden_horse_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_personalized_pagerank_seed_hygiene(spark):
+    # round-4 ADVICE: dupes deduped, empty raises, absent seeds
+    # renormalized over the present ones (all-absent raises)
+    import pytest
+
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 3), (4, 0), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=5, sources=[])
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=5, sources=[99, 100])
+
+    base = {r["node"]: r["rank"]
+            for r in pagerank(df, n_iter=10, sources=[0]).collect()}
+    for srcs in ([0, 0, 0], [0, 99]):  # dupes; one seed off-graph
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, n_iter=10, sources=srcs).collect()}
+        assert got.keys() == base.keys()
+        for v in base:
+            assert abs(got[v] - base[v]) < 1e-12, (srcs, v)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
