@@ -295,8 +295,8 @@ def simhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", bits: int = 64,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Exact-simhash collision pairs (hamming distance 0 — the banded
-    generalization joins on 16-bit sub-keys)."""
+    """Exact-simhash collision pairs (hamming distance 0); for
+    hamming > 0 use :func:`simhash_near_pairs`."""
     s = simhash(docs, text_col, bits, hash_fn)
     l, r = s.alias("l"), s.alias("r")
     return (
@@ -307,6 +307,84 @@ def simhash_dup_pairs(
             F.col("r.doc_id").alias("doc_b"),
             F.col("l.simhash").alias("simhash"),
         )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Banded simhash near-dup pairs: ALL pairs with hamming distance
+    ≤ ``max_hamming``, found without an all-pairs join (Manku/Jain/
+    Sarma WWW'07 block-permutation scheme, relational form).
+
+    The ``bits``-bit fingerprint splits into ``max_hamming + 1``
+    disjoint contiguous bands; by pigeonhole any pair within distance d
+    agrees EXACTLY on at least one band, so an equi-join on
+    (band_index, band_key) is a complete candidate generator. Candidates
+    are then verified exactly with ``bit_count(a XOR b) ≤ d`` — both
+    steps JVM built-ins, no UDF.
+
+    Scale: one explode (d+1 rows/doc) + one self-equi-join on the band
+    key + one distinct. Near-uniform band keys (width ≥ 8 bits in
+    practice) keep bucket sizes bounded the same way MinHash-LSH bands
+    do; the exact hamming verify happens join-side before the distinct,
+    so false candidates never amplify. Returns (doc_a, doc_b, hamming).
+
+    ``signatures``: pre-computed (doc_id, simhash) to reuse across
+    calls (same contract as ``minhash_dup_pairs``).
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be ≥ 0")
+    n_bands = max_hamming + 1
+    if bits < n_bands:
+        raise ValueError(f"need bits ≥ {n_bands} for max_hamming={max_hamming}")
+    s = signatures if signatures is not None else simhash(
+        docs, text_col, bits, hash_fn
+    )
+    # contiguous bands, widths as even as possible (first `rem` bands
+    # get an extra bit) — disjoint + covering is all pigeonhole needs
+    width, rem = divmod(bits, n_bands)
+    starts, pos = [], 0
+    for i in range(n_bands):
+        w = width + (1 if i < rem else 0)
+        starts.append((pos, w))
+        pos += w
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1 if w < 64 else -1))
+                .alias("key"),
+            )
+            for i, (lo, w) in enumerate(starts)
+        ]
+    )
+    ex = s.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    l, r = ex.alias("l"), ex.alias("r")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        l.join(r, ["band", "key"])
+        .where(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (ham <= F.lit(max_hamming))
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 

@@ -621,3 +621,66 @@ def test_fuzzy_dedup_matches_union_find(spark):
         for c, members in comps.items():
             assert sum(out[i][1] for i in members) == 1
             assert out[min(members)][1]  # the min id is the survivor
+
+
+# ------------------------------------------------------- banded simhash
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """The banded candidate generator is COMPLETE for hamming ≤ d
+    (pigeonhole over d+1 disjoint bands): output must equal brute-force
+    all-pairs popcount filtering, at several d and bit widths, on a
+    corpus built to have near-collisions (copies + 1-2 token edits)."""
+    import itertools
+    import random
+
+    from golden_horse_spark.operators.dedup import simhash, simhash_near_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for _ in range(30):
+        base = [rng.choice(vocab) for _ in range(12)]
+        texts.append(" ".join(base))
+        for _ in range(rng.randrange(3)):  # perturbed near-copies
+            t = list(base)
+            t[rng.randrange(len(t))] = rng.choice(vocab)
+            texts.append(" ".join(t))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    for bits, fn in ((64, "xxhash64"), (32, "md5")):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=bits, hash_fn=fn).collect()
+        }
+        for d in (0, 2, 5):
+            want = set()
+            for a, b in itertools.combinations(sorted(sigs), 2):
+                h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                if h <= d:
+                    want.add((a, b, h))
+            got = {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in simhash_near_pairs(
+                    docs, bits=bits, max_hamming=d, hash_fn=fn
+                ).collect()
+            }
+            assert got == want, (bits, fn, d, got ^ want)
+
+
+def test_simhash_near_pairs_plan_and_guards(spark):
+    from golden_horse_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    plan = _plan(simhash_near_pairs(docs, max_hamming=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=-1)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, bits=4, max_hamming=7)
