@@ -105,6 +105,15 @@ def minhash_signatures(
     per-j total order gives valid LSH semantics — only signature
     EQUALITY feeds the banding.
     Docs shorter than k words get a stable filler signature either way.
+
+    FORMAT BREAK (round 3): the xxhash64 variant changed from
+    hex-string ``min(xxhash64(j||'|'||s))`` to the long-valued
+    ``xxhash64(j, xxhash64(s))`` derivation above. Signature tables
+    persisted under the old scheme and passed to ``minhash_dup_pairs``
+    via ``signatures=`` will band-collide with NOTHING from the new
+    scheme — regenerate persisted signatures rather than mixing
+    formats (the column types differ — string vs long — so a schema
+    check catches accidental mixing).
     """
     # Shape: explode shingles once, hash once per row (+ cheap per-j
     # long-hashes), map-side-combined min per doc. The tempting
@@ -194,6 +203,18 @@ def minhash_dup_pairs(
         docs = docs.where(F.expr(f"size({shingles_expr(text_col, k)}) > 0"))
         sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
     else:
+        # reject signatures persisted under the other hash_fn's format
+        # (md5 = hex STRING columns, xxhash64 = LONG — see the FORMAT
+        # BREAK note on minhash_signatures): mixed formats would
+        # silently band-collide with nothing
+        h0_type = signatures.schema["h0"].dataType.simpleString()
+        want = "string" if hash_fn == "md5" else "bigint"
+        if h0_type != want:
+            raise ValueError(
+                f"signatures column h0 is {h0_type} but hash_fn="
+                f"{hash_fn!r} expects {want} — signature table was "
+                "built under a different hash_fn/format"
+            )
         if hash_fn == "md5":
             filler = lambda j: F.md5(F.lit(f"{j}|"))  # noqa: E731
         else:
@@ -773,8 +794,17 @@ def fuzzy_dedup(
     signatures/pairs.
     """
     if pairs is None:
+        # thread a custom id column through to the minhash stages (they
+        # key on 'doc_id' by convention): project to exactly (doc_id,
+        # text) so a pre-existing unrelated 'doc_id' column on the input
+        # can never be picked up silently (round-3 ADVICE — the old
+        # rename-only-the-ids-side behavior paired on the WRONG column
+        # and returned keep=true for everything)
+        work = docs.select(
+            F.col(doc_id).alias("doc_id"), F.col(text_col).alias(text_col)
+        ) if doc_id != "doc_id" else docs
         pairs = minhash_dup_pairs(
-            docs, text_col=text_col, num_hashes=num_hashes,
+            work, text_col=text_col, num_hashes=num_hashes,
             bands=bands, k=k, hash_fn=hash_fn, signatures=signatures,
             **pair_kwargs,
         )

@@ -66,6 +66,13 @@ class PipelineConfig:
     # unlike dedup_ner it CHANGES the output (duplicate docs emit no
     # triples), so it's an explicit corpus-curation decision.
     dedup_docs: bool = False
+    # MinHash knobs for the dedup_docs stage (same names as
+    # operators.dedup.fuzzy_dedup). They are part of the stage
+    # FINGERPRINT: changing any of them invalidates a previous
+    # docs_dedup checkpoint and forces recompute on resume.
+    dedup_docs_num_hashes: int = 8
+    dedup_docs_bands: int = 4
+    dedup_docs_k: int = 3
 
 
 class StageWriter:
@@ -163,10 +170,20 @@ def run_pipeline(
             # zero-shingle short docs fuzzy banding deliberately skips),
             # then MinHash fuzzy on the survivors
             flat = dedup_exact(flat)
-            keep = fuzzy_dedup(flat).where(F.col("keep")).select("doc_id")
+            keep = fuzzy_dedup(
+                flat,
+                num_hashes=cfg.dedup_docs_num_hashes,
+                bands=cfg.dedup_docs_bands,
+                k=cfg.dedup_docs_k,
+            ).where(F.col("keep")).select("doc_id")
             return docs.join(keep, "doc_id", "left_semi")
 
-        fp0 = store.fingerprint("docs_dedup", fp0 + ":exact+fuzzy")
+        fp0 = store.fingerprint(
+            "docs_dedup",
+            fp0 + ":exact+fuzzy"
+            f":nh={cfg.dedup_docs_num_hashes}"
+            f",b={cfg.dedup_docs_bands},k={cfg.dedup_docs_k}",
+        )
         docs = store.load_or_compute("docs_dedup", fp0, _dedup)
 
     fp_sent = store.fingerprint("sentences", fp0)
@@ -217,10 +234,17 @@ def run_pipeline(
         partition_by="part",
     )
 
-    # metrics table: per-partition lineage + headline counters
+    # metrics table: per-partition lineage + headline counters.
+    # docs_dedup is included only when the CURRENT run has the stage
+    # enabled — an output_dir that previously ran with dedup_docs=True
+    # still holds that stage's manifest, and reporting it as part of a
+    # dedup_docs=False run's lineage would be a lie.
+    stages = ("sentences", "mentions", "candidates",
+              "links", "entities", "triples")
+    if cfg.dedup_docs:
+        stages = ("docs_dedup",) + stages
     rows = []
-    for stage in ("docs_dedup", "sentences", "mentions", "candidates",
-                  "links", "entities", "triples"):
+    for stage in stages:
         man = store.manifest(stage) or {}
         for part, n in (man.get("partitions") or {}).items():
             rows.append(

@@ -684,3 +684,54 @@ def test_simhash_near_pairs_plan_and_guards(spark):
         simhash_near_pairs(docs, max_hamming=-1)
     with pytest.raises(ValueError):
         simhash_near_pairs(docs, bits=4, max_hamming=7)
+
+
+def test_fuzzy_dedup_custom_id_column(spark):
+    """doc_id= must key the ENTIRE chain on the named column, even when
+    the frame also carries an unrelated column literally named 'doc_id'
+    (round-3 ADVICE: the old behavior paired on the wrong column and
+    returned keep=true for every doc)."""
+    from golden_horse_spark.operators.dedup import fuzzy_dedup
+
+    texts = ["alpha beta gamma delta epsilon"] * 3 + [
+        "zeta eta theta iota kappa"
+    ]
+    rows = [(f"u{i}", 999 - i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "uid string, doc_id long, text string")
+
+    out = {
+        r["uid"]: (r["component"], r["keep"])
+        for r in fuzzy_dedup(docs, doc_id="uid", num_hashes=4, bands=2).collect()
+    }
+    assert set(out) == {"u0", "u1", "u2", "u3"}
+    # the 3 copies cluster under min uid; exactly one survives
+    assert out["u0"] == ("u0", True)
+    assert out["u1"] == ("u0", False)
+    assert out["u2"] == ("u0", False)
+    assert out["u3"] == ("u3", True)
+
+
+def test_minhash_signature_format_guard(spark):
+    """Passing an md5(string) signature table with hash_fn='xxhash64'
+    (or vice versa) must raise, not silently produce zero collisions."""
+    from golden_horse_spark.operators.dedup import (
+        minhash_dup_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    sig_md5 = minhash_signatures(docs, num_hashes=4, hash_fn="md5")
+    sig_xx = minhash_signatures(docs, num_hashes=4, hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="format"):
+        minhash_dup_pairs(docs, num_hashes=4, hash_fn="xxhash64",
+                          signatures=sig_md5)
+    with pytest.raises(ValueError, match="format"):
+        minhash_dup_pairs(docs, num_hashes=4, hash_fn="md5",
+                          signatures=sig_xx)
+    # matched formats still pair the copies
+    for fn, sig in (("md5", sig_md5), ("xxhash64", sig_xx)):
+        got = minhash_dup_pairs(docs, num_hashes=4, hash_fn=fn,
+                                signatures=sig).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in got] == [(0, 1)]

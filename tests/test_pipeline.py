@@ -181,3 +181,41 @@ def test_dedup_docs_stage(spark, weights_path, tmp_path_factory):
     t2 = {tuple(r) for r in stages2["triples"].collect()}
     assert t1 == t2
     assert (out / "docs_dedup.manifest.json").stat().st_mtime == mtime
+
+
+def test_dedup_docs_knobs_invalidate_resume(spark, weights_path, tmp_path_factory):
+    """The MinHash knobs are part of the docs_dedup fingerprint: a rerun
+    with a changed knob must RECOMPUTE the stage (not serve the stale
+    checkpoint), and a dedup_docs=False rerun over the same output_dir
+    must not report the leftover docs_dedup manifest in its metrics."""
+    out = tmp_path_factory.mktemp("kg_dedup_knobs")
+    docs = synthesize_documents(spark, 25, seed=11, partitions=2)
+    kw = dict(
+        output_dir=str(out),
+        weights_path=weights_path,
+        alias_limit=500,
+        triple_parts=2,
+        dedup_docs=True,
+    )
+    run_pipeline(spark, docs, PipelineConfig(**kw))
+    man_path = out / "docs_dedup.manifest.json"
+    fp1 = json.loads(man_path.read_text())["fingerprint"]
+    mtime1 = man_path.stat().st_mtime
+
+    # same knobs → resume (fingerprint + mtime unchanged)
+    run_pipeline(spark, docs, PipelineConfig(**kw))
+    assert man_path.stat().st_mtime == mtime1
+
+    # changed knob → new fingerprint, stage recomputed
+    run_pipeline(spark, docs, PipelineConfig(**kw, dedup_docs_num_hashes=12))
+    man2 = json.loads(man_path.read_text())
+    assert man2["fingerprint"] != fp1
+    assert man_path.stat().st_mtime > mtime1
+
+    # dedup_docs=False over the same dir: stale manifest stays on disk
+    # but is NOT part of this run's reported lineage
+    kw_off = dict(kw, dedup_docs=False)
+    run_pipeline(spark, docs, PipelineConfig(**kw_off))
+    assert man_path.exists()
+    m = spark.read.parquet(str(out / "metrics"))
+    assert m.where(F.col("stage") == "docs_dedup").count() == 0
