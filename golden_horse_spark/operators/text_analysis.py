@@ -339,6 +339,14 @@ def pack_chunks(
     contribute zero tokens and get NULL chunk bounds, but stay in the
     output so callers can report pre/post-sampling stats in one pass.
 
+    Determinism contract: within each shard docs concatenate in
+    ``order_col`` order, so the OUTPUT (which docs share a chunk)
+    depends on the joint distribution of ``order_col`` and the
+    content-hash shard assignment — adding/removing any doc shifts
+    chunk boundaries for every later doc in that shard (inherent to
+    concat-and-chunk packing, same as the single-stream formulation).
+    Reruns over the same input are bit-identical.
+
     Returns the input columns plus (shard, tok, chunk_first,
     chunk_last, crosses_boundary).
     """
