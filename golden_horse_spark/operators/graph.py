@@ -32,6 +32,7 @@ def pagerank(
     n_iter: int = 10,
     num_partitions: int | None = None,
     sources=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Directed edges(src, dst) → (node, rank), fixed ``n_iter`` power
     iterations (fixed count keeps the result deterministic for oracles;
@@ -45,11 +46,43 @@ def pagerank(
     broadcast semi-join, computed once); each round's update is the same
     single-shuffle contribution aggregate — no extra exchanges vs the
     global walk.
+
+    ``weight_col``: optional positive edge-weight column — WEIGHTED
+    PageRank: a node's rank splits across its out-edges in proportion
+    to weight (contribution = rank · w / Σ_out w) instead of uniformly.
+    This is the natural walk over a KG link graph where edges carry
+    link/coherence scores. Parallel (src, dst) rows sum their weights;
+    zero-weight edges are dropped BEFORE node discovery (they carry no
+    mass; a node incident only to zero-weight edges is not in the
+    graph); negative weights raise. Costs the same one shuffle per round — the weighted degree
+    replaces the count in the SAME pinned edge table. Composes with
+    ``sources`` (weighted personalized walk).
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    if weight_col is not None:
+        # bounded validation action on the raw edges (one scalar)
+        n_neg = edges.where(F.col(weight_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"pagerank weight_col={weight_col!r} has {n_neg} negative "
+                "values — weights must be ≥ 0"
+            )
+        e = (
+            edges.select(
+                F.col(src).alias("s"),
+                F.col(dst).alias("d"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .where(F.col("w") > 0)
+            .groupBy("s", "d")
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        ).distinct()
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -58,8 +91,26 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "s").repartition(p, "s").localCheckpoint()
+    # weighted: deg = Σ out-weights and each edge's share is w/deg;
+    # unweighted: deg = out-degree and the share is 1/deg. Either way
+    # the per-edge share is a STATIC column baked into the pinned edge
+    # table, so every round's contribution is rank × share — identical
+    # plan shape for both walks.
+    if weight_col is not None:
+        deg = e.groupBy("s").agg(F.sum("w").alias("deg"))
+        ed = (
+            e.join(deg, "s")
+            .select("s", "d", (F.col("w") / F.col("deg")).alias("share"))
+            .repartition(p, "s")
+            .localCheckpoint()
+        )
+        contrib_c = F.col("rank") * F.col("share")
+    else:
+        deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+        ed = e.join(deg, "s").repartition(p, "s").localCheckpoint()
+        # rank/deg (NOT rank·(1/deg)): keeps the uniform walk
+        # bit-identical to the committed-golden oracle rows
+        contrib_c = F.col("rank") / F.col("deg")
     has_out = deg.select(F.col("s").alias("node")).repartition(p, "node").localCheckpoint()
 
     # dangling MEMBERSHIP is static (who has out-edges never changes);
@@ -123,7 +174,7 @@ def pagerank(
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(
                 F.col("d").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                contrib_c.alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

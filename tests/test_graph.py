@@ -360,3 +360,85 @@ def test_personalized_pagerank_seed_hygiene(spark):
         for v in base:
             assert abs(got[v] - base[v]) < 1e-12, (srcs, v)
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _numpy_weighted_pagerank(wedges, n_nodes, damping=0.85, n_iter=10,
+                             sources=None):
+    """Dense reference for the weighted walk: contribution = r·w/Σw,
+    dangling = no positive-weight out-edge; optional seed teleport."""
+    out = {}
+    for s, d, w in wedges:
+        if w > 0:
+            out.setdefault(s, {})
+            out[s][d] = out[s].get(d, 0.0) + w
+    nodes = sorted(
+        {s for s, _, w in wedges if w > 0} | {d for _, d, w in wedges if w > 0}
+    )
+    reset = np.zeros(n_nodes)
+    if sources is None:
+        for v in nodes:
+            reset[v] = 1.0 / len(nodes)
+    else:
+        present = [s for s in dict.fromkeys(sources) if s in nodes]
+        for v in present:
+            reset[v] = 1.0 / len(present)
+    r = reset.copy()
+    if sources is None:
+        r[:] = 0.0
+        for v in nodes:
+            r[v] = 1.0 / len(nodes)
+    for _ in range(n_iter):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        new = ((1 - damping) + damping * dangling) * reset
+        for s, ds in out.items():
+            tot = sum(ds.values())
+            for d, w in ds.items():
+                new[d] += damping * r[s] * w / tot
+        r = new
+    return {v: r[v] for v in nodes}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    import pytest
+
+    # parallel edges (summed), a zero-weight edge (dropped), a dangling
+    # node, and skewed weights
+    wedges = [(0, 1, 2.0), (0, 2, 1.0), (0, 1, 1.0), (1, 3, 5.0),
+              (2, 0, 0.5), (3, 4, 0.0), (4, 0, 3.0)]
+    df = spark.createDataFrame(wedges, "src int, dst int, w double")
+
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=10, weight_col="w").collect()}
+    want = _numpy_weighted_pagerank(wedges, 5, n_iter=10)
+    assert set(got) == set(want)  # node 3 dangling; (3,4,0) edge gone
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # weighted + personalized compose
+    got_p = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=10, weight_col="w",
+                          sources=[0]).collect()
+    }
+    want_p = _numpy_weighted_pagerank(wedges, 5, n_iter=10, sources=[0])
+    for v in want_p:
+        assert abs(got_p[v] - want_p[v]) < 1e-9, (v, got_p[v], want_p[v])
+
+    # uniform weights == unweighted walk (same distinct edge set)
+    uni = spark.createDataFrame(
+        sorted({(s, d) for s, d, w in wedges if w > 0}), "src int, dst int"
+    )
+    uni_w = uni.withColumn("w", F.lit(7.5))
+    a = {r["node"]: r["rank"] for r in pagerank(uni, n_iter=8).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(uni_w, n_iter=8, weight_col="w").collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+
+    with pytest.raises(ValueError, match="negative"):
+        pagerank(
+            spark.createDataFrame([(0, 1, -1.0)], "src int, dst int, w double"),
+            weight_col="w",
+        )
