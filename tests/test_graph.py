@@ -442,3 +442,58 @@ def test_weighted_pagerank_matches_numpy(spark):
             spark.createDataFrame([(0, 1, -1.0)], "src int, dst int, w double"),
             weight_col="w",
         )
+
+
+def _python_core_numbers(edges):
+    """Reference coreness by repeated min-degree peeling."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core = {}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        peel = {v for v in alive if deg[v] <= k}
+        while peel:
+            v = peel.pop()
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.add(u)
+    return core
+
+
+def test_core_numbers_vs_bruteforce(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import core_numbers, k_core
+
+    rng = random.Random(13)
+    cases = [
+        # K5 + pendant + chain: known mixed coreness
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(4, 5), (5, 6), (6, 7)],
+    ]
+    for n, m in ((12, 25), (20, 60), (30, 45)):
+        cases.append(
+            list({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                  for _ in range(m)})
+        )
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
+        want = _python_core_numbers(edges)
+        assert got == want, (sorted(got.items()), sorted(want.items()))
+        # consistency with the single-k peel at every realized k
+        for k in sorted(set(want.values())):
+            in_kcore = {r["node"] for r in k_core(df, k=k).collect()}
+            assert in_kcore == {v for v, c in want.items() if c >= k}, k
