@@ -566,3 +566,76 @@ def common_neighbor_pairs(
         wedges.join(existing, ["u", "v"], "left_anti")
         .where(F.col("n_common") >= min_common)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the undirected graph of ``edges`` →
+    ``(node, label)`` where ``label`` is the community id (the min node
+    id the community converged on).
+
+    Semantics (pinned for determinism — the classic async LPA is
+    order-dependent, useless for oracles):
+
+    * every node starts labeled with itself;
+    * each round, every node SIMULTANEOUSLY adopts the label most
+      frequent among its neighbors plus ONE self-vote (the self-vote is
+      the standard damping against two-coloring oscillation on
+      bipartite-ish regions), ties broken by the SMALLEST label;
+    * exactly ``n_iter`` rounds — a fixed count, like ``pagerank``,
+      so reruns are bit-identical.
+
+    Scale shape mirrors ``pagerank``: the symmetrized edge table is
+    hash-partitioned on the probe key once and pinned, the labels join
+    reuses that exchange, and a lazy per-round ``localCheckpoint``
+    keeps the plan O(1) in rounds. Each round costs two keyed
+    aggregates — the vote count (over the edge stream, the big one,
+    with map-side partials) and the per-node argmax (over ≤ one row
+    per (node, distinct neighbor label) — already vote-collapsed, so
+    far smaller). No driver-side state beyond the loop counter; at
+    10^12 edges every structure here is a keyed table.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition(p, "s")
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        votes = sym.join(
+            labels.withColumnRenamed("node", "s"), "s"
+        ).select(F.col("d").alias("node"), "label", F.lit(1).alias("w"))
+        self_votes = labels.select("node", "label", F.lit(1).alias("w"))
+        # argmax-by-count, ties to the smallest label, as ONE aggregate:
+        # min(struct(-count, label)) — no per-node window, no sort
+        labels = (
+            votes.union(self_votes)
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+                .alias("top")
+            )
+            .select("node", F.col("top.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

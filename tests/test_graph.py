@@ -497,3 +497,63 @@ def test_core_numbers_vs_bruteforce(spark):
         for k in sorted(set(want.values())):
             in_kcore = {r["node"] for r in k_core(df, k=k).collect()}
             assert in_kcore == {v for v, c in want.items() if c >= k}, k
+
+
+def _python_lpa(edges, n_iter=5):
+    # synchronous LPA with self-vote and smallest-label tie-break —
+    # the exact pinned semantics of graph.label_propagation
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            counts = {}
+            for m in adj[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            counts[labels[n]] = counts.get(labels[n], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from golden_horse_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge → two communities, each
+    # labeled by its min member
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14) if b >= 10]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=5).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = list(
+            {
+                (rng.randrange(30), rng.randrange(30))
+                for _ in range(60 + 20 * trial)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _python_lpa(edges, n_iter=4)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iter=4).collect()
+        }
+        assert got == want
