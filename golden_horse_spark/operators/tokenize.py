@@ -1,0 +1,193 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The reference pipeline builds corpus dictionaries driver-side
+(`theano_src/train_util.py` — word/feature dicts); a modern training-data
+pipeline also needs the LEARNED vocabulary: byte-pair-encoding merges.
+This module trains BPE the scalable way:
+
+* the corpus is collapsed ONCE to a word histogram — ``(word, count)``
+  — which is orders of magnitude smaller than the corpus (Heaps' law)
+  but still a DataFrame, never collected: at 10^12 documents the
+  histogram is billions of rows and stays distributed;
+* each merge step is two jobs over the HISTOGRAM, not the corpus:
+  an adjacent-pair weighted count (one shuffle, map-side partials) and
+  a 1-row argmax collect (bounded: one pair per step);
+* re-encoding a step's merge touches ONLY words containing the chosen
+  pair (an ``exists`` filter — no shuffle), and the histogram is
+  ``localCheckpoint``-pinned per step so the plan stays O(1) in steps;
+* determinism: ties broken by (max count, lexicographically smallest
+  pair) via a single ``min(struct(-count, a, b))`` aggregate — no
+  global sort, bit-stable across partitionings, so trained merge
+  tables are oracle-pinnable.
+
+Encoding (``bpe_encode``) broadcasts the merge ranks (vocab-sized, the
+classic small side) and applies the standard greedy lowest-rank-first
+merge loop per word inside an Arrow-batched pandas UDF with an
+LRU-style per-batch word cache — per ROW Python never happens, and per
+WORD work is amortized by Zipf (the cache hits on every repeated word
+in the batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word sentinel: single char keeps symbol arrays compact; U+2581
+# (the SentencePiece "lower one eighth block") never appears in the
+# testdata corpora and is escaped nowhere
+EOW = "▁"
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-token word histogram ``(word, count)`` — the ONE pass
+    over the corpus that BPE training needs."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    # 'low' → ['l', 'o', 'w', EOW]: the EOW sentinel makes merges
+    # word-final-aware, the standard Sennrich formulation
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    num_partitions: int | None = None,
+    histogram: DataFrame | None = None,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus → ordered list of
+    ``(left, right, pair_count)``, rank = list position.
+
+    The merge list itself is the bounded driver-side artifact (one row
+    per merge — this is the model being trained, like k-means
+    centroids), never the histogram. Pass ``histogram=`` to reuse a
+    precomputed/persisted ``(word, count)`` table.
+    """
+    spark = docs.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hist = histogram if histogram is not None else word_histogram(docs, text_col)
+    hist = (
+        hist.select(_symbols(F.col("word")).alias("syms"), "count")
+        .repartition(p, "syms")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = (
+            hist.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("pr"),
+                "count",
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("count").alias("cnt"))
+        )
+        # deterministic argmax: one aggregate, no global sort
+        top = pairs.agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("t")
+        ).first()["t"]
+        if top is None:
+            break  # every word is a single symbol — nothing left to merge
+        a, b, cnt = top["a"], top["b"], -top["nc"]
+        merges.append((a, b, int(cnt)))
+        merged = a + b
+        has_pair = F.exists(
+            F.arrays_zip(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("x"),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("y"),
+            ),
+            lambda s: (s["x"] == F.lit(a)) & (s["y"] == F.lit(b)),
+        )
+        # left-to-right single-pass merge as a fold: greedy, non-
+        # overlapping ('aaa' + merge(a,a) → ['aa','a']) — the classic
+        # BPE replacement — expressed JVM-side with F.aggregate so the
+        # hot path stays in codegen
+        def _apply(syms: Column) -> Column:
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+
+        hist = hist.select(
+            F.when(has_pair, _apply(F.col("syms")))
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+            "count",
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge loop — the canonical BPE encoder."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: Iterable[tuple[str, str, int]] | Iterable[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Adds ``out_col: array<string>`` — the BPE tokenization of
+    ``text_col`` under the trained ``merges`` (rank = position).
+
+    The merge table rides the closure (vocab-sized — the broadcast-side
+    of this operator); the per-batch word cache turns Zipf repetition
+    into dict hits, so cost is per DISTINCT word per batch."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def run(t):
+            out: list[str] = []
+            for w in (t or "").split():
+                toks = cache.get(w)
+                if toks is None:
+                    toks = _encode_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(run)
+
+    return docs.withColumn(out_col, _enc(F.col(text_col)))

@@ -27,6 +27,16 @@ GOLDEN_QUERIES = ["q_ner_mentions", "q_ner_mentions_joint", "q_kg_triples",
                   "q_media_features"]
 OUT = REPO / "fixtures" / "golden_oracle_rows.json"
 
+# PARTIAL goldens: queries whose oracle is live SQL for most rows plus a
+# committed-golden VALUES tail for one non-SQL-expressible part (the
+# oracle_sql() side UNION ALLs these onto the live twin). The predicate
+# selects the golden part's rows out of the full query output.
+PARTIAL_GOLDEN = {
+    # the 8 distributed-BPE merge rows beside the counted dictionary
+    "q_word_dict": lambda row: str(row["word"]).startswith("bpe:"),
+}
+OUT_PARTIAL = REPO / "fixtures" / "golden_partial_rows.json"
+
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -48,6 +58,22 @@ def main() -> None:
         print(f"{name}: {len(runs[0])} rows captured")
     OUT.write_text(json.dumps(out, indent=1, ensure_ascii=False))
     print(f"wrote {OUT}")
+
+    partial = {}
+    for name, pred in PARTIAL_GOLDEN.items():
+        df = qs[name](spark, sf)
+        cols = df.columns
+        runs = [
+            sorted(tuple(r) for r in qs[name](spark, sf).collect()
+                   if pred(r.asDict()))
+            for _ in range(2)
+        ]
+        if runs[0] != runs[1]:
+            raise SystemExit(f"{name} (partial): nondeterministic — not writing")
+        partial[name] = {"columns": cols, "rows": [list(r) for r in runs[0]]}
+        print(f"{name} (partial): {len(runs[0])} golden rows captured")
+    OUT_PARTIAL.write_text(json.dumps(partial, indent=1, ensure_ascii=False))
+    print(f"wrote {OUT_PARTIAL}")
 
 
 if __name__ == "__main__":
