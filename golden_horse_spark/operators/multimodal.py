@@ -1,7 +1,7 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode is REAL for three formats, all pure stdlib+NumPy (this container
+Decode is REAL for five formats, all pure stdlib+NumPy (this container
 ships no PIL/libsndfile):
 
 * **PPM/P6** — header parse + raw RGB read;
@@ -9,11 +9,16 @@ ships no PIL/libsndfile):
   verification, scanline unfiltering (types 0–4 incl. Paeth), 8-bit
   gray/RGB/RGBA, non-interlaced; plus a filter-0 RGB encoder;
 * **WAV** (round 3) — RIFF chunk walk, 16-bit PCM, mono/averaged
-  multichannel; plus an encoder.
+  multichannel; plus an encoder;
+* **GIF** (round 4) — GIF87a/89a reader: color tables, extension-block
+  skip, real variable-width LZW (clear/EOI, KwKwK, 12-bit cap with
+  reset); plus a GIF89a single-frame encoder with real LZW compression;
+* **BMP** (round 4) — 24-bit uncompressed, bottom-up and top-down
+  rasters, 4-byte row padding; plus an encoder.
 
-The synthetic media table emits genuine P6/PNG image payloads and
-genuine WAV audio payloads, so the feature/resize stages run on real
-decoded pixels/samples end-to-end. Remaining stubs: JPEG and compressed
+The synthetic media table emits genuine P6/PNG/GIF/BMP image payloads
+and genuine WAV audio payloads, so the feature/resize stages run on
+real decoded pixels/samples end-to-end. Remaining stubs: JPEG and compressed
 audio (true codecs need native libraries — the fallback is the
 deterministic fake, and swapping it for PIL/soundfile is a one-function
 change on executors), and video containers (frame sampling uses the
@@ -89,10 +94,20 @@ def synthesize_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
                 rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
                 if kind == "image":
                     # REAL image payload: deterministic RGB pixels seeded
-                    # from the ref hash; format alternates P6/PNG by a
-                    # hash bit so both real decode paths run in-pipeline
-                    rgb = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
-                    payload = encode_png(rgb) if h[3] % 2 else encode_ppm(rgb)
+                    # from the ref hash; format rotates P6/PNG/GIF/BMP by
+                    # hash so all four real decode paths run in-pipeline
+                    # (GIF gets palette-limited pixels — it's an indexed
+                    # format)
+                    fmt = h[3] % 4
+                    if fmt == 2:
+                        pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+                        rgb = pal[rng.randint(0, 16, size=(ht, w))]
+                        payload = encode_gif(rgb)
+                    else:
+                        rgb = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+                        payload = [encode_ppm, encode_png, None, encode_bmp][
+                            fmt
+                        ](rgb)
                 elif kind == "audio":
                     # REAL 16-bit PCM WAV of the declared duration: a
                     # seeded sine + noise mix at 8 kHz
@@ -261,6 +276,227 @@ def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    h, w = rgb.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        raster += rgb[y, :, ::-1].astype(np.uint8).tobytes()  # BGR
+        raster += b"\x00" * pad
+    off = 14 + 40
+    size = off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB. Handles bottom-up
+    AND top-down (negative height) rasters and 4-byte row padding;
+    raises on palettized/compressed variants."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a bmp")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported bmp: {bpp}bpp compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    if off + stride * h > len(payload):
+        raise ValueError("truncated bmp raster")
+    rows = []
+    for i in range(h):
+        start = off + i * stride
+        bgr = np.frombuffer(payload, dtype=np.uint8, count=row, offset=start)
+        rows.append(bgr.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    return img if top_down else img[::-1]
+
+
+# ---------------------------------------------------------------- GIF
+# GIF89a with LZW (spec Appendix F). The encoder/decoder pair keeps the
+# variable code width in lockstep: the encoder widens when the JUST-
+# ASSIGNED table code equals 2^width; the decoder (which learns each
+# entry one code later) widens when its next free code equals 2^width
+# before a read. Max width 12; at 4096 entries the encoder emits CLEAR
+# and resets (no deferred-clear ambiguity).
+
+
+def _gif_pack_codes(codes: list[tuple[int, int]]) -> bytes:
+    """LSB-first bit packing of (code, width) pairs."""
+    acc = nbits = 0
+    out = bytearray()
+    for c, w in codes:
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+    codes: list[tuple[int, int]] = [(clear, width)]
+    buf = (int(indices[0]),)
+    for k in indices[1:]:
+        cand = buf + (int(k),)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            codes.append((clear, width))
+            table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+        buf = (int(k),)
+    codes.append((table[buf], width))
+    codes.append((eoi, width))
+    return _gif_pack_codes(codes)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    entries: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code, width = eoi + 1, min_code_size + 1
+    pos = 0  # bit position
+    out: list[int] = []
+    prev: int | None = None
+    total_bits = len(data) * 8
+    while pos + width <= total_bits:
+        byte_i, bit_i = divmod(pos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_i) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            entries = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code, width, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("gif lzw: first code not a literal")
+            entry = entries[code]
+        else:
+            if code < next_code:
+                entry = entries[code]
+            elif code == next_code:  # KwKwK
+                entry = entries[prev] + entries[prev][:1]
+            else:
+                raise ValueError("gif lzw: code out of range")
+            if next_code < 4096:
+                entries.append(entries[prev] + entry[:1])
+                next_code += 1
+        out.extend(entry)
+        prev = code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a
+    (global color table, non-interlaced, real LZW). Raises if the image
+    needs more than 256 palette entries — GIF is an indexed format; the
+    synthetic media generator feeds it palette-limited pixels."""
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3).astype(np.uint8)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"gif needs ≤256 colors, image has {len(palette)}")
+    gct_bits = max(1, int(len(palette) - 1).bit_length())  # table size 2^n
+    table = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code_size = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code_size)
+    lzw = _gif_lzw_encode(indices.astype(np.int64), min_code_size)
+    for i in range(0, len(lzw), 255):  # sub-blocks
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a → (h, w, 3) uint8 RGB: header + color
+    tables + extension skip + LZW decode. Non-interlaced only (raises
+    otherwise); the first image block is returned."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected gif block 0x{b0:02x}")
+        _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced gif unsupported")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("gif image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decode(bytes(data), min_code_size)
+        if len(indices) < iw * ih:
+            raise ValueError("truncated gif raster")
+        arr = np.asarray(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        return ct[arr]
+    raise ValueError("gif has no image block")
+
+
 def encode_ppm(rgb: np.ndarray) -> bytes:
     """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
     h, w = rgb.shape[:2]
@@ -295,16 +531,21 @@ def parse_ppm(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Grayscale float32 in [0, 1]. REAL decode for P6/PPM and PNG
-    payloads (``parse_ppm``/``parse_png`` + Rec.601 luminance). JPEG is
-    the remaining stubbed branch — no PIL in this container — decoded
-    as a deterministic fake (payload bytes tiled into (h, w))."""
-    if payload[:2] == b"P6" or payload[:8] == b"\x89PNG\r\n\x1a\n":
-        rgb = (
-            parse_ppm(payload) if payload[:2] == b"P6" else parse_png(payload)
-        ).astype(np.float32)
-        lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        return (lum / 255.0).astype(np.float32)
+    """Grayscale float32 in [0, 1]. REAL decode for P6/PPM, PNG, GIF
+    (round 4: real LZW) and BMP (round 4) payloads + Rec.601 luminance.
+    JPEG is the remaining stubbed branch — no PIL in this container —
+    decoded as a deterministic fake (payload bytes tiled into (h, w))."""
+    decoders = {
+        b"P6": parse_ppm,
+        b"\x89PNG\r\n\x1a\n": parse_png,
+        b"GIF8": parse_gif,
+        b"BM": parse_bmp,
+    }
+    for magic, dec in decoders.items():
+        if payload[: len(magic)] == magic:
+            rgb = dec(payload).astype(np.float32)
+            lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            return (lum / 255.0).astype(np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
     tiled = np.tile(arr, need // len(arr) + 1)[:need]

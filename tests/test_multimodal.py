@@ -1,7 +1,8 @@
 """Multimodal column plumbing (operators/multimodal.py): schemas, Arrow
 batch shapes, determinism, frame-sampling fan-out — plus the real
 pure-stdlib codecs (P6, PNG incl. all five scanline filters, 16-bit PCM
-WAV). Only JPEG/compressed-audio/video decode remain documented stubs."""
+WAV, GIF incl. real variable-width LZW, 24-bit BMP). Only
+JPEG/compressed-audio/video decode remain documented stubs."""
 
 import math
 
@@ -30,20 +31,25 @@ def test_media_table_schema_and_determinism(spark, media):
     assert media.schema == MEDIA_SCHEMA
     rows = media.collect()
     assert rows, "synthesizer produced no media rows"
-    # images carry real P6 or PNG payloads, audio real 16-bit PCM WAV;
-    # only video keeps the 128-byte deterministic stub payload
+    # images carry real P6/PNG/GIF/BMP payloads, audio real 16-bit PCM
+    # WAV; only video keeps the 128-byte deterministic stub payload
     seen_formats = set()
     for r in rows:
         p = bytes(r["payload"])
         if r["kind"] == "image":
-            assert p.startswith(b"P6") or p.startswith(b"\x89PNG")
+            assert (
+                p.startswith(b"P6")
+                or p.startswith(b"\x89PNG")
+                or p.startswith(b"GIF8")
+                or p.startswith(b"BM")
+            )
             seen_formats.add(p[:2])
         elif r["kind"] == "audio":
             assert p.startswith(b"RIFF") and p[8:12] == b"WAVE"
         else:
             assert len(p) == 128
-    if sum(1 for r in rows if r["kind"] == "image") >= 8:
-        assert len(seen_formats) == 2  # both real image formats exercised
+    if sum(1 for r in rows if r["kind"] == "image") >= 16:
+        assert len(seen_formats) == 4  # all four real image formats exercised
     assert {r["kind"] for r in rows} <= {"image", "audio", "video"}
     # deterministic: regenerate from the same documents → identical table
     docs = synthesize_documents(spark, 120, seed=31, partitions=4)
@@ -186,14 +192,17 @@ def test_ppm_encode_decode_roundtrip():
 
 
 def test_real_decode_path_on_synthesized_images(spark):
-    """Synthesized image payloads are genuine P6 OR PNG: the matching
-    parser recovers the exact pixels, and the decode used by the
-    feature/resize stages is the real luminance of those pixels (not the
-    fallback fake) — checked for at least one payload of EACH format."""
+    """Synthesized image payloads are genuine P6/PNG/GIF/BMP: the
+    matching parser recovers the exact pixels, and the decode used by
+    the feature/resize stages is the real luminance of those pixels (not
+    the fallback fake) — checked for at least one payload of EACH
+    format."""
     import numpy as np
 
     from golden_horse_spark.operators.multimodal import (
         _decode_image,
+        parse_bmp,
+        parse_gif,
         parse_png,
         parse_ppm,
         synthesize_media,
@@ -204,11 +213,16 @@ def test_real_decode_path_on_synthesized_images(spark):
     media = synthesize_media(spark, docs).where(F.col("kind") == "image")
     rows = media.collect()
     assert rows
+    parsers = {
+        b"P6": parse_ppm,
+        b"\x89P": parse_png,
+        b"GI": parse_gif,
+        b"BM": parse_bmp,
+    }
     checked = set()
     for row in rows:
         payload = bytes(row["payload"])
-        parser = parse_ppm if payload[:2] == b"P6" else parse_png
-        rgb = parser(payload)
+        rgb = parsers[payload[:2]](payload)
         assert rgb.shape == (row["height"], row["width"], 3)
         lum = _decode_image(payload, row["width"], row["height"])
         want = (
@@ -216,7 +230,7 @@ def test_real_decode_path_on_synthesized_images(spark):
         ).astype(np.float32) / 255.0
         assert np.allclose(lum, want, atol=1e-6)
         checked.add(payload[:2])
-    assert len(checked) == 2, checked  # both formats hit the real path
+    assert len(checked) == 4, checked  # all four formats hit the real path
 
 
 def test_resized_payload_is_decodable(spark):
@@ -378,3 +392,114 @@ def test_decoders_route_by_magic_bytes():
         _decode_audio(encode_wav(wave), 100), wave, atol=1.0 / 32767
     )
     assert len(_decode_audio(b"OggSomething", 100)) == 800  # stub path
+
+
+def test_bmp_roundtrip_and_padding():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.RandomState(11)
+    # widths 5/6/7/8 exercise every row-padding remainder (15/18/21/24
+    # bytes per row → pad 1/2/3/0)
+    for w in (5, 6, 7, 8):
+        rgb = rng.randint(0, 256, size=(9, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(parse_bmp(encode_bmp(rgb)), rgb)
+
+
+def test_bmp_top_down_and_guards():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from golden_horse_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    rgb = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = bytearray(encode_bmp(rgb))
+    # flip to top-down (negative height) and re-order the raster rows
+    struct.pack_into("<i", payload, 22, -2)
+    h0 = payload[54 : 54 + 12]
+    h1 = payload[66 : 66 + 12]
+    payload[54 : 54 + 12], payload[66 : 66 + 12] = h1, h0
+    np.testing.assert_array_equal(parse_bmp(bytes(payload)), rgb)
+    with pytest.raises(ValueError):
+        parse_bmp(b"XX" + bytes(payload[2:]))
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(payload)[:40])  # truncated raster
+
+
+def test_gif_roundtrip_palette_sizes():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import encode_gif, parse_gif
+
+    rng = np.random.RandomState(5)
+    # palette sizes straddling code-size boundaries: 2 (min code size 2),
+    # 4, 16, 250 (8-bit codes, LZW width growth well past 9 bits on the
+    # 64×64 raster)
+    for ncol, hw in ((2, 16), (4, 24), (16, 40), (250, 64)):
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncol, size=(hw, hw))
+        rgb = pal[idx]
+        np.testing.assert_array_equal(parse_gif(encode_gif(rgb)), rgb)
+
+
+def test_gif_lzw_width_growth_and_repeats():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.RandomState(9)
+    # long runs force KwKwK codes; 20k symbols over 4 literals pushes
+    # the table through several width bumps
+    seq = np.repeat(rng.randint(0, 4, size=500), rng.randint(1, 80, size=500))
+    got = _gif_lzw_decode(_gif_lzw_encode(seq, 2), 2)
+    assert got == list(seq)
+    # single-symbol stream (the degenerate KwKwK ladder)
+    ones = np.zeros(4097, dtype=np.int64)
+    assert _gif_lzw_decode(_gif_lzw_encode(ones, 2), 2) == [0] * 4097
+
+
+def test_gif_guards_and_extension_skip():
+    import numpy as np
+    import pytest
+
+    from golden_horse_spark.operators.multimodal import encode_gif, parse_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rgb = pal[np.eye(6, dtype=int)]
+    payload = encode_gif(rgb)
+    # splice a graphic-control extension between header and image block
+    gct_end = 13 + 2 * 3  # header + 2-entry global color table
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = payload[:gct_end] + ext + payload[gct_end:]
+    np.testing.assert_array_equal(parse_gif(with_ext), rgb)
+    with pytest.raises(ValueError):
+        parse_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        # >256 colors cannot be palettized
+        rng = np.random.RandomState(2)
+        encode_gif(rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8))
+
+
+def test_decode_image_routes_gif_and_bmp():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _decode_image,
+        encode_bmp,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    rgb = pal[rng.randint(0, 8, size=(10, 7))]
+    lum = (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).astype(np.float32) / 255.0
+    np.testing.assert_allclose(_decode_image(encode_gif(rgb), 7, 10), lum, atol=1e-6)
+    np.testing.assert_allclose(_decode_image(encode_bmp(rgb), 7, 10), lum, atol=1e-6)
