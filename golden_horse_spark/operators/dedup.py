@@ -938,3 +938,125 @@ def dup_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def dup_span_remove(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REWRITER half of Lee et al. 2022 substring dedup (round 4 —
+    ``dup_span_stats`` is the signal, this removes the text): every
+    k-token span occurring in ≥ ``min_docs`` distinct documents keeps
+    exactly its globally FIRST occurrence (min ``(doc_id, pos)``) and
+    every other occurrence's tokens are cut from the document.
+
+    Returns ``(doc_id, clean_text, n_tokens, n_removed_tokens)`` for
+    every input doc. ``clean_text`` is whitespace-normalized (surviving
+    tokens joined by single spaces) — the operator tokenizes on
+    whitespace, so it cannot promise byte fidelity around cuts anyway.
+    Deterministic: the keeper is an argmin, not a sample.
+
+    Scale shape (same discipline as ``dup_span_stats`` — never a pair
+    generator, never a suffix array):
+
+    * grams → gram DF → semi-join: identical bounded shape as the
+      signal (hot grams semi-join once per occurrence, no fan-out);
+    * the global keeper per gram is ONE ``min(struct(doc_id, pos))``
+      aggregate on the already-grouped hash — no window, no sort;
+    * token-level removal avoids exploding k rows per occurrence: token
+      rows and removal-occurrence rows ride ONE union, and a single
+      per-doc running ``max(pos + k)`` window (occurrences ordered
+      before tokens at equal pos) decides every token in one pass —
+      interval union for free, O(tokens + occurrences) rows;
+    * rebuild = ``array_sort(collect_list(struct(pos, w)))`` per doc —
+      per-DOC state only, bounded by document length like every other
+      per-doc aggregate in the engine.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+    ).select(
+        "doc_id",
+        F.when(F.col("w")[0] == "", F.array().cast("array<string>"))
+        .otherwise(F.col("w"))
+        .alias("w"),
+    )
+    gram_expr = (
+        f"flatten(transform(array(w), toks -> "
+        f"case when size(toks) >= {k} then "
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> struct(i as pos, md5(concat_ws(' ', slice(toks, i + 1, {k}))) as gh)) "
+        f"else array() end))"
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.expr(gram_expr)).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    # duplicated grams AND their global keeper in ONE aggregate pass
+    dup_first = (
+        grams.groupBy("gh")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("gh", "first")
+    )
+    removal = (
+        grams.join(dup_first, "gh")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos", (F.col("pos") + k).alias("end"))
+    )
+    token_rows = toks.select(
+        "doc_id", F.posexplode("w").alias("pos", "tok")
+    ).select("doc_id", "pos", F.lit(1).alias("kind"), "tok",
+             F.lit(None).cast("int").alias("end"))
+    occ_rows = removal.select(
+        "doc_id", "pos", F.lit(0).alias("kind"),
+        F.lit(None).cast("string").alias("tok"), "end",
+    )
+    # one per-doc pass: occurrences (kind 0) sort before tokens (kind 1)
+    # at equal pos, so the running interval end covers its own start
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        token_rows.unionByName(occ_rows)
+        .withColumn("run_end", F.max("end").over(w_run))
+        .where(F.col("kind") == 1)
+        .withColumn(
+            "removed",
+            F.coalesce(F.col("run_end") > F.col("pos"), F.lit(False)),
+        )
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("removed"), F.struct("pos", "tok")
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id").join(rebuilt, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0))
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -735,3 +735,78 @@ def test_minhash_signature_format_guard(spark):
         got = minhash_dup_pairs(docs, num_hashes=4, hash_fn=fn,
                                 signatures=sig).collect()
         assert [(r["doc_a"], r["doc_b"]) for r in got] == [(0, 1)]
+
+
+def _python_dup_span_remove(texts, k, min_docs=2):
+    """Reference rewriter: every k-gram in >= min_docs distinct docs
+    keeps its globally first (doc_id, pos) occurrence; all other
+    occurrences' [pos, pos+k) token indices are cut."""
+    toks = {d: t.split() for d, t in texts}
+    gram_docs, first = {}, {}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - k + 1):
+            g = tuple(w[i:i + k])
+            gram_docs.setdefault(g, set()).add(d)
+            first.setdefault(g, (d, i))
+    out = {}
+    for d, w in toks.items():
+        cut = set()
+        for i in range(len(w) - k + 1):
+            g = tuple(w[i:i + k])
+            if len(gram_docs[g]) >= min_docs and first[g] != (d, i):
+                cut.update(range(i, i + k))
+        kept = [t for j, t in enumerate(w) if j not in cut]
+        out[d] = (" ".join(kept), len(w), len(cut))
+    return out
+
+
+def test_dup_span_remove_vs_bruteforce(spark):
+    import random
+
+    from golden_horse_spark.operators.dedup import dup_span_remove
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over the lazy dog again".split()
+    texts = []
+    for d in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 50))]
+        if d % 2 == 0:
+            at = rng.randint(0, max(0, len(words) - 1))
+            words[at:at] = boiler
+        if d % 5 == 0:  # overlapping second copy inside the same doc
+            words.extend(boiler[:7])
+        texts.append((d, " ".join(words)))
+    texts.append((98, ""))
+    texts.append((99, "tiny"))
+
+    k = 5
+    want = _python_dup_span_remove(texts, k)
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in dup_span_remove(docs, k=k).collect()
+    }
+    assert got == want
+    # the rewrite is a real one: the boilerplate survives somewhere
+    assert any(" ".join(boiler) in t for t, _, _ in got.values())
+    n_cut = sum(c for _, _, c in got.values())
+    assert n_cut > 0
+
+
+def test_dup_span_remove_keeps_first_and_is_deterministic(spark):
+    from golden_horse_spark.operators.dedup import dup_span_remove
+
+    shared = "a b c d e"
+    texts = [(1, f"{shared} x y"), (2, f"p q {shared}"), (3, f"{shared}")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dup_span_remove(docs, k=5).collect()}
+    # doc 1 holds the globally-first occurrence and is untouched
+    assert rows[1]["clean_text"] == "a b c d e x y"
+    assert rows[1]["n_removed_tokens"] == 0
+    assert rows[2]["clean_text"] == "p q"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed_tokens"] == 5
+    again = {r["doc_id"]: r["clean_text"]
+             for r in dup_span_remove(docs, k=5).collect()}
+    assert again == {d: r["clean_text"] for d, r in rows.items()}
