@@ -65,3 +65,49 @@ def surface_form_counts(
     return salted_agg(
         mentions, ["surface"], {"n_mentions": ("count", "surface")}, salt_buckets
     ).orderBy(F.col("n_mentions").desc())
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join (round 4): the EXPLICIT-salting complement to
+    ``salted_agg`` for the join side of the north rule.
+
+    AQE's skew-join split is reactive — it needs runtime partition
+    stats, only fires on sort-merge joins past size thresholds, and is
+    unavailable under Structured Streaming. When a hot key is KNOWN
+    (one surface form in ~10% of mentions), the deterministic fix is:
+    salt the BIG side with ``pmod(hash(id), S)`` and replicate the
+    small side S× (one copy per salt value), joining on (key, salt).
+    Every big row meets exactly ONE replica of each matching small row,
+    so the result multiset is identical to the plain join — exact, not
+    approximate — while the hot key's rows spread across S reducers.
+
+    Supported ``how``: ``inner`` and ``left`` (each big row's match set
+    is preserved exactly). ``right``/``full`` would need unmatched
+    SMALL rows, which the replication distorts (an unmatched small row
+    appears S times) — raises instead.
+
+    Cost model vs alternatives: broadcast beats this when the small
+    side fits in memory; salting wins when the dim is broadcast-too-big
+    but still ≪ the fact side (replication costs S× the small side's
+    shuffle volume, bounded and chosen, vs one reducer eating the hot
+    key's entire fan-in, unbounded).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r} — "
+            "right/full would replicate unmatched small-side rows S times"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(small_s, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -114,3 +114,52 @@ def test_two_stage_charpos_length_preserving(s):
     chars = list(s)
     reprs = representations(chars, "charpos", segmenter=_two_stage())
     assert len(reprs) == len(chars)
+
+
+# ---------------------------------------------- round-4 pure kernels
+
+GIF_SYMS = st.lists(st.integers(min_value=0, max_value=15), min_size=1,
+                    max_size=600)
+
+
+@given(GIF_SYMS)
+@settings(max_examples=150, deadline=None)
+def test_gif_lzw_roundtrip_arbitrary_sequences(seq):
+    """encode→decode is the identity for any symbol stream (including
+    degenerate runs that force KwKwK codes and width bumps)."""
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = _gif_lzw_encode(np.asarray(seq, dtype=np.int64), 4)
+    assert _gif_lzw_decode(data, 4) == seq
+
+
+WORDS = st.lists(
+    st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(WORDS, st.integers(min_value=0, max_value=12))
+@settings(max_examples=150, deadline=None)
+def test_bpe_encode_is_lossless_for_any_merge_table(words, n_ranks):
+    """The greedy encoder never loses or reorders characters, whatever
+    the (possibly nonsensical) merge table says."""
+    from golden_horse_spark.operators.tokenize import EOW, _encode_word
+
+    # synthesize a merge table from adjacent fragments of the words
+    ranks = {}
+    for w in words:
+        for i in range(len(w) - 1):
+            if len(ranks) >= n_ranks:
+                break
+            ranks.setdefault((w[i], w[i + 1]), len(ranks))
+    for w in words:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert all(toks)
