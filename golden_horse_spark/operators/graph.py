@@ -639,3 +639,108 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def modularity_df(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community partition over the undirected
+    simple graph of ``edges``, as a ONE-ROW DataFrame
+    ``(q double, two_m long, intra2 long, unlabeled long)``:
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c is the intra-community edge
+    count, d_c the community's total degree and m the undirected edge
+    count — the standard quality score for ``label_propagation`` output
+    (Q > 0.3 ≈ real structure).
+
+    Fully relational — ONE lazy plan, no driver-side scalars:
+    symmetrize once, tag each directed arc with its endpoint labels via
+    two label joins (labels are usually broadcast-size relative to the
+    edge set; Catalyst/AQE picks the strategy), then a single global
+    aggregate folds all three Σ terms. The degree² term reuses the SAME
+    labeled-arc relation (one per-community roll-up), so the whole score
+    is 2 shuffles beyond the joins regardless of graph size. Integer
+    numerators (two_m, intra2, Σd_c²) are carried exactly and divided
+    once at the end — deterministic across partitionings.
+
+    ``unlabeled`` counts graph nodes missing from ``communities`` —
+    surfaced in the row (and raised on by the float wrapper) because a
+    silent drop would bias Q.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    labels = communities.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("la")
+    )
+    tagged = sym.join(labels, "a", "left").join(
+        labels.select(F.col("a").alias("b"), F.col("la").alias("lb")),
+        "b",
+        "left",
+    )
+    # Σ over directed arcs: count = 2m, la==lb hits = 2·e_intra,
+    # missing-label arcs → unlabeled endpoints (counted per arc; any
+    # nonzero means the partition is partial and Q is untrustworthy)
+    per_comm = (
+        tagged.where(F.col("la").isNotNull())
+        .groupBy("la")
+        .agg(F.count("*").alias("d_c"))
+    )
+    totals = tagged.agg(
+        F.count("*").alias("two_m"),
+        F.sum(
+            F.when(
+                F.col("la").isNotNull() & (F.col("la") == F.col("lb")), 1
+            ).otherwise(0)
+        ).alias("intra2"),
+        F.sum(F.when(F.col("la").isNull(), 1).otherwise(0)).alias(
+            "unlabeled"
+        ),
+    )
+    dsq = per_comm.agg(
+        F.coalesce(F.sum(F.col("d_c") * F.col("d_c")), F.lit(0)).alias(
+            "dsq"
+        )
+    )
+    return totals.crossJoin(dsq).select(
+        F.when(F.col("two_m") > 0,
+               F.col("intra2") / F.col("two_m")
+               - F.col("dsq") / (F.col("two_m") * F.col("two_m")))
+        .otherwise(F.lit(0.0))
+        .alias("q"),
+        F.col("two_m").cast("long").alias("two_m"),
+        F.col("intra2").cast("long").alias("intra2"),
+        F.col("unlabeled").cast("long").alias("unlabeled"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> float:
+    """Float convenience wrapper over :func:`modularity_df` — one Spark
+    action. Raises if any graph node has no community label."""
+    row = modularity_df(
+        edges, communities, src=src, dst=dst,
+        node_col=node_col, label_col=label_col,
+    ).first()
+    if row["unlabeled"]:
+        raise ValueError(
+            f"{row['unlabeled']} arc endpoints have no community label — "
+            "modularity over a partial partition is biased"
+        )
+    return float(row["q"])

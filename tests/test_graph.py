@@ -557,3 +557,87 @@ def test_label_propagation_vs_python_reference(spark):
             for r in label_propagation(df, n_iter=4).collect()
         }
         assert got == want
+
+
+def _python_modularity(edges, part):
+    """Dense reference: Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected
+    simple graph (self-loops dropped, duplicate edges collapsed)."""
+    und = {tuple(sorted((a, b))) for a, b in edges if a != b}
+    m = len(und)
+    if m == 0:
+        return 0.0
+    deg: dict = {}
+    e_c: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if part[a] == part[b]:
+            e_c[part[a]] = e_c.get(part[a], 0) + 1
+    d_c: dict = {}
+    for n, d in deg.items():
+        d_c[part[n]] = d_c.get(part[n], 0) + d
+    return sum(
+        e_c.get(c, 0) / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+
+
+def test_modularity_two_cliques_bridge(spark):
+    from golden_horse_spark.operators.graph import modularity
+
+    # two 4-cliques + bridge, perfect partition: m=13,
+    # e_c=6 each, d_c=13 each → Q = 2·(6/13 − (13/26)²) = 12/13 − 1/2
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comm = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 1) for n in range(10, 14)],
+        "node long, label long",
+    )
+    q = modularity(df, comm)
+    assert abs(q - (12 / 13 - 0.5)) < 1e-12
+    # degenerate partition (everything one community) → Q = 0
+    comm1 = comm.select("node", F.lit(0).alias("label"))
+    assert abs(modularity(df, comm1)) < 1e-12
+
+
+def test_modularity_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import modularity
+
+    rng = random.Random(13)
+    for trial in range(3):
+        edges = list(
+            {
+                (rng.randrange(25), rng.randrange(25))
+                for _ in range(50 + 25 * trial)
+            }
+        )
+        nodes = sorted({n for e in edges for n in e})
+        part = {n: rng.randrange(4) for n in nodes}
+        simple = [(a, b) for a, b in edges if a != b]
+        if not simple:
+            continue
+        df = spark.createDataFrame(simple, "src long, dst long")
+        comm = spark.createDataFrame(
+            [(n, part[n]) for n in nodes], "node long, label long"
+        )
+        got = modularity(df, comm)
+        want = _python_modularity(simple, part)
+        assert abs(got - want) < 1e-10, (trial, got, want)
+
+
+def test_modularity_partial_partition_raises(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import modularity, modularity_df
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    comm = spark.createDataFrame([(0, 0), (1, 0)], "node long, label long")
+    row = modularity_df(df, comm).first()
+    # unlabeled counts la-null directed arcs = Σ deg over unlabeled
+    # nodes; node 2 has degree 1
+    assert row["unlabeled"] == 1
+    with pytest.raises(ValueError, match="no community label"):
+        modularity(df, comm)
