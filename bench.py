@@ -335,6 +335,44 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     }
     bfs_sec = round(_t.time() - t0, 2)
     assert levels == {0: 1, 1: n_cliques, 2: 4 * n_cliques}, levels
+
+    # label propagation + modularity at the same scale: LPA timed for
+    # its synchronous-round cost (4 rounds over the full graph, every
+    # node must come back labeled); modularity asserted EXACTLY against
+    # the closed form of the ground-truth clique partition — per-clique
+    # communities plus the hub alone give e_c=10 per clique,
+    # d_c = 23 (middle cliques) / 22 (end cliques) / C (hub), so
+    # Q = 20C/2m − Σd_c²/(2m)² with 2m = 24C − 2, computed here with
+    # the SAME two-term association the operator uses.
+    from golden_horse_spark.operators.graph import (
+        label_propagation,
+        modularity_df,
+    )
+
+    t0 = _t.time()
+    n_labeled = label_propagation(edges, n_iter=4).count()
+    lpa_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert n_labeled == n_nodes + 1, n_labeled
+
+    truth = spark.range(n_nodes + 1).select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") == n_nodes, F.lit(-1))
+        .otherwise(F.floor(F.col("id") / 5))
+        .alias("label"),
+    )
+    t0 = _t.time()
+    mrow = modularity_df(edges, truth).head()
+    modularity_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    C = n_cliques
+    two_m = 24 * C - 2
+    dsq = (C - 2) * 23 * 23 + 2 * 22 * 22 + C * C
+    q_expect = 20 * C / two_m - dsq / (two_m * two_m)
+    assert mrow["two_m"] == two_m, (mrow["two_m"], two_m)
+    assert mrow["intra2"] == 20 * C, mrow["intra2"]
+    assert mrow["unlabeled"] == 0, mrow["unlabeled"]
+    assert abs(mrow["q"] - q_expect) < 1e-9, (mrow["q"], q_expect)
     return {
         "n_nodes": n_nodes + 1,
         "n_edges": n_edges,
@@ -348,6 +386,10 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         "kcore5_cascade_sec": kcore5_sec,
         "bfs_sec": bfs_sec,
         "bfs_nodes_per_sec": round((n_nodes + 1) / bfs_sec, 1),
+        "lpa_rounds": 4,
+        "lpa_sec": lpa_sec,
+        "modularity_sec": modularity_sec,
+        "modularity_q": round(mrow["q"], 9),
     }
 
 
