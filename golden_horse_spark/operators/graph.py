@@ -501,6 +501,7 @@ def common_neighbor_pairs(
     dst: str = "dst",
     max_degree: int | None = 1000,
     adamic_adar: bool = False,
+    jaccard: bool = False,
 ) -> DataFrame:
     """Link prediction by common-neighbor count: non-adjacent node pairs
     (u, v) with ≥ ``min_common`` shared neighbors → (u, v, n_common) —
@@ -513,6 +514,16 @@ def common_neighbor_pairs(
     center key (co-partitioned: the adjacency is already hashed on it).
     Degrees are computed on the UNCAPPED graph (the true deg(n)); the
     cap only limits which centers generate wedges.
+
+    ``jaccard=True`` adds ``jaccard = n_common / (deg(u) + deg(v) −
+    n_common)`` — neighborhood overlap normalized by neighborhood size,
+    so a 2-common-neighbor pair of degree-3 nodes outranks one between
+    hubs. Costs two joins of the (already min_common-filtered,
+    anti-joined) PAIR table against the node-degree table — the pair
+    table is the small side by construction, never the wedge stream.
+    With ``max_degree`` set, n_common counts wedges through capped
+    centers only while deg(u)/deg(v) stay TRUE degrees (same contract
+    as aa_score): the score is then a lower bound, never inflated.
 
     Shape: ONE self-join of the symmetrized adjacency on the center
     node (every wedge u–n–v with u<v), count per (u, v), anti-join
@@ -545,9 +556,11 @@ def common_neighbor_pairs(
             .select("a")
         )
         centers = sym.join(ok, "a", "left_semi")
+    deg = None
+    if adamic_adar or jaccard:
+        deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
     aggs = [F.count("*").alias("n_common")]
     if adamic_adar:
-        deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
         centers = centers.join(deg, "a")  # co-partitioned on a
         aggs.append(
             F.sum(1.0 / F.log(F.col("l._deg"))).alias("aa_score")
@@ -562,10 +575,28 @@ def common_neighbor_pairs(
     existing = sym.where(F.col("a") < F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     )
-    return (
+    pairs = (
         wedges.join(existing, ["u", "v"], "left_anti")
         .where(F.col("n_common") >= min_common)
     )
+    if jaccard:
+        pairs = (
+            pairs.join(
+                deg.select(F.col("a").alias("u"), F.col("_deg").alias("_du")),
+                "u",
+            )
+            .join(
+                deg.select(F.col("a").alias("v"), F.col("_deg").alias("_dv")),
+                "v",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                / (F.col("_du") + F.col("_dv") - F.col("n_common")),
+            )
+            .drop("_du", "_dv")
+        )
+    return pairs
 
 
 def label_propagation(

@@ -325,6 +325,74 @@ def test_adamic_adar_vs_bruteforce(spark):
         assert abs(got[k][1] - aa) < 1e-9, (k, got[k][1], aa)
 
 
+def test_jaccard_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from golden_horse_spark.operators.graph import common_neighbor_pairs
+
+    rng = random.Random(29)
+    n = 30
+    es = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)})
+    edges = spark.createDataFrame(es, "src long, dst long")
+
+    adj = {i: set() for i in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = set(es)
+    want = {}
+    for u, v in itertools.combinations(range(n), 2):
+        if (u, v) in eset:
+            continue
+        shared = adj[u] & adj[v]
+        if len(shared) >= 2:
+            want[(u, v)] = (
+                len(shared),
+                len(shared) / len(adj[u] | adj[v]),
+            )
+
+    got = {(r["u"], r["v"]): (r["n_common"], r["jaccard"])
+           for r in common_neighbor_pairs(
+               edges, min_common=2, jaccard=True).collect()}
+    assert set(got) == set(want) and want
+    for k, (nc, jc) in want.items():
+        assert got[k][0] == nc
+        # |Γu ∪ Γv| == deg(u)+deg(v)−|Γu ∩ Γv| (u∉Γu, and u∉Γv since
+        # (u,v) is a non-edge) — the operator's denominator identity
+        assert abs(got[k][1] - jc) < 1e-12, (k, got[k][1], jc)
+    # composes with adamic_adar (all three score columns in one pass)
+    both = common_neighbor_pairs(
+        edges, min_common=2, adamic_adar=True, jaccard=True
+    )
+    assert {"u", "v", "n_common", "aa_score", "jaccard"} <= set(both.columns)
+    assert both.count() == len(want)
+
+
+def test_jaccard_capped_is_lower_bound(spark):
+    # with a degree cap, n_common undercounts (hub centers dropped)
+    # while deg(u)/deg(v) stay true — jaccard must never inflate
+    from golden_horse_spark.operators.graph import common_neighbor_pairs
+
+    # hub 100 adjacent to 0..9; plus a private wedge 0-50-1
+    es = [(100, i) for i in range(10)] + [(0, 50), (50, 1)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    full = {(r["u"], r["v"]): r["jaccard"]
+            for r in common_neighbor_pairs(
+                edges, min_common=1, max_degree=None, jaccard=True
+            ).collect()}
+    capped = {(r["u"], r["v"]): r["jaccard"]
+              for r in common_neighbor_pairs(
+                  edges, min_common=1, max_degree=5, jaccard=True
+              ).collect()}
+    # (0,1) survives via center 50 in both; deg(0)=deg(1)=2, so the
+    # capped score drops the hub wedge: 1/(2+2-1) vs 2/(2+2-2) uncapped
+    assert abs(full[(0, 1)] - 1.0) < 1e-12
+    assert abs(capped[(0, 1)] - 1 / 3) < 1e-12
+    assert set(capped) <= set(full)
+    assert all(capped[k] <= full[k] + 1e-12 for k in capped)
+
+
 def test_bfs_distances_string_node_ids(spark):
     # round-4 ADVICE: the seed schema must derive from the edge table,
     # not a hardcoded long — string-id graphs are the KG norm
