@@ -605,6 +605,8 @@ def label_propagation(
     dst: str = "dst",
     n_iter: int = 5,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
+    self_weight: float = 1.0,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007) over the undirected graph of ``edges`` →
@@ -622,6 +624,18 @@ def label_propagation(
     * exactly ``n_iter`` rounds — a fixed count, like ``pagerank``,
       so reruns are bit-identical.
 
+    ``weight_col``: optional non-negative edge-weight column — WEIGHTED
+    voting: each neighbor's label votes with the edge weight instead of
+    1, plus a ``self_weight`` self-vote (same damping role; scale it to
+    the graph's weight regime — the 1.0 default matches unit weights).
+    Determinism is preserved the hard way: weights accumulate in
+    DECIMAL(27,9), whose addition is EXACT and order-independent, so
+    the per-label vote totals — and therefore the min-label tie-breaks —
+    cannot drift with partitioning the way double sums would. Parallel
+    edges sum their weights (unlike the unweighted path, which dedups
+    them — a multi-edge IS a stronger tie once weights exist); negative
+    weights raise (a negative vote has no LPA semantics).
+
     Scale shape mirrors ``pagerank``: the symmetrized edge table is
     hash-partitioned on the probe key once and pinned, the labels join
     reuses that exchange, and a lazy per-round ``localCheckpoint``
@@ -634,15 +648,37 @@ def label_propagation(
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .where(F.col("s") != F.col("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .where(F.col("s") != F.col("d"))
-        .distinct()
-        .repartition(p, "s")
-        .localCheckpoint()
-    )
+    _dec = "decimal(27,9)"
+    if weight_col is None:
+        sym = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+            .withColumn("ew", F.lit(1))
+        )
+        self_w = F.lit(1)
+    else:
+        n_neg = edges.where(F.col(weight_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"label_propagation weight_col={weight_col!r} has {n_neg} "
+                "negative weights — a negative vote has no LPA semantics"
+            )
+        half = edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight_col).cast(_dec).alias("ew"),
+        ).where(F.col("s") != F.col("d"))
+        sym = (
+            half.union(half.select(F.col("d").alias("s"),
+                                   F.col("s").alias("d"), "ew"))
+            .groupBy("s", "d")
+            .agg(F.sum("ew").cast(_dec).alias("ew"))  # parallel edges sum
+        )
+        self_w = F.lit(self_weight).cast(_dec)
+    sym = sym.repartition(p, "s").localCheckpoint()
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
@@ -653,8 +689,8 @@ def label_propagation(
     for _ in range(n_iter):
         votes = sym.join(
             labels.withColumnRenamed("node", "s"), "s"
-        ).select(F.col("d").alias("node"), "label", F.lit(1).alias("w"))
-        self_votes = labels.select("node", "label", F.lit(1).alias("w"))
+        ).select(F.col("d").alias("node"), "label", F.col("ew").alias("w"))
+        self_votes = labels.select("node", "label", self_w.alias("w"))
         # argmax-by-count, ties to the smallest label, as ONE aggregate:
         # min(struct(-count, label)) — no per-node window, no sort
         labels = (

@@ -627,6 +627,104 @@ def test_label_propagation_vs_python_reference(spark):
         assert got == want
 
 
+def _python_lpa_weighted(wedges, n_iter, self_weight):
+    # weighted synchronous LPA — exact arithmetic via Fraction, the
+    # reference for the operator's DECIMAL(27,9) vote accumulation
+    from fractions import Fraction
+
+    adj = {}
+    for a, b, w in wedges:
+        if a == b:
+            continue
+        w = Fraction(w).limit_denominator(10**9)
+        adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0) + w
+    labels = {n: n for n in adj}
+    sw = Fraction(self_weight).limit_denominator(10**9)
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            votes = {}
+            for m, w in adj[n].items():
+                votes[labels[m]] = votes.get(labels[m], 0) + w
+            votes[labels[n]] = votes.get(labels[n], 0) + sw
+            new[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_weighted(spark):
+    import random
+
+    import pytest
+
+    from golden_horse_spark.operators.graph import label_propagation
+
+    # hand case: weighted barbell — two heavy triangles joined by a
+    # light bridge; each triangle must converge to its own min label,
+    # the bridge (0.25 ≪ 10) never pulls {3,4,5} toward 0
+    wedges = (
+        [(0, 1, 10.0), (0, 2, 10.0), (1, 2, 10.0)]
+        + [(3, 4, 10.0), (3, 5, 10.0), (4, 5, 10.0)]
+        + [(2, 3, 0.25)]
+    )
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4, weight_col="w").collect()
+    }
+    assert got == _python_lpa_weighted(wedges, 4, 1.0)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+    # uniform weights reproduce the unweighted partition exactly —
+    # on a CANONICAL edge list (a<b): the unweighted path dedups
+    # reverse/parallel edges (.distinct()) while the weighted path sums
+    # them by design, so the equivalence only holds on simple inputs
+    rng = random.Random(41)
+    es = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(25), rng.randrange(25)) for _ in range(70)
+            )
+            if a != b
+        }
+    )
+    plain = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(es, "src long, dst long"), n_iter=4
+        ).collect()
+    }
+    unit = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in es], "src long, dst long, w double"
+    )
+    uniform = {
+        r["node"]: r["label"]
+        for r in label_propagation(unit, n_iter=4, weight_col="w").collect()
+    }
+    assert uniform == plain
+
+    # randomized quarter-integer weights (exact in DECIMAL and binary)
+    # vs the Fraction reference
+    wes = [(a, b, rng.randrange(1, 17) / 4) for a, b in es]
+    wdf = spark.createDataFrame(wes, "src long, dst long, w double")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            wdf, n_iter=4, weight_col="w", self_weight=0.5
+        ).collect()
+    }
+    assert got == _python_lpa_weighted(wes, 4, 0.5)
+
+    # negative weights raise
+    neg = spark.createDataFrame(
+        [(0, 1, -1.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        label_propagation(neg, n_iter=1, weight_col="w")
+
+
 def _python_modularity(edges, part):
     """Dense reference: Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected
     simple graph (self-loops dropped, duplicate edges collapsed)."""
