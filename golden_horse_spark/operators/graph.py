@@ -715,6 +715,7 @@ def modularity_df(
     dst: str = "dst",
     node_col: str = "node",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Newman modularity Q of a community partition over the undirected
     simple graph of ``edges``, as a ONE-ROW DataFrame
@@ -723,6 +724,19 @@ def modularity_df(
     count, d_c the community's total degree and m the undirected edge
     count — the standard quality score for ``label_propagation`` output
     (Q > 0.3 ≈ real structure).
+
+    ``weight_col``: the weighted generalization (Newman 2004, "Analysis
+    of weighted networks"): e_c → intra-community weight, d_c → weighted
+    degree (strength), m → total edge weight W. Weight sums accumulate
+    in DECIMAL(27,9) — EXACT, order-independent — so Q cannot drift with
+    partitioning; the one rounding in the score, the per-community
+    strength square d_c², happens once per community at fixed decimal
+    precision (a scalar op on exact inputs — identical on every run),
+    never inside a float sum. Parallel edges sum their weights (matching
+    ``label_propagation(weight_col=...)``; the unweighted path dedups);
+    negative weights raise. In weighted mode ``two_m``/``intra2`` come
+    back as DECIMAL(38,9) (exact — integral whenever the weights are;
+    cast to long is then lossless), ``unlabeled`` stays an arc COUNT.
 
     Fully relational — ONE lazy plan, no driver-side scalars:
     symmetrize once, tag each directed arc with its endpoint labels via
@@ -738,15 +752,36 @@ def modularity_df(
     surfaced in the row (and raised on by the float wrapper) because a
     silent drop would bias Q.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    if weight_col is None:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .where(F.col("a") != F.col("b"))
+            .union(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+                .where(F.col("a") != F.col("b"))
+            )
+            .distinct()
+            .withColumn("w", F.lit(1))
         )
-        .distinct()
-    )
+    else:
+        n_neg = edges.where(F.col(weight_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"modularity weight_col={weight_col!r} has {n_neg} "
+                "negative weights — weighted modularity is defined over "
+                "non-negative weights"
+            )
+        half = edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight_col).cast("decimal(27,9)").alias("w"),
+        ).where(F.col("a") != F.col("b"))
+        sym = (
+            half.union(half.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"), "w"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("decimal(27,9)").alias("w"))
+        )
     labels = communities.select(
         F.col(node_col).alias("a"), F.col(label_col).alias("la")
     )
@@ -755,20 +790,22 @@ def modularity_df(
         "b",
         "left",
     )
-    # Σ over directed arcs: count = 2m, la==lb hits = 2·e_intra,
-    # missing-label arcs → unlabeled endpoints (counted per arc; any
-    # nonzero means the partition is partial and Q is untrustworthy)
+    # Σ over directed arcs: Σw = 2m (count when unweighted), la==lb
+    # weight = 2·e_intra, missing-label arcs → unlabeled endpoints
+    # (counted per arc; any nonzero means the partition is partial and
+    # Q is untrustworthy)
     per_comm = (
         tagged.where(F.col("la").isNotNull())
         .groupBy("la")
-        .agg(F.count("*").alias("d_c"))
+        .agg(F.sum("w").alias("d_c"))
     )
     totals = tagged.agg(
-        F.count("*").alias("two_m"),
+        F.sum("w").alias("two_m"),
         F.sum(
             F.when(
-                F.col("la").isNotNull() & (F.col("la") == F.col("lb")), 1
-            ).otherwise(0)
+                F.col("la").isNotNull() & (F.col("la") == F.col("lb")),
+                F.col("w"),
+            ).otherwise(F.lit(0))
         ).alias("intra2"),
         F.sum(F.when(F.col("la").isNull(), 1).otherwise(0)).alias(
             "unlabeled"
@@ -779,14 +816,17 @@ def modularity_df(
             "dsq"
         )
     )
+    out_num = "long" if weight_col is None else "decimal(38,9)"
+    # divisions in DOUBLE on the exact (order-independent) numerators —
+    # a decimal division here would truncate Q at the result scale
+    i2, tm, dq = (F.col(c).cast("double") for c in ("intra2", "two_m", "dsq"))
     return totals.crossJoin(dsq).select(
-        F.when(F.col("two_m") > 0,
-               F.col("intra2") / F.col("two_m")
-               - F.col("dsq") / (F.col("two_m") * F.col("two_m")))
+        F.when(F.col("two_m") > 0, i2 / tm - dq / (tm * tm))
         .otherwise(F.lit(0.0))
+        .cast("double")
         .alias("q"),
-        F.col("two_m").cast("long").alias("two_m"),
-        F.col("intra2").cast("long").alias("intra2"),
+        F.col("two_m").cast(out_num).alias("two_m"),
+        F.col("intra2").cast(out_num).alias("intra2"),
         F.col("unlabeled").cast("long").alias("unlabeled"),
     )
 
@@ -798,12 +838,13 @@ def modularity(
     dst: str = "dst",
     node_col: str = "node",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> float:
     """Float convenience wrapper over :func:`modularity_df` — one Spark
     action. Raises if any graph node has no community label."""
     row = modularity_df(
         edges, communities, src=src, dst=dst,
-        node_col=node_col, label_col=label_col,
+        node_col=node_col, label_col=label_col, weight_col=weight_col,
     ).first()
     if row["unlabeled"]:
         raise ValueError(

@@ -794,6 +794,115 @@ def test_modularity_vs_python_reference(spark):
         assert abs(got - want) < 1e-10, (trial, got, want)
 
 
+def _python_modularity_weighted(wedges, part):
+    """Dense reference for weighted Q (Newman 2004): parallel edges sum,
+    self-loops dropped — matching modularity_df(weight_col=...)."""
+    und: dict = {}
+    for a, b, w in wedges:
+        if a == b:
+            continue
+        k = tuple(sorted((a, b)))
+        und[k] = und.get(k, 0.0) + w
+    tw = sum(und.values())
+    if tw == 0:
+        return 0.0
+    strength: dict = {}
+    w_c: dict = {}
+    for (a, b), w in und.items():
+        strength[a] = strength.get(a, 0.0) + w
+        strength[b] = strength.get(b, 0.0) + w
+        if part[a] == part[b]:
+            w_c[part[a]] = w_c.get(part[a], 0.0) + w
+    s_c: dict = {}
+    for n, s in strength.items():
+        s_c[part[n]] = s_c.get(part[n], 0.0) + s
+    return sum(
+        w_c.get(c, 0.0) / tw - (s_c[c] / (2 * tw)) ** 2 for c in s_c
+    )
+
+
+def test_modularity_weighted(spark):
+    import random
+
+    import pytest
+
+    from golden_horse_spark.operators.graph import modularity
+
+    # hand case: weighted two-triangle barbell, perfect partition.
+    # Within-triangle weight 2 each (W_c=6), bridge 1 → W=13,
+    # S_c = 13 each ⇒ Q = 2·(6/13 − (13/26)²) = 12/13 − 1/2
+    wedges = (
+        [(0, 1, 2.0), (0, 2, 2.0), (1, 2, 2.0)]
+        + [(3, 4, 2.0), (3, 5, 2.0), (4, 5, 2.0)]
+        + [(2, 3, 1.0)]
+    )
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    comm = spark.createDataFrame(
+        [(n, 0) for n in range(3)] + [(n, 1) for n in range(3, 6)],
+        "node long, label long",
+    )
+    q = modularity(df, comm, weight_col="w")
+    assert abs(q - (12 / 13 - 0.5)) < 1e-9
+
+    # unit weights on a simple (canonical a<b) graph == unweighted Q
+    rng = random.Random(17)
+    for trial in range(3):
+        es = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(20), rng.randrange(20))
+                    for _ in range(40 + 20 * trial)
+                )
+                if a != b
+            }
+        )
+        nodes = sorted({n for e in es for n in e})
+        part = {n: rng.randrange(3) for n in nodes}
+        comm = spark.createDataFrame(
+            [(n, part[n]) for n in nodes], "node long, label long"
+        )
+        plain_df = spark.createDataFrame(es, "src long, dst long")
+        unit_df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in es], "src long, dst long, w double"
+        )
+        assert abs(
+            modularity(unit_df, comm, weight_col="w")
+            - modularity(plain_df, comm)
+        ) < 1e-9
+
+        # quarter-integer random weights (exact in DECIMAL and binary)
+        # vs the dense python reference
+        wes = [(a, b, rng.randrange(1, 13) / 4) for a, b in es]
+        wdf = spark.createDataFrame(wes, "src long, dst long, w double")
+        got = modularity(wdf, comm, weight_col="w")
+        want = _python_modularity_weighted(wes, part)
+        assert abs(got - want) < 1e-9, (trial, got, want)
+
+    # parallel edges sum: (0,1,1)+(1,0,2) ≡ (0,1,3)
+    p1 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 2.0), (1, 2, 4.0)],
+        "src long, dst long, w double",
+    )
+    p2 = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 2, 4.0)], "src long, dst long, w double"
+    )
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1)], "node long, label long"
+    )
+    assert abs(
+        modularity(p1, comm, weight_col="w")
+        - modularity(p2, comm, weight_col="w")
+    ) < 1e-12
+
+    # negative weights raise
+    neg = spark.createDataFrame(
+        [(0, 1, -2.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        modularity(neg, comm, weight_col="w")
+
+
 def test_modularity_partial_partition_raises(spark):
     import pytest
 
