@@ -916,3 +916,133 @@ def test_modularity_partial_partition_raises(spark):
     assert row["unlabeled"] == 1
     with pytest.raises(ValueError, match="no community label"):
         modularity(df, comm)
+
+
+def _python_nf(edges, directed, max_hops):
+    """Exact neighborhood function by BFS from every node — the dense
+    reference for HyperANF (balls here are small enough that the HLL
+    sketch is in its exact sparse regime, so equality is exact)."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    nf = [len(nodes)]
+    balls = {n: {n} for n in nodes}
+    for _ in range(max_hops):
+        new = {
+            n: set(ball).union(
+                *(balls[w] for w in adj.get(n, ()))
+            )
+            for n, ball in balls.items()
+        }
+        balls = new
+        nf.append(sum(len(b) for b in balls.values()))
+    return nf
+
+
+def test_neighborhood_function_path_hand_case(spark):
+    from golden_horse_spark.operators.graph import neighborhood_function
+
+    # path 0-1-2-3: N(0)=4, N(1)=10, N(2)=14, N(3)=16=N(∞);
+    # early stop emits one stable duplicate hop then halts
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    rows = {
+        r["hop"]: r["n_pairs"]
+        for r in neighborhood_function(df, max_hops=10).collect()
+    }
+    assert rows[0] == 4 and rows[1] == 10
+    assert rows[2] == 14 and rows[3] == 16
+    assert rows[4] == 16 and max(rows) == 4
+
+
+def test_neighborhood_function_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import neighborhood_function
+
+    rng = random.Random(29)
+    for trial, directed in [(0, False), (1, True), (2, False)]:
+        edges = list(
+            {
+                (rng.randrange(22), rng.randrange(22))
+                for _ in range(40 + 15 * trial)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["hop"]: r["n_pairs"]
+            for r in neighborhood_function(
+                df, max_hops=6, directed=directed, early_stop=False
+            ).collect()
+        }
+        want = _python_nf(edges, directed, 6)
+        assert got == dict(enumerate(want)), (trial, directed, got, want)
+
+
+def test_neighborhood_function_partitioning_invariant(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import neighborhood_function
+
+    rng = random.Random(31)
+    edges = [
+        (a, b)
+        for a, b in {
+            (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+        }
+        if a != b
+    ]
+    outs = []
+    for parts, nparts in [(3, 5), (17, 2)]:
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(
+            parts
+        )
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in neighborhood_function(
+                    df, max_hops=5, num_partitions=nparts
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_effective_diameter(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    # 10-node path: exact NF known; check the interpolated 90% point
+    # against a hand-rolled interpolation of the python reference
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nf = _python_nf(edges, False, 9)
+    target = 0.9 * nf[-1]
+    h = next(i for i, v in enumerate(nf) if v >= target)
+    want = (h - 1) + (target - nf[h - 1]) / (nf[h] - nf[h - 1])
+    got = effective_diameter(df, fraction=0.9)
+    assert abs(got - want) < 1e-12
+    # fraction=1.0 → the true diameter (9 for the path)
+    assert effective_diameter(df, fraction=1.0) == 9.0
+    # a clique converges in one hop
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    assert effective_diameter(k4, fraction=1.0) <= 1.0
+    with pytest.raises(ValueError, match="fraction"):
+        effective_diameter(df, fraction=0.0)
+    with pytest.raises(ValueError, match="lg_k"):
+        neighborhood_function(df, lg_k=3)
