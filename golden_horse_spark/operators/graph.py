@@ -854,64 +854,97 @@ def modularity(
     return float(row["q"])
 
 
-def neighborhood_function(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    max_hops: int = 16,
-    lg_k: int = 12,
-    directed: bool = False,
-    num_partitions: int | None = None,
-    early_stop: bool = True,
-) -> DataFrame:
-    """HyperANF (Boldi, Rosa & Vigna, WWW'11): the neighborhood function
-    N(t) = |{(u,v) : dist(u,v) ≤ t}| for t = 0..max_hops, estimated with
-    per-node HyperLogLog counters — the scalable way to measure distance
-    distributions / effective diameter on graphs where exact all-pairs
-    BFS (O(n·m)) is unthinkable. Returns a small DataFrame
-    ``(hop int, n_pairs long)``; n_pairs is the HLL estimate (EXACT for
-    small balls — the sketch's sparse regime — and within ~1.04/√2^lg_k
-    relative error beyond it).
 
-    Iteration is pure relational HyperBall: counter(v) at t is the HLL
-    union of counter(v) and counter(w) over arcs (v,w) at t−1 — one
-    co-partitioned join + one ``hll_union_agg`` groupBy per hop, the
-    exact shuffle shape of a ``pagerank`` round, with the counters table
-    lazily checkpointed so plan size stays O(1) in hops. All sketch
-    ops are JVM-side Spark built-ins (``hll_sketch_agg`` /
-    ``hll_union_agg`` / ``hll_sketch_estimate``) — no UDF, and the
-    estimates are DETERMINISTIC: sketch construction is hash-based and
-    union is commutative/idempotent, so partitioning and arrival order
-    cannot change a single register, and per-hop totals are sums of
-    LONG estimates — oracle-pinnable, unlike any float accumulation.
+# --------------------------------------------------------------- HyperBall
+#
+# Distance-distribution analytics via per-node distinct-count sketches
+# iterated along edges (HyperANF / HyperBall, Boldi & Vigna WWW'11,
+# ICDMW'13). Two sketch backends, same relational loop:
+#
+# * "kmv" (default): bottom-k minhash (KMV) as a sorted array<long> of
+#   the k smallest xxhash64 values in the ball. Union = flatten →
+#   array_distinct → array_sort → slice k — a PURE SET OPERATION, so
+#   the kept array (and therefore every estimate) is bit-identical
+#   under any partitioning, merge order, or core count. EXACT while
+#   the ball holds < k members (the array is then the whole ball);
+#   beyond that the classic (k−1)/u_k estimator, rel-err ≈ 1/√(k−2)
+#   (k=1024 ≈ 3%). State ≤ 8k bytes/node.
+# * "hll": Spark's datasketches HLL built-ins (hll_sketch_agg /
+#   hll_union_agg / hll_sketch_estimate) — tighter error per byte
+#   (1.04/√2^lg_k; lg_k=12 ≈ 1.6% at 4 KiB/node) and the natural
+#   choice at extreme node counts. CAVEAT, measured not theoretical:
+#   union replays coupons into the gadget's HIP accumulator in arrival
+#   order, so estimates in the dense TRANSIENT regime vary run-to-run
+#   by ~0.1–0.2% with partitioning (hops whose balls are converged or
+#   sparse are stable). Use for scale, not for pinned outputs.
+#
+# The loop shape is identical to a pagerank round: one co-partitioned
+# gather join + one groupBy-union per hop, pinned arc table, lazily
+# checkpointed state, O(1) plan size, one LONG scalar to the driver
+# per hop.
 
-    ``early_stop``: the TRUE N(t) is monotone and the graph has finite
-    diameter; the ESTIMATE tracks it within error but can wobble
-    locally (~0.2% dips observed — a sketch that has been through
-    unions estimates with the composite estimator, not HIP, and a
-    further union can shift it slightly either way). Once every
-    register has stabilized the estimate is bit-identical hop over
-    hop, so equality of consecutive totals is the convergence signal
-    (worst case a coincidental equality truncates one hop early with
-    near-identical N values — harmless for the distance distribution)
-    and remaining hops are skipped. The check rides the per-hop total
-    we already compute — zero extra jobs. Consumers needing a monotone
-    curve (e.g. interpolation) should take the running max, as
-    :func:`effective_diameter` does.
+_LONG_SPAN = 1.8446744073709552e19  # 2^64 as double
+_LONG_MIN_D = 9.223372036854776e18  # |LONG_MIN| as double
 
-    Distributed state is ≤ 2^lg_k bytes/node (lg_k=12 ≈ 4 KiB → ~4 TB
-    across a 10^9-node graph — spread over executors, never the
-    driver); drop lg_k (min 4) to trade accuracy for memory on huge
-    graphs. Driver state is max_hops scalars.
 
-    Reference parity note: golden-horse has no distance-distribution
-    operator; this extends the §2.12 graph catalog (BFS = single-source
-    exact; this = all-sources approximate) for KG-scale analytics.
-    """
-    if lg_k < 4 or lg_k > 21:
+def _kmv_est(col, k):
+    """Estimated distinct count from a sorted bottom-k array: exact
+    size below k; else (k−1)/u_k with u_k = the k-th smallest hash
+    mapped to (0,1). Every input is deterministic ⇒ so is the output."""
+    u_k = (F.element_at(col, k).cast("double") + F.lit(_LONG_MIN_D)) / F.lit(
+        _LONG_SPAN
+    )
+    return F.when(F.size(col) < k, F.size(col).cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+
+
+def _ball_init(sym, p, sketch, lg_k, k):
+    """(node, sk) initial state: each node's sketch holds {node}."""
+    nodes = (
+        sym.select(F.col("s").alias("node"))
+        .union(sym.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    if sketch == "kmv":
+        init = nodes.select(
+            "node", F.array(F.xxhash64("node")).alias("sk")
+        )
+    else:
+        init = nodes.groupBy("node").agg(
+            F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk")
+        )
+    return init.repartition(p, "node").localCheckpoint()
+
+
+def _ball_union_agg(sketch, k):
+    """The groupBy aggregate merging gathered sketches per node."""
+    if sketch == "kmv":
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+            1,
+            k,
+        ).alias("sk")
+    return F.hll_union_agg("sk").alias("sk")
+
+
+def _ball_est(sketch, k):
+    """Per-node ball-size estimate column (LONG)."""
+    if sketch == "kmv":
+        return F.round(_kmv_est(F.col("sk"), k)).cast("long")
+    return F.hll_sketch_estimate("sk")
+
+
+def _check_sketch_args(sketch, lg_k, k):
+    if sketch not in ("kmv", "hll"):
+        raise ValueError(f"sketch={sketch!r} is not 'kmv' or 'hll'")
+    if sketch == "hll" and not 4 <= lg_k <= 21:
         raise ValueError(f"lg_k={lg_k} outside the HLL range [4, 21]")
-    spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if sketch == "kmv" and k < 8:
+        raise ValueError(f"k={k} — bottom-k needs k ≥ 8 to estimate")
+
+
+def _sym_arcs(edges, src, dst, directed, p):
     arcs = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col("s") != F.col("d")
     )
@@ -919,19 +952,64 @@ def neighborhood_function(
         arcs = arcs.union(
             arcs.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-    # counter(v) gathers along REVERSED arcs (v pulls from its out-
-    # neighbors w), so partition the arc table by the probe side d once
-    sym = arcs.distinct().repartition(p, "d").localCheckpoint()
-    counters = (
-        sym.select(F.col("s").alias("node"))
-        .union(sym.select(F.col("d").alias("node")))
-        .distinct()
-        .groupBy("node")
-        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
-        .repartition(p, "node")
-        .localCheckpoint()
-    )
-    totals = [counters.count()]  # N(0) = n reachable-in-0 pairs = n nodes
+    # counter(v) gathers along REVERSED arcs (v pulls from w over (v,w)),
+    # so partition the arc table by the probe side d once and pin it
+    return arcs.distinct().repartition(p, "d").localCheckpoint()
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+    sketch: str = "kmv",
+    k: int = 1024,
+    lg_k: int = 12,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    early_stop: bool = True,
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna, WWW'11): the neighborhood function
+    N(t) = |{(u,v) : dist(u,v) ≤ t}| for t = 0..max_hops, estimated by
+    per-node distinct-count sketches union-merged along edges — the
+    scalable way to measure distance distributions / effective diameter
+    where exact all-pairs BFS (O(n·m)) is unthinkable. Returns a small
+    DataFrame ``(hop int, n_pairs long)``.
+
+    Sketch backends (see the module section above): ``"kmv"`` (default)
+    is DETERMINISTIC under any partitioning — union is a set operation
+    on sorted bottom-k arrays — and EXACT while balls hold < k nodes;
+    ``"hll"`` (Spark datasketches built-ins) packs more accuracy per
+    byte for extreme graphs but its transient-hop estimates vary
+    ~0.1–0.2% run-to-run (HIP accumulator is merge-order-dependent —
+    measured, documented in BENCH.md), so don't pin its outputs.
+
+    ``early_stop``: the TRUE N(t) is monotone and the graph has finite
+    diameter; once every sketch stops changing, consecutive totals are
+    identical and iteration halts (kmv totals are exact functions of
+    the kept sets, hll totals of the registers). Worst case for hll a
+    wobble-coincidence truncates one hop early; kmv cannot coincide
+    below the fixpoint only if two successive TRUE totals differ but
+    estimates collide — possible in the estimator regime, harmless for
+    the distance distribution. The check rides the per-hop total we
+    already compute — zero extra jobs.
+
+    Per hop: ONE co-partitioned gather join + ONE merge groupBy (a
+    pagerank round's shuffle shape), lazily checkpointed state, O(1)
+    plan size in hops. Distributed state ≤ 8k (kmv) / 2^lg_k (hll)
+    bytes per node; driver state is max_hops scalars.
+
+    Reference parity note: golden-horse has no distance-distribution
+    operator; this extends the §2.12 graph catalog (BFS = single-source
+    exact; this = all-sources approximate) for KG-scale analytics.
+    """
+    _check_sketch_args(sketch, lg_k, k)
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = _sym_arcs(edges, src, dst, directed, p)
+    counters = _ball_init(sym, p, sketch, lg_k, k)
+    totals = [counters.count()]  # N(0) = n nodes
+    est = _ball_est(sketch, k)
     for _ in range(max_hops):
         gathered = sym.join(
             counters.withColumnRenamed("node", "d"), "d"
@@ -939,12 +1017,10 @@ def neighborhood_function(
         counters = (
             gathered.union(counters.select("node", "sk"))
             .groupBy("node")
-            .agg(F.hll_union_agg("sk").alias("sk"))
+            .agg(_ball_union_agg(sketch, k))
             .localCheckpoint(eager=False)
         )
-        t = counters.agg(
-            F.sum(F.hll_sketch_estimate("sk")).cast("long").alias("t")
-        ).first()["t"]
+        t = counters.agg(F.sum(est).cast("long").alias("t")).first()["t"]
         totals.append(int(t))
         if early_stop and len(totals) >= 2 and totals[-1] == totals[-2]:
             break
@@ -959,6 +1035,8 @@ def effective_diameter(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 64,
+    sketch: str = "kmv",
+    k: int = 1024,
     lg_k: int = 12,
     directed: bool = False,
     num_partitions: int | None = None,
@@ -966,19 +1044,19 @@ def effective_diameter(
     """Effective diameter at ``fraction`` (Leskovec's 90% convention):
     the smallest t, linearly interpolated between hops, at which
     N(t) ≥ fraction · N(∞) — computed from :func:`neighborhood_function`
-    run to convergence (``early_stop`` fires once every ball is stable,
-    so ``max_hops`` is a safety bound, not a cost). One driver-side pass
-    over ≤ max_hops scalars."""
+    run to convergence (``early_stop`` fires once every sketch is
+    stable, so ``max_hops`` is a safety bound, not a cost). One
+    driver-side pass over ≤ max_hops scalars. Interpolates on the
+    running max of the curve: the true N(t) is monotone but estimator
+    wobble (hll transient hops) can dip locally."""
     if not 0 < fraction <= 1:
         raise ValueError(f"fraction={fraction} outside (0, 1]")
     rows = neighborhood_function(
-        edges, src=src, dst=dst, max_hops=max_hops, lg_k=lg_k,
-        directed=directed, num_partitions=num_partitions, early_stop=True,
+        edges, src=src, dst=dst, max_hops=max_hops, sketch=sketch, k=k,
+        lg_k=lg_k, directed=directed, num_partitions=num_partitions,
+        early_stop=True,
     ).collect()
     raw = [r["n_pairs"] for r in sorted(rows, key=lambda r: r["hop"])]
-    # running max: the true N(t) is monotone; the HLL estimate can dip
-    # ~0.2% locally (see neighborhood_function), which would corrupt the
-    # interpolation denominator
     nf, hi = [], 0
     for v in raw:
         hi = max(hi, v)
@@ -988,6 +1066,124 @@ def effective_diameter(
         if n >= target:
             if h == 0 or nf[h] == nf[h - 1]:
                 return float(h)
-            # interpolate within the hop that crosses the target
             return (h - 1) + (target - nf[h - 1]) / (nf[h] - nf[h - 1])
     return float(len(nf) - 1)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+    sketch: str = "kmv",
+    k: int = 1024,
+    lg_k: int = 12,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u≠v} 1/dist(v,u) for every node at
+    once, via HyperBall (Boldi & Vigna, ICDMW'13 — the method's
+    headline application): with b_t(v) = |ball(v,t)| from the same
+    per-node sketches as :func:`neighborhood_function`,
+    H(v) = Σ_t (b_t(v) − b_{t−1}(v)) / t. Exact closeness needs one BFS
+    per node — O(n·m); this needs diameter-many pagerank-shaped rounds
+    TOTAL for all nodes. Returns (node, centrality double, ball long).
+
+    The per-node running state (previous ball size, harmonic sum) rides
+    the SAME merge aggregate as the sketch union — gathered neighbor
+    rows carry NULL state, the node's own row carries it, ``max``
+    selects it — so the extension costs zero extra shuffles. With the
+    default ``"kmv"`` sketch the result is deterministic under any
+    partitioning and EXACT (up to float rounding of 1/t sums) on
+    graphs whose balls stay under k; with ``"hll"`` the per-hop
+    increments inherit the documented transient wobble (clamped at 0).
+
+    ``directed=True`` measures OUT-ball harmonic centrality (transpose
+    the edges for the in-ball variant Boldi–Vigna recommend for web
+    graphs).
+
+    Thin wrapper over :func:`hyperball_profile` (one shared run).
+    """
+    return hyperball_profile(
+        edges, src=src, dst=dst, max_hops=max_hops, sketch=sketch, k=k,
+        lg_k=lg_k, directed=directed, num_partitions=num_partitions,
+    )[1]
+
+
+def hyperball_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+    sketch: str = "kmv",
+    k: int = 1024,
+    lg_k: int = 12,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE HyperBall run → ``(nf_df, hc_df)``: the neighborhood-function
+    rows (hop, n_pairs) AND the per-node harmonic-centrality table
+    (node, centrality, ball). The NF totals are exactly the convergence
+    scalars the centrality loop must compute anyway, so sharing the run
+    halves the cost vs calling :func:`neighborhood_function` and
+    :func:`harmonic_centrality` separately — at large k the converged-
+    hop gathers move Σ_arcs |ball| sketch entries and dominate
+    everything else. Runs to convergence (totals stable), bounded by
+    ``max_hops``; the returned NF includes the first stable hop, same
+    convention as neighborhood_function's early stop.
+    """
+    _check_sketch_args(sketch, lg_k, k)
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = _sym_arcs(edges, src, dst, directed, p)
+    est = _ball_est(sketch, k)
+    state = (
+        _ball_init(sym, p, sketch, lg_k, k)
+        .select(
+            "node", "sk",
+            F.lit(1).cast("long").alias("ball"),  # b_0(v) = |{v}| = 1
+            F.lit(0.0).alias("hc"),
+        )
+        .localCheckpoint()
+    )
+    totals = [state.count()]  # N(0) = n nodes
+    for t in range(1, max_hops + 1):
+        gathered = sym.join(
+            state.select(F.col("node").alias("d"), "sk"), "d"
+        ).select(
+            F.col("s").alias("node"), "sk",
+            F.lit(None).cast("long").alias("ball"),
+            F.lit(None).cast("double").alias("hc"),
+        )
+        merged = (
+            gathered.union(state.select("node", "sk", "ball", "hc"))
+            .groupBy("node")
+            .agg(
+                _ball_union_agg(sketch, k),
+                # only the node's own row is non-NULL — max() selects it
+                F.max("ball").alias("prev_ball"),
+                F.max("hc").alias("hc"),
+            )
+        )
+        state = merged.select(
+            "node", "sk",
+            est.alias("ball"),
+            (
+                F.col("hc")
+                + F.greatest(
+                    est - F.col("prev_ball"), F.lit(0)
+                ).cast("double")
+                / F.lit(float(t))
+            ).alias("hc"),
+        ).localCheckpoint(eager=False)
+        totals.append(
+            int(state.agg(F.sum("ball").cast("long")).first()[0])
+        )
+        if totals[-1] == totals[-2]:
+            break
+    nf = spark.createDataFrame(
+        [(h, n) for h, n in enumerate(totals)], "hop int, n_pairs long"
+    )
+    return nf, state.select(
+        "node", F.col("hc").alias("centrality"), F.col("ball").alias("ball")
+    )

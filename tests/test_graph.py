@@ -1045,4 +1045,179 @@ def test_effective_diameter(spark):
     with pytest.raises(ValueError, match="fraction"):
         effective_diameter(df, fraction=0.0)
     with pytest.raises(ValueError, match="lg_k"):
-        neighborhood_function(df, lg_k=3)
+        neighborhood_function(df, sketch="hll", lg_k=3)
+    with pytest.raises(ValueError, match="k="):
+        neighborhood_function(df, sketch="kmv", k=4)
+    with pytest.raises(ValueError, match="sketch"):
+        neighborhood_function(df, sketch="vmk")
+
+
+def test_neighborhood_function_kmv_estimator_regime(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import neighborhood_function
+
+    # a connected 80-node graph with k=16: balls blow past k, forcing
+    # the (k−1)/u_k estimator — the regime where the hll backend is
+    # merge-order-dependent (measured: ±0.2% across core counts).
+    # kmv must stay BIT-IDENTICAL across partitionings there...
+    rng = random.Random(43)
+    ring = [(i, (i + 1) % 80) for i in range(80)]
+    extra = [
+        (a, b)
+        for a, b in {
+            (rng.randrange(80), rng.randrange(80)) for _ in range(80)
+        }
+        if a != b
+    ]
+    edges = ring + extra
+    outs = []
+    for parts, nparts in [(3, 7), (23, 2)]:
+        df = spark.createDataFrame(
+            edges, "src long, dst long"
+        ).repartition(parts)
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in neighborhood_function(
+                    df, max_hops=4, sketch="kmv", k=16,
+                    num_partitions=nparts, early_stop=False,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    # ...and land within the KMV error envelope of the exact NF
+    want = _python_nf(edges, False, 4)
+    got = dict(outs[0])
+    for h, true_n in enumerate(want):
+        rel = abs(got[h] - true_n) / true_n
+        assert rel < 0.5, (h, got[h], true_n)  # k=16 ⇒ σ≈27%; 0.5 ≈ 2σ
+
+
+def test_neighborhood_function_hll_backend_exact_regime(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import neighborhood_function
+
+    # the hll backend in its exact sparse regime matches python exactly
+    rng = random.Random(47)
+    edges = [
+        (a, b)
+        for a, b in {
+            (rng.randrange(18), rng.randrange(18)) for _ in range(36)
+        }
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["hop"]: r["n_pairs"]
+        for r in neighborhood_function(
+            df, max_hops=5, sketch="hll", early_stop=False
+        ).collect()
+    }
+    assert got == dict(enumerate(_python_nf(edges, False, 5)))
+
+
+def _python_harmonic(edges, directed):
+    """Exact H(v) = Σ 1/dist via BFS from every node."""
+    from collections import deque
+
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        adj.setdefault(a, []).append(b)
+        if not directed:
+            adj.setdefault(b, []).append(a)
+    out = {}
+    for s in nodes:
+        dist, q = {s: 0}, deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, []):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        out[s] = sum(1.0 / d for n, d in dist.items() if d > 0)
+    return out
+
+
+def test_harmonic_centrality_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import harmonic_centrality
+
+    # star: hub H = n−1, leaves H = 1 + (n−2)/2
+    star = [(0, i) for i in range(1, 6)]
+    got = {
+        r["node"]: r["centrality"]
+        for r in harmonic_centrality(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    assert abs(got[0] - 5.0) < 1e-9
+    for leaf in range(1, 6):
+        assert abs(got[leaf] - (1 + 4 / 2)) < 1e-9
+
+    # small random graphs, undirected + directed, vs exact BFS
+    # (balls are in the HLL exact regime → float-exact equality)
+    rng = random.Random(37)
+    for trial, directed in [(0, False), (1, True)]:
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(20), rng.randrange(20)) for _ in range(50)
+            }
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["centrality"]
+            for r in harmonic_centrality(df, directed=directed).collect()
+        }
+        want = _python_harmonic(edges, directed)
+        assert set(got) == set(want)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, (trial, n, got[n], want[n])
+
+    # ball column converges to component size; disconnected components
+    # never mix
+    two = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    balls = {
+        r["node"]: r["ball"] for r in harmonic_centrality(two).collect()
+    }
+    assert balls == {0: 3, 1: 3, 2: 3, 10: 2, 11: 2}
+
+
+def test_hyperball_profile_shared_run_equivalence(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_profile,
+        neighborhood_function,
+    )
+
+    rng = random.Random(53)
+    edges = [
+        (a, b)
+        for a, b in {
+            (rng.randrange(24), rng.randrange(24)) for _ in range(55)
+        }
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nf_df, hc_df = hyperball_profile(df, max_hops=8)
+    nf = sorted(tuple(r) for r in nf_df.collect())
+    hc = sorted(tuple(r) for r in hc_df.collect())
+    want_nf = sorted(
+        tuple(r) for r in neighborhood_function(df, max_hops=8).collect()
+    )
+    want_hc = sorted(
+        tuple(r) for r in harmonic_centrality(df, max_hops=8).collect()
+    )
+    assert nf == want_nf and hc == want_hc

@@ -34,10 +34,10 @@ OUT = REPO / "fixtures" / "golden_oracle_rows.json"
 PARTIAL_GOLDEN = {
     # the 8 distributed-BPE merge rows beside the counted dictionary
     "q_word_dict": lambda row: str(row["word"]).startswith("bpe:"),
-    # the HyperANF neighborhood-function rows beside the SQL-twinned
-    # profile stats (HLL sketches are deterministic; DuckDB has no
-    # compatible estimator)
-    "q_graph_profile": lambda row: row["stat"] == "nf",
+    # the HyperANF neighborhood-function + HyperBall harmonic-centrality
+    # rows beside the SQL-twinned profile stats (HLL sketches are
+    # deterministic; DuckDB has no compatible estimator)
+    "q_graph_profile": lambda row: row["stat"] in ("nf", "hc"),
 }
 OUT_PARTIAL = REPO / "fixtures" / "golden_partial_rows.json"
 
