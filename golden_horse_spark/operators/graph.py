@@ -1187,3 +1187,108 @@ def hyperball_profile(
     return nf, state.select(
         "node", F.col("hc").alias("centrality"), F.col("ball").alias("ball")
     )
+
+
+def reachability(
+    edges: DataFrame,
+    sources=None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    max_hops: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded multi-source reachability closure → ``(root, node,
+    dist)``: every node reachable from each root within ``max_hops``
+    arcs, at its MINIMUM hop distance (the root itself at dist 0).
+    ``sources=None`` closes over every node — the depth-bounded
+    transitive closure itself. The KG use is ontology / type-hierarchy
+    closure (subclass-of, part-of chains), where depth is bounded by
+    the hierarchy's design; an unbounded closure of a dense graph is
+    O(n²) OUTPUT and no physical plan fixes that — callers own
+    ``max_hops``.
+
+    Semi-naive datalog evaluation (the textbook TC plan): only the
+    DELTA frontier of newly discovered (root, node) pairs joins the arc
+    table each round — never the full closure — so join input across
+    all rounds is O(|closure|) pair-rows, not O(|closure| · rounds).
+    Per hop: ONE co-partitioned join (frontier hash-partitioned on
+    ``node``, arcs pinned on the probe key) + a round-local distinct +
+    one (root, node) anti-join against the settled set. The settled set
+    is a UNION of per-hop checkpointed deltas — each round WRITES
+    O(|delta|), not O(|closure|) (vs re-checkpointing the running
+    union); the anti-join still probes the full closure, which is the
+    semi-naive lower bound. Frontier checkpointed per hop → O(1) plan;
+    driver state is one scalar count per round.
+
+    ``sources`` accepts a one-column DataFrame or a python list; node
+    id type derives from the arc table (string ids work). Duplicate
+    roots collapse; an explicit empty source set raises.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arcs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        arcs = arcs.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    arcs = (
+        arcs.where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    if sources is None:
+        roots = (
+            arcs.select(F.col("a").alias("root"))
+            .union(arcs.select(F.col("b").alias("root")))
+            .distinct()
+        )
+    elif isinstance(sources, DataFrame):
+        roots = sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    else:
+        seeds = list(dict.fromkeys(sources))  # dedupe, keep order
+        if not seeds:
+            raise ValueError("reachability: empty source set")
+        from pyspark.sql.types import StructField, StructType
+
+        roots = spark.createDataFrame(
+            [(s,) for s in seeds],
+            schema=StructType(
+                [StructField("root", arcs.schema["a"].dataType)]
+            ),
+        )
+    first = (
+        roots.select(
+            "root", F.col("root").alias("node"), F.lit(0).alias("dist")
+        )
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    if first.count() == 0:
+        raise ValueError("reachability: empty source set")
+    parts = [first]
+    settled = first
+    frontier = first
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(arcs, frontier["node"] == arcs["a"])
+            .select("root", F.col("b").alias("node"))
+            .distinct()
+            .join(settled, ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(h))
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        parts.append(nxt)
+        # settled is a view over checkpointed deltas — no data rewrite
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1221,3 +1221,114 @@ def test_hyperball_profile_shared_run_equivalence(spark):
         tuple(r) for r in harmonic_centrality(df, max_hops=8).collect()
     )
     assert nf == want_nf and hc == want_hc
+
+
+def _py_reach(edges, roots, max_hops, directed=True):
+    """Reference: bounded BFS from every root → {(root, node): dist}."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    out = {}
+    for r in roots:
+        dist = {r: 0}
+        frontier = [r]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = h
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier = nxt
+        for n, d in dist.items():
+            out[(r, n)] = d
+    return out
+
+
+def test_reachability_path_and_bounds(spark):
+    from golden_horse_spark.operators.graph import reachability
+
+    edges = [(i, i + 1) for i in range(4)]  # 0→1→2→3→4
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in reachability(df, [0], max_hops=2).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 2}
+    # full depth-bounded TC of the path: 4+3+2+1 proper pairs
+    assert reachability(df, max_hops=10).where("dist > 0").count() == 10
+    # undirected: root 2 reaches everything within 2 hops
+    got = {
+        r["node"]
+        for r in reachability(df, [2], directed=False, max_hops=2).collect()
+    }
+    assert got == {0, 1, 2, 3, 4}
+
+
+def test_reachability_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import reachability
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n = rng.randint(5, 16)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(6, 40))
+            }
+            if a != b
+        ]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        roots = rng.sample(nodes, min(3, len(nodes)))
+        directed = trial % 2 == 0
+        hops = rng.randint(1, 4)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["root"], r["node"]): r["dist"]
+            for r in reachability(
+                df, roots, directed=directed, max_hops=hops
+            ).collect()
+        }
+        want = _py_reach(edges, roots, hops, directed)
+        assert got == want, (edges, roots, directed, hops)
+
+
+def test_reachability_sources_df_and_string_ids(spark):
+    from golden_horse_spark.operators.graph import reachability
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    srcs = spark.createDataFrame([("a",), ("a",)], "root string")
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in reachability(df, srcs, max_hops=5).collect()
+    }
+    # duplicates in the source DF collapse; the a→b→c→a cycle settles
+    # at min dist and the closure terminates
+    assert got == {
+        ("a", "a"): 0,
+        ("a", "b"): 1,
+        ("a", "c"): 2,
+        ("a", "d"): 3,
+    }
+
+
+def test_reachability_empty_sources_raises(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import reachability
+
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        reachability(df, [])

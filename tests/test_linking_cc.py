@@ -258,18 +258,28 @@ def test_salted_join_spreads_hot_key(spark):
     big = spark.createDataFrame([("hot", i) for i in range(2000)], "k string, v long")
     small = spark.createDataFrame([("hot", "d")], "k string, d string")
     out = salted_join(big, small, "k", salt_buckets=8)
-    # AQE coalesces this tiny shuffle back to one partition — disable it
-    # for the observation only (the production benefit appears exactly
-    # when partitions are NOT tiny)
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    old = spark.conf.get(key)
+    # Two plan features hide the spread at TOY size and must be pinned
+    # off for the observation (only here — the production benefit
+    # appears exactly when neither applies): AQE coalesces the tiny
+    # shuffle back to one partition, and the 8-row replicated dim gets
+    # (runtime-)broadcast, removing the salted shuffle entirely so the
+    # output inherits the scan's partitioning — plan roulette that made
+    # this observation order-dependent across the suite.
+    keys = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
     try:
-        spark.conf.set(key, "false")
+        for k, v in keys.items():
+            spark.conf.set(k, v)
         n_parts = (
             out.withColumn("p", F.spark_partition_id())
             .select("p").distinct().count()
         )
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert out.count() == 2000
     assert n_parts >= 4  # 8 salt values spread across reducers
