@@ -1189,6 +1189,223 @@ def hyperball_profile(
     )
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph → ``(node,
+    component)``, where the label is the MINIMUM node id inside the
+    SCC (deterministic, same convention as
+    ``canonicalize.connected_components`` — which this is NOT: CC
+    ignores direction; SCC needs mutual reachability, a genuinely
+    harder parallel problem).
+
+    Trim + forward-min coloring + per-color backward gather — the
+    coloring algorithm of Orzan (2004), the Multistep/FW-BW family of
+    Slota, Rajamanickam & Madduri (IPDPS'14), in relational form. Per
+    outer round:
+
+    1. TRIM — nodes with no in-arc or no out-arc in the active
+       subgraph cannot sit on a cycle: they are singleton SCCs,
+       removed iteratively (two semi-joins per sweep). Real KG graphs
+       are mostly trivial SCCs, so this deletes the bulk up front.
+    2. COLOR — propagate the minimum reaching id forward to fixpoint:
+       ``color(v) ← min(color(v), min over arcs u→v of color(u))``.
+       Each sweep is ONE co-partitioned arc join + min-groupBy; the
+       convergence scalar is the count of strictly improved colors
+       (works for string ids too — no sum tricks). At fixpoint the
+       color classes partition the graph by "minimum id that reaches
+       v", and each class contains exactly one root r with
+       ``color(r) = r``.
+    3. GATHER — SCC(r) = nodes of color r that reach r back:
+       ONE multi-source backward BFS keyed by (color, node) over the
+       color-preserving arcs extracts EVERY root's SCC simultaneously
+       (frontier join + anti-join per hop, same shape as
+       :func:`reachability`). r is provably the minimum member id
+       (any smaller member would have recolored r), so the emitted
+       label is canonical.
+
+    Settled nodes leave the active set; the loop repeats on the rest.
+    Every round removes at least every color root's SCC, so rounds are
+    bounded by the depth of the condensation DAG — small for real
+    graphs (trim eats the chains); ``max_rounds`` guards pathological
+    inputs with a clear error rather than a silent spin. All per-round
+    state is checkpointed DataFrames partitioned on the probe key;
+    driver state is one scalar per sweep.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arcs0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    active = (
+        arcs0.select(F.col("a").alias("node"))
+        .union(arcs0.select(F.col("b").alias("node")))
+        .distinct()
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    done = []  # per-round (node, component) deltas, each checkpointed
+    arcs = arcs0
+    for _ in range(max_rounds):
+        if active.count() == 0:
+            break
+        # restrict arcs to the active subgraph (both endpoints)
+        arcs = (
+            arcs.join(
+                active.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(active.select(F.col("node").alias("b")), "b", "left_semi")
+            .repartition(p, "a")
+            .localCheckpoint()
+        )
+        # 1. TRIM: peel in/out-degree-0 nodes iteratively
+        while True:
+            keep = (
+                active.join(
+                    arcs.select(F.col("a").alias("node")).distinct(),
+                    "node",
+                    "left_semi",
+                )
+                .join(
+                    arcs.select(F.col("b").alias("node")).distinct(),
+                    "node",
+                    "left_semi",
+                )
+                .repartition(p, "node")
+                .localCheckpoint()
+            )
+            trimmed = (
+                active.join(keep, "node", "left_anti")
+                .select("node", F.col("node").alias("component"))
+                .localCheckpoint()
+            )
+            if trimmed.count() == 0:
+                break
+            done.append(trimmed)
+            active = keep
+            arcs = (
+                arcs.join(
+                    active.select(F.col("node").alias("a")), "a", "left_semi"
+                )
+                .join(
+                    active.select(F.col("node").alias("b")),
+                    "b",
+                    "left_semi",
+                )
+                .repartition(p, "a")
+                .localCheckpoint()
+            )
+        if active.count() == 0:
+            break
+        # 2. COLOR: forward min-id propagation to fixpoint
+        colors = (
+            active.select("node", F.col("node").alias("color"))
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        while True:
+            cand = (
+                arcs.join(
+                    colors.select(F.col("node").alias("a"), "color"), "a"
+                )
+                .groupBy("b")
+                .agg(F.min("color").alias("c_in"))
+            )
+            merged = (
+                colors.join(
+                    cand, colors["node"] == cand["b"], "left"
+                )
+                .select(
+                    "node",
+                    "color",
+                    F.least(
+                        F.col("color"), F.coalesce("c_in", "color")
+                    ).alias("ncolor"),
+                )
+                .repartition(p, "node")
+                .localCheckpoint()
+            )
+            improved = merged.where(
+                F.col("ncolor") < F.col("color")
+            ).count()
+            colors = merged.select("node", F.col("ncolor").alias("color"))
+            if improved == 0:
+                break
+        # 3. GATHER: backward BFS from every color root, keyed by color
+        ca = colors.select(
+            F.col("node").alias("a"), F.col("color").alias("color_a")
+        )
+        cb = colors.select(
+            F.col("node").alias("b"), F.col("color").alias("color_b")
+        )
+        carcs = (
+            arcs.join(ca, "a")
+            .join(cb, "b")
+            .where(F.col("color_a") == F.col("color_b"))
+            .select("a", "b", F.col("color_a").alias("fc"))
+            .repartition(p, "b")
+            .localCheckpoint()
+        )
+        settled = (
+            colors.where(F.col("node") == F.col("color"))
+            .select(F.col("color").alias("fc"), "node")
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        frontier = settled
+        while True:
+            fr = frontier.select(
+                F.col("fc").alias("gc"), F.col("node").alias("fn")
+            )
+            nxt = (
+                fr.join(
+                    carcs,
+                    (F.col("gc") == F.col("fc"))
+                    & (F.col("fn") == F.col("b")),
+                )
+                .select(F.col("gc").alias("fc"), F.col("a").alias("node"))
+                .distinct()
+                .join(settled, ["fc", "node"], "left_anti")
+                .repartition(p, "node")
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        done.append(
+            settled.select(
+                "node", F.col("fc").alias("component")
+            ).localCheckpoint()
+        )
+        active = (
+            active.join(settled.select("node"), "node", "left_anti")
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: no fixpoint in {max_rounds} "
+            "rounds — condensation too deep; raise max_rounds"
+        )
+    if not done:  # edgeless input (only self-loops / empty)
+        return active.select(
+            "node", F.col("node").alias("component")
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def reachability(
     edges: DataFrame,
     sources=None,

@@ -1332,3 +1332,146 @@ def test_reachability_empty_sources_raises(spark):
     df = spark.createDataFrame([(0, 1)], "src int, dst int")
     with pytest.raises(ValueError):
         reachability(df, [])
+
+
+def _py_scc(edges):
+    """Reference: iterative Tarjan → {node: min id in its SCC}."""
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                group = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    group.append(w)
+                    if w == v:
+                        break
+                label = min(group)
+                for w in group:
+                    comp[w] = label
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def test_scc_hand_cases(spark):
+    from golden_horse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # cycle 0→1→2→0 plus a tail 2→3→4: one SCC {0,1,2} + singletons
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+    # DAG: every node its own SCC (trim handles everything)
+    dag = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "src int, dst int")
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(dag).collect()
+    }
+    assert got == {i: i for i in range(4)}
+    # two cycles joined by a one-way bridge stay separate SCCs
+    two = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(two).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
+def test_scc_vs_tarjan_random(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(29)
+    for _ in range(8):
+        n = rng.randint(5, 18)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(5, 50))
+            }
+        ]
+        if not all(a != b for a, b in edges):
+            edges = [(a, b) for a, b in edges if a != b] + edges[:1]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in strongly_connected_components(df).collect()
+        }
+        want = _py_scc([(a, b) for a, b in edges if a != b])
+        assert got == want, edges
+
+
+def test_scc_string_ids_and_chain_of_cycles(spark):
+    from golden_horse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # chain of 4 two-cycles — exercises multiple outer rounds (the
+    # condensation is a path, so coloring merges everything into one
+    # class per round and the gather peels one SCC per round)
+    edges = []
+    for i in range(4):
+        a, b = f"n{2 * i}", f"n{2 * i + 1}"
+        edges += [(a, b), (b, a)]
+        if i < 3:
+            edges.append((b, f"n{2 * i + 2}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    want = _py_scc(edges)
+    assert got == want
