@@ -1406,6 +1406,181 @@ def strongly_connected_components(
     return out
 
 
+def betweenness_centrality(
+    edges: DataFrame,
+    sources=None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Betweenness AND stress centrality via batched multi-source
+    Brandes (Brandes 2001; the variants recursion from Brandes 2008) →
+    ``(node, betweenness, stress)``.
+
+    * ``betweenness(v)`` = Σ over processed roots s of the pair
+      dependency δ_s(v) = Σ_t σ_st(v)/σ_st — Brandes' accumulation,
+      float (the ratios are genuinely rational).
+    * ``stress(v)`` = Σ_{s,t} σ_st(v) — the NUMBER of shortest paths
+      through v (Shimbel 1953). Computed by the all-INTEGER recursion
+      φ(v) = Σ_{w ∈ succ_sp(v)} (1 + φ(w)), stress contribution
+      σ_sv·φ(v): every intermediate is an exact long, so the result is
+      partitioning-invariant and PINNABLE, unlike float betweenness
+      whose sum order drifts. (Proof of the recursion: φ(v) counts
+      SP-DAG paths v→t summed over all t, and σ_st(v) = σ_sv·paths(v→t).)
+
+    ``sources=None`` runs EXACT centrality (every node a root);
+    a list/DataFrame runs the Brandes–Pich sampled approximation —
+    sums are over the given roots only (rescale by n/|S| for the
+    estimator). Directed=False symmetrizes; the undirected convention
+    then counts each unordered (s,t) pair twice (divide by 2 to match
+    e.g. networkx).
+
+    Shape: the forward phase is the (root, node)-keyed multi-source BFS
+    of :func:`reachability` with one extra map-side-combinable
+    ``sum(sigma)`` per hop (path counts merge additively across
+    predecessors). The backward phase walks the stored per-level
+    frontiers deepest-first: per level ONE co-partitioned arc join +
+    ONE (root, node) aggregation computes δ and φ for every root at
+    once. Total rounds = 2 × max source eccentricity, each a bounded
+    shuffle; per-level states are checkpointed (O(1) plan growth), and
+    the only driver state is the level count. σ/φ are exact longs —
+    overflow needs >9e18 shortest paths through one node from the root
+    set, far past any real sparse graph at max_hops-bounded depth.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arcs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        arcs = arcs.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    arcs = (
+        arcs.where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    if sources is None:
+        roots = (
+            arcs.select(F.col("a").alias("root"))
+            .union(arcs.select(F.col("b").alias("root")))
+            .distinct()
+        )
+    elif isinstance(sources, DataFrame):
+        roots = sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    else:
+        seeds = list(dict.fromkeys(sources))
+        if not seeds:
+            raise ValueError("betweenness_centrality: empty source set")
+        from pyspark.sql.types import StructField, StructType
+
+        roots = spark.createDataFrame(
+            [(s,) for s in seeds],
+            schema=StructType(
+                [StructField("root", arcs.schema["a"].dataType)]
+            ),
+        )
+    # ---- forward: per-level (root, node, sigma) ----
+    lvl0 = (
+        roots.select(
+            "root",
+            F.col("root").alias("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    if lvl0.count() == 0:
+        raise ValueError("betweenness_centrality: empty source set")
+    levels = [lvl0]
+    settled = lvl0.select("root", "node")
+    frontier = lvl0
+    for _h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(arcs, frontier["node"] == arcs["a"])
+            .select("root", F.col("b").alias("node"), "sigma")
+            .groupBy("root", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, ["root", "node"], "left_anti")
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        settled = settled.unionByName(nxt.select("root", "node"))
+        frontier = nxt
+    # ---- backward: deepest level first, δ and φ together ----
+    deepest = levels[-1].select(
+        "root", "node", "sigma",
+        F.lit(0.0).alias("delta"),
+        F.lit(0).cast("long").alias("phi"),
+    ).localCheckpoint(eager=False)
+    states = [deepest]
+    below = deepest
+    for h in range(len(levels) - 2, -1, -1):
+        succ = below.select(
+            F.col("root").alias("r2"),
+            F.col("node").alias("w2"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+            F.col("phi").alias("phi_w"),
+        )
+        # arcs out of level h whose head sits one level deeper (same
+        # root) are exactly the SP-DAG successor arcs — deeper levels
+        # were settled later, same-level arcs don't match any w below
+        contrib = (
+            levels[h]
+            .join(arcs, levels[h]["node"] == arcs["a"])
+            .select("root", "node", "sigma", F.col("b").alias("w"))
+            .join(
+                succ,
+                (F.col("root") == F.col("r2"))
+                & (F.col("w") == F.col("w2")),
+            )
+            .groupBy("root", "node")
+            .agg(
+                F.sum(
+                    (F.lit(1.0) + F.col("delta_w")) / F.col("sigma_w")
+                ).alias("dsum"),
+                F.sum(F.lit(1).cast("long") + F.col("phi_w")).alias("phi"),
+            )
+        )
+        state = (
+            levels[h]
+            .join(contrib, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                "sigma",
+                (
+                    F.col("sigma").cast("double")
+                    * F.coalesce("dsum", F.lit(0.0))
+                ).alias("delta"),
+                F.coalesce("phi", F.lit(0).cast("long")).alias("phi"),
+            )
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+        states.append(state)
+        below = state
+    allstate = states[0]
+    for s in states[1:]:
+        allstate = allstate.unionByName(s)
+    return (
+        allstate.where(F.col("node") != F.col("root"))
+        .groupBy("node")
+        .agg(
+            F.sum("delta").alias("betweenness"),
+            F.sum(F.col("sigma") * F.col("phi")).alias("stress"),
+        )
+    )
+
+
 def reachability(
     edges: DataFrame,
     sources=None,

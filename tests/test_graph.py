@@ -1475,3 +1475,145 @@ def test_scc_string_ids_and_chain_of_cycles(spark):
     }
     want = _py_scc(edges)
     assert got == want
+
+
+def _py_brandes(edges, roots, directed):
+    """Textbook Brandes with the integer stress (φ) accumulation
+    alongside δ → ({node: bc}, {node: stress}), sums over `roots`."""
+    from collections import deque
+
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        nodes.update((s, d))
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    bc = {v: 0.0 for v in nodes}
+    stress = {v: 0 for v in nodes}
+    for s in roots:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        phi = {v: 0 for v in order}
+        for v in reversed(order):
+            for w in adj.get(v, ()):
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                    phi[v] += 1 + phi[w]
+            if v != s:
+                bc[v] += delta[v]
+                stress[v] += sigma[v] * phi[v]
+    return bc, stress
+
+
+def test_betweenness_hand_cases(spark):
+    from golden_horse_spark.operators.graph import betweenness_centrality
+
+    # path a-b-c undirected: b carries both ordered pairs
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    got = {
+        r["node"]: (r["betweenness"], r["stress"])
+        for r in betweenness_centrality(df).collect()
+    }
+    assert got[1] == (2.0, 2)
+    assert got[0] == (0.0, 0) and got[2] == (0.0, 0)
+    # diamond 0→1→3, 0→2→3 directed: σ_03=2, each middle carries 1/2
+    dia = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src int, dst int"
+    )
+    got = {
+        r["node"]: (r["betweenness"], r["stress"])
+        for r in betweenness_centrality(dia, directed=True).collect()
+    }
+    assert got[1] == (0.5, 1) and got[2] == (0.5, 1)
+    # star: center carries every ordered leaf pair
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    got = {
+        r["node"]: (r["betweenness"], r["stress"])
+        for r in betweenness_centrality(star).collect()
+    }
+    assert got[0] == (20.0, 20)  # 5·4 ordered pairs
+
+
+def test_betweenness_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import betweenness_centrality
+
+    rng = random.Random(37)
+    for trial in range(6):
+        n = rng.randint(5, 14)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(5, 35))
+            }
+            if a != b
+        ]
+        if not edges:
+            continue
+        directed = trial % 2 == 0
+        nodes = sorted({x for e in edges for x in e})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["betweenness"], r["stress"])
+            for r in betweenness_centrality(df, directed=directed).collect()
+        }
+        want_bc, want_st = _py_brandes(edges, nodes, directed)
+        for v in nodes:
+            g_bc, g_st = got.get(v, (0.0, 0))
+            assert abs(g_bc - want_bc[v]) < 1e-9, (edges, directed, v)
+            assert g_st == want_st[v], (edges, directed, v)
+
+
+def test_betweenness_sampled_sources(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import betweenness_centrality
+
+    rng = random.Random(41)
+    edges = [
+        (a, b)
+        for a, b in {
+            (rng.randrange(12), rng.randrange(12)) for _ in range(30)
+        }
+        if a != b
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    roots = nodes[::3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["betweenness"], r["stress"])
+        for r in betweenness_centrality(df, sources=roots).collect()
+    }
+    want_bc, want_st = _py_brandes(edges, roots, False)
+    for v in nodes:
+        g_bc, g_st = got.get(v, (0.0, 0))
+        assert abs(g_bc - want_bc[v]) < 1e-9
+        assert g_st == want_st[v]
+
+
+def test_betweenness_empty_sources_raises(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import betweenness_centrality
+
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        betweenness_centrality(df, sources=[])

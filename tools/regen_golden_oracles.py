@@ -36,8 +36,10 @@ PARTIAL_GOLDEN = {
     "q_word_dict": lambda row: str(row["word"]).startswith("bpe:"),
     # the HyperANF neighborhood-function + HyperBall harmonic-centrality
     # rows beside the SQL-twinned profile stats (HLL sketches are
-    # deterministic; DuckDB has no compatible estimator)
-    "q_graph_profile": lambda row: row["stat"] in ("nf", "hc"),
+    # deterministic; DuckDB has no compatible estimator); r4 also the
+    # stress-centrality digit histogram (exact integers via the φ
+    # recursion, but SP-DAG path counting is not SQL-expressible)
+    "q_graph_profile": lambda row: row["stat"] in ("nf", "hc", "stress"),
 }
 OUT_PARTIAL = REPO / "fixtures" / "golden_partial_rows.json"
 
