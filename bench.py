@@ -373,6 +373,93 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     assert mrow["intra2"] == 20 * C, mrow["intra2"]
     assert mrow["unlabeled"] == 0, mrow["unlabeled"]
     assert abs(mrow["q"] - q_expect) < 1e-9, (mrow["q"], q_expect)
+
+    # ---- round-4 additions: SCC, multi-source reachability, Brandes ----
+    # Directed fixture with exactly-known SCC structure: n/8 disjoint
+    # 8-rings (each ring = one SCC) plus one-way bridges from each ring
+    # into the PREVIOUS (lower-id) ring. The bridges prove the cross-
+    # color arc exclusion (they connect different color classes) and
+    # the high→low orientation means no ring's min-id bleeds into
+    # another — so coloring converges in ring-diameter sweeps and ALL
+    # n/8 SCCs extract in ONE outer gather round. Asserted exactly:
+    # n/8 components, every size 8.
+    from golden_horse_spark.operators.graph import (
+        betweenness_centrality,
+        reachability,
+        strongly_connected_components,
+    )
+
+    n_rings = n_nodes // 8
+    ring_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit((i + 1) % 8).alias("j"))
+            for i in range(8)
+        ]
+    )
+    rings = (
+        spark.range(n_rings)
+        .select(F.col("id").alias("c"), F.explode(ring_structs).alias("p"))
+        .select(
+            (F.col("c") * 8 + F.col("p.i")).alias("src"),
+            (F.col("c") * 8 + F.col("p.j")).alias("dst"),
+        )
+    )
+    back_bridges = spark.range(1, n_rings).select(
+        (F.col("id") * 8 + 3).alias("src"),
+        ((F.col("id") - 1) * 8 + 2).alias("dst"),
+    )
+    digraph = rings.union(back_bridges).localCheckpoint()
+    t0 = _t.time()
+    scc = strongly_connected_components(digraph).localCheckpoint()
+    n_scc_nodes = scc.count()
+    scc_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert n_scc_nodes == n_nodes, n_scc_nodes
+    sizes = scc.groupBy("component").agg(F.count("*").alias("s"))
+    assert sizes.where(F.col("s") != 8).count() == 0
+    assert sizes.count() == n_rings
+
+    # Multi-source reachability: every ring's node0 as a root on the
+    # rings-only digraph — n/8 SIMULTANEOUS sources, 7 frontier rounds,
+    # closure = the full 2M (root, node) pairs; the per-dist histogram
+    # is exactly n_rings at every dist 0..7.
+    t0 = _t.time()
+    levels = {
+        r["dist"]: r["n"]
+        for r in reachability(
+            rings,
+            spark.range(n_rings).select((F.col("id") * 8).alias("root")),
+            directed=True,
+            max_hops=7,
+        )
+        .groupBy("dist")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    reach_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert levels == {d: n_rings for d in range(8)}, levels
+
+    # Brandes from the hub of the clique-chain: the SP DAG settles in
+    # 2 forward + 2 backward rounds over 2M nodes, and the closed form
+    # is exact — every clique root carries its 4 interiors
+    # (bc = stress = 4), interiors carry nothing.
+    t0 = _t.time()
+    bst = betweenness_centrality(
+        edges, sources=[n_nodes], directed=False, max_hops=4
+    ).localCheckpoint()
+    n_bst = bst.count()
+    brandes_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert n_bst == n_nodes, n_bst  # every non-root node reached
+    hits = bst.where(
+        (F.col("stress") == 4) & (F.abs(F.col("betweenness") - 4.0) < 1e-12)
+    ).count()
+    zeros = bst.where(
+        (F.col("stress") == 0) & (F.col("betweenness") == 0.0)
+    ).count()
+    assert hits == n_cliques, hits
+    assert zeros == n_nodes - n_cliques, zeros
     return {
         "n_nodes": n_nodes + 1,
         "n_edges": n_edges,
@@ -390,6 +477,12 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         "lpa_sec": lpa_sec,
         "modularity_sec": modularity_sec,
         "modularity_q": round(mrow["q"], 9),
+        "scc_sec": scc_sec,
+        "scc_components": n_rings,
+        "reachability_sec": reach_sec,
+        "reachability_pairs": n_nodes,
+        "brandes_sec": brandes_sec,
+        "brandes_nodes": n_bst,
     }
 
 

@@ -1406,6 +1406,133 @@ def strongly_connected_components(
     return out
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources,
+    weight_col: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted multi-source shortest path costs → ``(root, node,
+    dist)`` — minimum total weight over paths of at most ``max_hops``
+    arcs (with enough hops: true SSSP; the loop stops early at the
+    fixpoint). ``weight_col=None`` is hop counting (then this equals
+    :func:`bfs_distances` semantics, multi-source). Negative weights
+    raise — synchronous relaxation needs non-negativity for the
+    monotone-improvement argument below.
+
+    Distributed Bellman–Ford with a DELTA frontier: round h relaxes
+    only arcs out of nodes whose tentative cost IMPROVED in round h−1
+    (initially the roots), so settled regions stop generating traffic
+    — on small-world graphs the frontier sweeps outward exactly like
+    BFS, and total relaxation volume approaches O(|closure|). Per
+    round: ONE co-partitioned arc join + a (root, node) min-groupBy +
+    a left join against the running best + an anti-join/union update.
+    After round h the table holds the exact minimum over ≤h-hop paths
+    (induction on synchronous relaxation), which is what the bounded
+    oracle checks; rounds are bounded by the hop length of the longest
+    shortest path. Integer weights stay exact longs end-to-end —
+    cross-engine-pinnable; floats work but sum in double.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wcol = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        and dict(edges.dtypes)[weight_col] in ("int", "bigint", "smallint", "tinyint")
+        else (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        )
+    )
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), wcol.alias("w")
+    )
+    if not directed:
+        base = base.union(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"), wcol.alias("w")
+            )
+        )
+    arcs = (
+        base.where(F.col("a") != F.col("b"))
+        # parallel arcs: only the cheapest can ever matter
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    if arcs.where(F.col("w") < 0).count() > 0:
+        raise ValueError("shortest_paths: negative weights unsupported")
+    if isinstance(sources, DataFrame):
+        roots = sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    else:
+        seeds = list(dict.fromkeys(sources))
+        if not seeds:
+            raise ValueError("shortest_paths: empty source set")
+        from pyspark.sql.types import StructField, StructType
+
+        roots = spark.createDataFrame(
+            [(s,) for s in seeds],
+            schema=StructType(
+                [StructField("root", arcs.schema["a"].dataType)]
+            ),
+        )
+    zero = F.lit(0).cast(dict(arcs.dtypes)["w"])
+    dist = (
+        roots.select("root", F.col("root").alias("node"), zero.alias("dist"))
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    if dist.count() == 0:
+        raise ValueError("shortest_paths: empty source set")
+    frontier = dist
+    for _h in range(max_hops):
+        cand = (
+            frontier.join(arcs, frontier["node"] == arcs["a"])
+            .select(
+                "root",
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("root", "node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        cur = dist.select(
+            F.col("root").alias("r2"),
+            F.col("node").alias("n2"),
+            F.col("dist").alias("cur"),
+        )
+        improved = (
+            cand.join(
+                cur,
+                (F.col("root") == F.col("r2"))
+                & (F.col("node") == F.col("n2")),
+                "left",
+            )
+            .where(F.col("cur").isNull() | (F.col("nd") < F.col("cur")))
+            .select("root", "node", F.col("nd").alias("dist"))
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        if improved.count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("root", "node"), ["root", "node"], "left_anti")
+            .unionByName(improved)
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources=None,

@@ -1617,3 +1617,108 @@ def test_betweenness_empty_sources_raises(spark):
     df = spark.createDataFrame([(0, 1)], "src int, dst int")
     with pytest.raises(ValueError):
         betweenness_centrality(df, sources=[])
+
+
+def _py_sssp(edges, roots, max_hops, directed=True):
+    """Reference: hop-bounded Bellman-Ford → {(root, node): cost}
+    (min cost over paths of ≤ max_hops arcs, cheapest parallel arc)."""
+    arcs = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        arcs[(s, d)] = min(arcs.get((s, d), w), w)
+        if not directed:
+            arcs[(d, s)] = min(arcs.get((d, s), w), w)
+    out = {}
+    for r in roots:
+        dist = {r: 0}
+        for _ in range(max_hops):
+            new = dict(dist)
+            for (s, d), w in arcs.items():
+                if s in dist and dist[s] + w < new.get(d, float("inf")):
+                    new[d] = dist[s] + w
+            if new == dist:
+                break
+            dist = new
+        for n, c in dist.items():
+            out[(r, n)] = c
+    return out
+
+
+def test_shortest_paths_hand_and_unweighted(spark):
+    from golden_horse_spark.operators.graph import (
+        bfs_distances,
+        shortest_paths,
+    )
+
+    # cheap long way beats expensive direct arc
+    edges = [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in shortest_paths(df, [0], weight_col="w").collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 3, (0, 2): 1, (0, 3): 2}
+    # hop cap: within 1 hop the direct arc is the only route
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in shortest_paths(df, [0], weight_col="w", max_hops=1).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 10, (0, 2): 1}
+    # unweighted == BFS hop distances
+    g2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src int, dst int"
+    )
+    sp = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(g2, [0], directed=False).collect()
+    }
+    bf = {
+        r["node"]: r["dist"] for r in bfs_distances(g2, 0).collect()
+    }
+    assert sp == bf
+
+
+def test_shortest_paths_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import shortest_paths
+
+    rng = random.Random(61)
+    for trial in range(6):
+        n = rng.randint(5, 14)
+        edges = list(
+            {
+                (rng.randrange(n), rng.randrange(n), rng.randint(0, 9))
+                for _ in range(rng.randint(6, 40))
+            }
+        )
+        edges = [(a, b, w) for a, b, w in edges if a != b]
+        if not edges:
+            continue
+        directed = trial % 2 == 0
+        hops = rng.randint(1, 5)
+        nodes = sorted({x for a, b, _ in edges for x in (a, b)})
+        roots = rng.sample(nodes, min(3, len(nodes)))
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            (r["root"], r["node"]): r["dist"]
+            for r in shortest_paths(
+                df, roots, weight_col="w", directed=directed, max_hops=hops
+            ).collect()
+        }
+        want = _py_sssp(edges, roots, hops, directed)
+        assert got == want, (edges, roots, directed, hops)
+
+
+def test_shortest_paths_guards(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame([(0, 1, -2)], "src int, dst int, w int")
+    with pytest.raises(ValueError):
+        shortest_paths(df, [0], weight_col="w")
+    ok = spark.createDataFrame([(0, 1, 2)], "src int, dst int, w int")
+    with pytest.raises(ValueError):
+        shortest_paths(ok, [], weight_col="w")
