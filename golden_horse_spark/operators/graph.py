@@ -1533,6 +1533,154 @@ def shortest_paths(
     return dist
 
 
+def random_walks(
+    edges: DataFrame,
+    sources=None,
+    walk_length: int = 10,
+    num_walks: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic uniform random walks → ``(root, walk, step,
+    node)`` — the corpus generator for DeepWalk/node2vec-style graph
+    embeddings (Perozzi et al. KDD'14): ``num_walks`` walks of
+    ``walk_length`` steps from every source node, to be fed to a
+    skip-gram trainer as "sentences".
+
+    DERANDOMIZED: the step from node v is neighbor number
+    ``md5(v ⊕ step ⊕ root ⊕ walk) mod deg(v)`` in the canonical
+    (sorted-neighbor) adjacency ranking — no RNG state, so walks are
+    reproducible across runs, partitionings, AND engines (md5 is
+    portable; the driver oracle replays the identical walk in SQL).
+    Walk quality matches a seeded PRNG for embedding purposes: the
+    choice varies per (node, step, root, walk), which is exactly the
+    independence the corpus needs.
+
+    Relational iteration: adjacency is ranked ONCE (row_number over
+    neighbors, co-partitioned with the degree table on the node key);
+    each step is ONE co-partitioned join of the walk state against
+    (deg ⋈ adj) — state is (|sources| · num_walks) rows per step, so
+    the full-graph DeepWalk config costs n rows/step/walk, linear and
+    bounded. Directed dead ends end their walk early (no match, row
+    absent from later steps). Per-step checkpoints keep the plan O(1).
+    """
+    if walk_length < 0 or num_walks < 1:
+        raise ValueError("random_walks: walk_length ≥ 0, num_walks ≥ 1")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        base = base.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    arcs = (
+        base.where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    adj = (
+        arcs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy("b")
+            )
+            - 1,
+        )
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    deg = (
+        adj.groupBy("a")
+        .agg(F.count("*").alias("dg"))
+        .repartition(p, "a")
+        .localCheckpoint()
+    )
+    if sources is None:
+        roots = arcs.select(F.col("a").alias("root")).distinct()
+    elif isinstance(sources, DataFrame):
+        roots = sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    else:
+        seeds = list(dict.fromkeys(sources))
+        if not seeds:
+            raise ValueError("random_walks: empty source set")
+        from pyspark.sql.types import StructField, StructType
+
+        roots = spark.createDataFrame(
+            [(s,) for s in seeds],
+            schema=StructType(
+                [StructField("root", arcs.schema["a"].dataType)]
+            ),
+        )
+    state = (
+        roots.select(
+            "root",
+            F.explode(
+                F.array(*[F.lit(w) for w in range(num_walks)])
+            ).alias("walk"),
+            F.lit(0).alias("step"),
+            F.col("root").alias("node"),
+        )
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    if state.count() == 0:
+        raise ValueError("random_walks: empty source set")
+    parts = [state]
+    for t in range(walk_length):
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", "node", F.lit(t), "root", "walk"
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("dg")
+        )
+        # deg first (1 row/node) to materialize the chosen index, THEN
+        # a 2-key equi-join picks exactly one adjacency row — never a
+        # deg-sized fan-out (a hub visit costs one probe, not deg rows)
+        chosen = (
+            state.join(deg, state["node"] == deg["a"])
+            .select("root", "walk", "node", idx.alias("idx"))
+        )
+        state = (
+            chosen.join(
+                adj,
+                (chosen["node"] == adj["a"])
+                & (chosen["idx"] == adj["rn"]),
+            )
+            .select(
+                "root",
+                "walk",
+                F.lit(t + 1).alias("step"),
+                F.col("b").alias("node"),
+            )
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        if state.isEmpty():
+            break
+        parts.append(state)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources=None,

@@ -1722,3 +1722,111 @@ def test_shortest_paths_guards(spark):
     ok = spark.createDataFrame([(0, 1, 2)], "src int, dst int, w int")
     with pytest.raises(ValueError):
         shortest_paths(ok, [], weight_col="w")
+
+
+def _py_walks(edges, roots, length, num_walks, directed):
+    """Reference: replay the md5-derandomized walk choice exactly."""
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for r in roots:
+        for w in range(num_walks):
+            v = r
+            rows.append((r, w, 0, v))
+            for t in range(length):
+                nb = adj.get(v)
+                if not nb:
+                    break
+                h = int(
+                    hashlib.md5(f"{v}_{t}_{r}_{w}".encode()).hexdigest()[:4],
+                    16,
+                )
+                v = nb[h % len(nb)]
+                rows.append((r, w, t + 1, v))
+    return sorted(rows)
+
+
+def test_random_walks_vs_python_replay(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import random_walks
+
+    rng = random.Random(71)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(6, 35))
+            }
+            if a != b
+        ]
+        if not edges:
+            continue
+        directed = trial % 2 == 0
+        nodes = sorted({x for e in edges for x in e})
+        roots = nodes[::2]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            tuple(r)
+            for r in random_walks(
+                df,
+                roots,
+                walk_length=6,
+                num_walks=2,
+                directed=directed,
+            ).collect()
+        )
+        want = _py_walks(edges, roots, 6, 2, directed)
+        assert got == want, (edges, roots, directed)
+
+
+def test_random_walks_validity_and_dead_end(spark):
+    from golden_horse_spark.operators.graph import random_walks
+
+    # directed path: the walk from 0 is forced 0→1→2 and stops (dead
+    # end at 2 before exhausting walk_length)
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    got = sorted(
+        (r["step"], r["node"])
+        for r in random_walks(df, [0], walk_length=9, directed=True).collect()
+    )
+    assert got == [(0, 0), (1, 1), (2, 2)]
+    # determinism: two invocations bit-identical
+    big = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20)] + [(i, (i + 1) % 20) for i in range(20)],
+        "src long, dst long",
+    )
+    r1 = sorted(tuple(r) for r in random_walks(big, walk_length=5).collect())
+    r2 = sorted(tuple(r) for r in random_walks(big, walk_length=5).collect())
+    assert r1 == r2 and len(r1) > 20
+    # every consecutive step follows an edge of the symmetrized graph
+    sym = {(a, b) for a, b in ((r[0], r[1]) for r in big.collect())}
+    sym |= {(b, a) for a, b in sym}
+    walks = {}
+    for r in random_walks(big, walk_length=5).collect():
+        walks.setdefault((r["root"], r["walk"]), {})[r["step"]] = r["node"]
+    for steps in walks.values():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in sym
+
+
+def test_random_walks_guards(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        random_walks(df, [])
+    with pytest.raises(ValueError):
+        random_walks(df, [0], num_walks=0)
