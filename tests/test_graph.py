@@ -1830,3 +1830,75 @@ def test_random_walks_guards(spark):
         random_walks(df, [])
     with pytest.raises(ValueError):
         random_walks(df, [0], num_walks=0)
+
+
+def _py_truss(edges, k):
+    """Reference peel recomputing supports from scratch each round."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        s = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        bad = {e for e in es if s[e] < k - 2}
+        if not bad:
+            return s
+        es -= bad
+
+
+def test_k_truss_hand_cases(spark):
+    from golden_horse_spark.operators.graph import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src int, dst int")
+    got = {
+        (r["a"], r["b"]): r["support"] for r in k_truss(df, 4).collect()
+    }
+    assert got == {(a, b): 2 for a, b in k4}
+    assert k_truss(df, 5).count() == 0
+    # K5 with a pendant tail: 5-truss keeps exactly the K5
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    df = spark.createDataFrame(k5 + [(4, 9), (9, 3)], "src int, dst int")
+    got = {
+        (r["a"], r["b"]): r["support"] for r in k_truss(df, 5).collect()
+    }
+    assert got == {(a, b): 3 for a, b in k5}
+
+
+def test_k_truss_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import k_truss
+
+    rng = random.Random(83)
+    for trial in range(6):
+        n = rng.randint(5, 13)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(8, 45))
+            }
+            if a != b
+        ]
+        if not edges:
+            continue
+        k = rng.randint(3, 5)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(df, k).collect()
+        }
+        want = _py_truss(edges, k)
+        assert got == want, (edges, k)
+
+
+def test_k_truss_guard(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import k_truss
+
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        k_truss(df, 1)
