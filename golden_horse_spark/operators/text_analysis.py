@@ -162,6 +162,59 @@ def tfidf_top_terms(
     )
 
 
+def pmi_pairs(
+    events: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    min_count: int = 1,
+    positive: bool = False,
+) -> DataFrame:
+    """Pointwise mutual information over co-occurrence EVENTS (one row
+    per observed (x, y) pair, repeats = multiplicity) → ``(x, y, n_xy,
+    n_x, n_y, pmi)`` — the collocation / association score of Church &
+    Hanks (1990): ``pmi = ln(n_xy · N / (n_x · n_y))``, the classic
+    edge weighting for co-occurrence graphs (word collocations, entity
+    co-mentions, alias association) and the matrix behind SVD/PPMI
+    embeddings.
+
+    Events are ORDERED (x from the left vocabulary, y from the right —
+    word/context style); for symmetric co-occurrence emit both orders
+    and the marginals become true item frequencies. ``positive=True``
+    clamps to PPMI (max(0, pmi)), the embedding-standard variant.
+
+    Shape: ONE (x, y) groupBy over the event stream (map-side combine
+    does the heavy lifting); both marginals and N aggregate the pair
+    table again — vocabulary-sized, never a second corpus scan — and
+    broadcast-join back (AQE handles it; the tables are |vocab| rows).
+    The integer triple (n_xy, n_x, n_y) is exact and partitioning-
+    invariant; only the final ln is float, so any discretization for
+    pinning can use the RATIONAL n_xy·N/(n_x·n_y) in pure long
+    arithmetic (ln is monotone — same buckets, zero float risk), which
+    is exactly what the driver oracle does.
+    """
+    ev = events.select(F.col(x).alias("x"), F.col(y).alias("y"))
+    pairs = ev.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    n_total = pairs.agg(F.sum("n_xy")).collect()[0][0]
+    mx = pairs.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = pairs.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    scored = (
+        pairs.where(F.col("n_xy") >= min_count)
+        .join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n_xy").cast("double")
+                * F.lit(float(n_total))
+                / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+            ),
+        )
+    )
+    if positive:
+        scored = scored.withColumn("pmi", F.greatest(F.col("pmi"), F.lit(0.0)))
+    return scored.select("x", "y", "n_xy", "n_x", "n_y", "pmi")
+
+
 def hash_split(
     text: Column,
     train_frac: float = 0.8,

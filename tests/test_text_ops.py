@@ -252,3 +252,72 @@ def test_quantile_keep_exact_and_threshold_path(spark):
     k1 = sorted(r["doc_id"] for r in ties.withColumn(
         "_k", quantile_keep(F.col("score"), 0.5)).where("_k").collect())
     assert k1 == [0, 1, 2, 3]  # doc_id tiebreak -> lowest ids survive
+
+
+def test_pmi_pairs_vs_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from golden_horse_spark.operators.text_analysis import pmi_pairs
+
+    rng = random.Random(91)
+    events = [
+        (f"w{rng.randint(0, 9)}", f"c{rng.randint(0, 6)}")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(events, "x string, y string")
+    got = {
+        (r["x"], r["y"]): (r["n_xy"], r["n_x"], r["n_y"], r["pmi"])
+        for r in pmi_pairs(df, min_count=2).collect()
+    }
+    nxy = Counter(events)
+    nx = Counter(e[0] for e in events)
+    ny = Counter(e[1] for e in events)
+    n = len(events)
+    want = {
+        k: (
+            c,
+            nx[k[0]],
+            ny[k[1]],
+            math.log(c * n / (nx[k[0]] * ny[k[1]])),
+        )
+        for k, c in nxy.items()
+        if c >= 2
+    }
+    assert set(got) == set(want)
+    for k, (c, a, b, p) in want.items():
+        gc_, ga, gb, gp = got[k]
+        assert (gc_, ga, gb) == (c, a, b), k
+        assert abs(gp - p) < 1e-12, k
+    # PPMI clamps negatives to zero and changes nothing else
+    gpp = {
+        (r["x"], r["y"]): r["pmi"]
+        for r in pmi_pairs(df, min_count=2, positive=True).collect()
+    }
+    for k, (_, _, _, p) in want.items():
+        assert abs(gpp[k] - max(0.0, p)) < 1e-12
+
+
+def test_pmi_pairs_hand_case(spark):
+    import math
+
+    from golden_horse_spark.operators.text_analysis import pmi_pairs
+
+    # "strong" always co-occurs with "tea" (but tea appears 3×):
+    # pmi = ln(2·6/(2·3)) = ln 2
+    events = [
+        ("strong", "tea"),
+        ("strong", "tea"),
+        ("weak", "tea"),
+        ("weak", "coffee"),
+        ("hot", "coffee"),
+        ("hot", "soup"),
+    ]
+    df = spark.createDataFrame(events, "x string, y string")
+    got = {
+        (r["x"], r["y"]): r["pmi"] for r in pmi_pairs(df).collect()
+    }
+    assert abs(got[("strong", "tea")] - math.log(2.0)) < 1e-12
+    assert abs(got[("hot", "soup")] - math.log(3.0)) < 1e-12
+    assert abs(got[("weak", "tea")] - math.log(1.0)) < 1e-12
