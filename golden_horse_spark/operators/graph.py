@@ -1859,6 +1859,81 @@ def random_walks(
     return out
 
 
+def graph_embeddings(
+    edges: DataFrame,
+    dim: int = 32,
+    walk_length: int = 10,
+    num_walks: int = 2,
+    window: int = 5,
+    n_iter: int = 1,
+    seed: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    num_partitions: int | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """DeepWalk graph embeddings end-to-end → ``(node, embedding)``
+    with ``embedding: array<float>`` — the composition
+    :func:`random_walks` → skip-gram (Perozzi et al. KDD'14), closing
+    the loop to this package's ANN/near-dup operators, which consume
+    exactly this (id, array<float>) shape.
+
+    The walk corpus is the derandomized generator above (md5-choice —
+    reproducible sentences); the skip-gram stage is Spark MLlib's
+    JVM-side Word2Vec (hierarchical-softmax skip-gram), trained on one
+    sentence per (root, walk). ``deterministic=True`` forces
+    numPartitions=1 and a canonical sentence order so two runs with
+    the same seed produce identical vectors — the multi-partition
+    default trades that for training parallelism (Hogwild-style merge,
+    run-to-run float drift), which is the right default at scale and
+    the reason this operator is pytest-verified (shape, coverage,
+    determinism in the pinned mode) but never oracle-pinned.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    walks = random_walks(
+        edges,
+        None,
+        walk_length=walk_length,
+        num_walks=num_walks,
+        src=src,
+        dst=dst,
+        directed=directed,
+        num_partitions=num_partitions,
+    )
+    sentences = (
+        walks.groupBy("root", "walk")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "node"))
+                ),
+                lambda s: s["node"].cast("string"),
+            ).alias("sentence")
+        )
+    )
+    if deterministic:
+        sentences = sentences.orderBy("root", "walk").coalesce(1)
+    w2v = Word2Vec(
+        vectorSize=dim,
+        windowSize=window,
+        minCount=0,
+        maxIter=n_iter,
+        seed=seed,
+        numPartitions=1,
+        inputCol="sentence",
+        outputCol="_v",
+    )
+    model = w2v.fit(sentences)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.getVectors().select(
+        F.col("word").alias("node"),
+        vector_to_array(F.col("vector"), "float32").alias("embedding"),
+    )
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources=None,

@@ -1902,3 +1902,41 @@ def test_k_truss_guard(spark):
     df = spark.createDataFrame([(0, 1)], "src int, dst int")
     with pytest.raises(ValueError):
         k_truss(df, 1)
+
+
+def test_graph_embeddings_end_to_end(spark):
+    from golden_horse_spark.operators.graph import graph_embeddings
+
+    # two 6-cliques joined by one bridge: walks stay mostly inside
+    # their clique, so the embedding space must exist for ALL nodes
+    edges = [
+        (a, b) for a in range(6) for b in range(6) if a < b
+    ] + [
+        (a + 10, b + 10) for a in range(6) for b in range(6) if a < b
+    ] + [(0, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    emb = graph_embeddings(
+        df, dim=8, walk_length=6, num_walks=2, deterministic=True
+    )
+    rows = emb.collect()
+    nodes = {r["node"] for r in rows}
+    assert nodes == {str(n) for n in list(range(6)) + list(range(10, 16))}
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    # pinned mode: same seed → identical vectors across runs
+    again = {
+        r["node"]: list(r["embedding"])
+        for r in graph_embeddings(
+            df, dim=8, walk_length=6, num_walks=2, deterministic=True
+        ).collect()
+    }
+    first = {r["node"]: list(r["embedding"]) for r in rows}
+    assert first == again
+    # composes with the ANN operators: (id, array<float>) shape
+    from golden_horse_spark.operators.similarity import cosine_topk
+
+    vecs = emb.select(
+        F.col("node").cast("long").alias("vec_id"), "embedding"
+    )
+    qvec = [float(v) for v in first["0"]]
+    top = cosine_topk(vecs, qvec, k=3)
+    assert top.count() == 3
