@@ -460,6 +460,68 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     ).count()
     assert hits == n_cliques, hits
     assert zeros == n_nodes - n_cliques, zeros
+
+    # k-truss on the clique-chain, closed form: bridge edges close 1
+    # triangle (via the hub), hub edges 2 (1 at the chain ends), clique
+    # edges 3 — so the 4-truss peels bridges in round 1, the hub edges
+    # cascade to 0 in round 2, and EXACTLY the 10·C clique edges
+    # survive, every one at support 3. Exercises the incremental
+    # decrement path at 4.8M edges / 4.4M initial triangles.
+    from golden_horse_spark.operators.graph import k_truss
+
+    t0 = _t.time()
+    truss = k_truss(edges, k=4).localCheckpoint()
+    n_truss = truss.count()
+    truss_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert n_truss == 10 * n_cliques, n_truss
+    assert truss.where(F.col("support") != 3).count() == 0
+
+    # weighted SSSP on the rings digraph: arc weight = position + 1
+    # (position = src mod 8), so the cost from a ring's node0 to its
+    # node j is j(j+1)/2 for EVERY ring — 250k simultaneous roots,
+    # asserted histogram {0,1,3,6,10,15,21,28} × n_rings.
+    from golden_horse_spark.operators.graph import shortest_paths
+
+    wrings = rings.withColumn(
+        "w", (F.col("src") % 8 + F.lit(1)).cast("long")
+    )
+    t0 = _t.time()
+    costs = {
+        r["dist"]: r["n"]
+        for r in shortest_paths(
+            wrings,
+            spark.range(n_rings).select((F.col("id") * 8).alias("root")),
+            weight_col="w",
+            directed=True,
+            max_hops=8,
+        )
+        .groupBy("dist")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sssp_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert costs == {
+        j * (j + 1) // 2: n_rings for j in range(8)
+    }, costs
+
+    # derandomized walks: full-graph DeepWalk config on the undirected
+    # rings (every node a root), 4 steps — 5 rows per walk, 10M rows
+    # total, per-step cardinality exact (no dead ends on a ring).
+    from golden_horse_spark.operators.graph import random_walks
+
+    t0 = _t.time()
+    wsteps = {
+        r["step"]: r["n"]
+        for r in random_walks(rings, walk_length=4)
+        .groupBy("step")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    walks_sec = round(_t.time() - t0, 2)
+    gc.collect()
+    assert wsteps == {s: n_nodes for s in range(5)}, wsteps
     return {
         "n_nodes": n_nodes + 1,
         "n_edges": n_edges,
@@ -483,6 +545,12 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         "reachability_pairs": n_nodes,
         "brandes_sec": brandes_sec,
         "brandes_nodes": n_bst,
+        "truss_sec": truss_sec,
+        "truss_edges": n_truss,
+        "sssp_sec": sssp_sec,
+        "sssp_roots": n_rings,
+        "walks_sec": walks_sec,
+        "walk_rows": 5 * n_nodes,
     }
 
 
