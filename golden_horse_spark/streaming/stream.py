@@ -20,6 +20,9 @@ continuous ingestion of interleaved documents with exactly-once sinks.
 * ``curate_documents_stream`` — streaming corpus curation (quality
   filter + deterministic domain-mixture sampling); stateless Column
   exprs, so stream == batch decisions by construction (tested).
+* ``streaming_heavy_hitters`` — online Misra–Gries hot-key detection
+  (partition-local summaries → one bounded global state row); the
+  salting trigger for long-running jobs.
 * ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
   then stop: deterministic for tests/benchmarks) into a parquet sink
   with checkpointing — kill/restart resumes from the checkpoint.
@@ -247,6 +250,123 @@ def running_surface_stats(mentions: DataFrame) -> DataFrame:
         stateStructType=_SURFACE_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_heavy_hitters(
+    rows: DataFrame,
+    key_col: str,
+    phi: float = 0.01,
+) -> DataFrame:
+    """ONLINE hot-key detection — the streaming complement of
+    ``sketch.heavy_hitters`` and the trigger for the north rule's
+    hot-surface-form salting: a long-running extraction job watches its
+    own key stream and flags keys worth salting as they heat up,
+    without a second pass.
+
+    Topology (mergeable summaries, Agarwal et al. PODS'12): a STATELESS
+    ``mapInPandas`` stage runs Misra–Gries with k = ⌈1/φ⌉ counters per
+    input partition per micro-batch (bounded ≤ k+1 summary rows out per
+    partition, the full stream is never shuffled), then ONE stateful
+    group (``applyInPandasWithState``) merges summaries into a global
+    MG state: counter-wise add, and when more than k counters survive,
+    subtract the (k+1)-th largest and drop non-positives — the classic
+    merge that PRESERVES the MG guarantee. Emitted after every batch:
+
+    * every key with true frequency > φ·N(so far) IS present
+      (superset guarantee — no false negatives, ever);
+    * each estimate satisfies true − N/k ≤ est ≤ true.
+
+    State is ≤ k counters + one total — O(1/φ), independent of stream
+    length and key cardinality; the exact-verify pass stays batch-side
+    (``sketch.heavy_hitters``), because exactness needs a second look
+    at the data by definition. Output mode: update (one candidate set
+    refresh per micro-batch).
+    """
+    import math
+
+    k = max(1, math.ceil(1.0 / phi))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _mg_add(counters: dict, key, inc: int, cap: int) -> None:
+        if key in counters:
+            counters[key] += inc
+        elif len(counters) < cap:
+            counters[key] = inc
+        else:
+            dec = min(inc, min(counters.values()))
+            counters[key] = inc  # provisional: add then rebalance
+            for ck in list(counters):
+                counters[ck] -= dec
+                if counters[ck] <= 0:
+                    del counters[ck]
+
+    def summarize(iterator):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in iterator:
+            vals = pdf["__k"]
+            n += len(vals)
+            for key, cnt in vals.value_counts().items():
+                _mg_add(counters, key, int(cnt), k)
+        yield pd.DataFrame(
+            {
+                "g": [0] * (len(counters) + 1),
+                "key": [None] + list(counters),
+                "cnt": [n] + [counters[c] for c in counters],
+            }
+        )
+
+    summaries = rows.select(
+        F.col(key_col).cast("string").alias("__k")
+    ).mapInPandas(summarize, "g int, key string, cnt long")
+
+    def merge(group_key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            keys, cnts, total = state.get
+            counters = dict(zip(list(keys), list(cnts)))
+            total = int(total)
+        else:
+            counters, total = {}, 0
+        for pdf in pdfs:
+            for key, cnt in zip(pdf["key"], pdf["cnt"]):
+                if key is None:
+                    total += int(cnt)
+                else:
+                    counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) > k:
+            spill = sorted(counters.values(), reverse=True)[k]
+            counters = {
+                ck: cv - spill
+                for ck, cv in counters.items()
+                if cv - spill > 0
+            }
+        state.update(
+            (list(counters), [counters[c] for c in counters], total)
+        )
+        out_keys = list(counters)
+        yield pd.DataFrame(
+            {
+                "key": out_keys,
+                "est": [counters[c] for c in out_keys],
+                "n_total": [total] * len(out_keys),
+            }
+        )
+
+    return (
+        summaries.groupBy("g")
+        .applyInPandasWithState(
+            merge,
+            outputStructType="key string, est long, n_total long",
+            stateStructType="keys array<string>, cnts array<long>, "
+            "total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

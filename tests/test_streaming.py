@@ -458,3 +458,84 @@ def test_streaming_curation_matches_batch(spark, tmp_path_factory):
     assert got == want and len(got) == 300
     kept = sum(1 for v in got.values() if v[2])
     assert 0 < kept < 300  # both decisions actually fire
+
+
+def test_streaming_heavy_hitters_mg_guarantees(spark, tmp_path_factory):
+    """Online Misra-Gries: superset guarantee + count bounds vs exact
+    Counter ground truth, bounded state, checkpoint-surviving totals."""
+    import math
+    from collections import Counter
+
+    from golden_horse_spark.streaming.stream import streaming_heavy_hitters
+
+    d = tmp_path_factory.mktemp("hh_in")
+    ckpt = str(tmp_path_factory.mktemp("hh_ckpt"))
+    out = str(tmp_path_factory.mktemp("hh_out") / "cand")
+    phi = 0.1
+    k = math.ceil(1 / phi)
+
+    def wave(seed, n):
+        # 2 hot keys (~45% of rows) + a long tail
+        rows = []
+        for i in range(n):
+            h = (i * 2654435761 + seed) % 100
+            if h < 30:
+                key = "hot_a"
+            elif h < 45:
+                key = "hot_b"
+            else:
+                key = f"tail_{h}_{seed}"
+            rows.append((key,))
+        return rows
+
+    all_rows = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema("surface string")
+            .parquet(str(d / "keys"))
+        )
+        cand = streaming_heavy_hitters(stream, "surface", phi=phi)
+
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            cand.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        last = max(r["batch_id"] for r in rows)
+        return {
+            r["key"]: (r["est"], r["n_total"])
+            for r in rows
+            if r["batch_id"] == last
+        }
+
+    for seed, n in ((1, 400), (2, 300)):
+        w = wave(seed, n)
+        all_rows += w
+        spark.createDataFrame(w, "surface string").repartition(3).write.mode(
+            "append"
+        ).parquet(str(d / "keys"))
+        got = drain()
+        true = Counter(x[0] for x in all_rows)
+        n_total = len(all_rows)
+        # totals survived the restart (checkpointed state)
+        assert all(t == n_total for _, t in got.values()), got
+        # bounded state: at most k candidates ever
+        assert 0 < len(got) <= k
+        # superset guarantee: every true heavy hitter is present
+        for key, cnt in true.items():
+            if cnt > phi * n_total:
+                assert key in got, (key, cnt, n_total)
+        # MG bounds: true - N/k <= est <= true
+        for key, (est, _) in got.items():
+            assert est <= true[key], (key, est, true[key])
+            assert est >= true[key] - n_total / k, (key, est, true[key])
