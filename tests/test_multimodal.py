@@ -1,8 +1,8 @@
 """Multimodal column plumbing (operators/multimodal.py): schemas, Arrow
 batch shapes, determinism, frame-sampling fan-out — plus the real
 pure-stdlib codecs (P6, PNG incl. all five scanline filters, 16-bit PCM
-WAV, GIF incl. real variable-width LZW, 24-bit BMP). Only
-JPEG/compressed-audio/video decode remain documented stubs."""
+WAV, GIF incl. real variable-width LZW, 24-bit BMP, baseline JPEG).
+Only compressed-audio/video decode remain documented stubs."""
 
 import math
 
@@ -31,8 +31,8 @@ def test_media_table_schema_and_determinism(spark, media):
     assert media.schema == MEDIA_SCHEMA
     rows = media.collect()
     assert rows, "synthesizer produced no media rows"
-    # images carry real P6/PNG/GIF/BMP payloads, audio real 16-bit PCM
-    # WAV; only video keeps the 128-byte deterministic stub payload
+    # images carry real P6/PNG/GIF/BMP/JPEG payloads, audio real 16-bit
+    # PCM WAV; only video keeps the 128-byte deterministic stub payload
     seen_formats = set()
     for r in rows:
         p = bytes(r["payload"])
@@ -42,6 +42,7 @@ def test_media_table_schema_and_determinism(spark, media):
                 or p.startswith(b"\x89PNG")
                 or p.startswith(b"GIF8")
                 or p.startswith(b"BM")
+                or p.startswith(b"\xff\xd8")
             )
             seen_formats.add(p[:2])
         elif r["kind"] == "audio":
@@ -49,7 +50,7 @@ def test_media_table_schema_and_determinism(spark, media):
         else:
             assert len(p) == 128
     if sum(1 for r in rows if r["kind"] == "image") >= 16:
-        assert len(seen_formats) == 4  # all four real image formats exercised
+        assert len(seen_formats) == 5  # all five real image formats exercised
     assert {r["kind"] for r in rows} <= {"image", "audio", "video"}
     # deterministic: regenerate from the same documents → identical table
     docs = synthesize_documents(spark, 120, seed=31, partitions=4)
@@ -213,11 +214,14 @@ def test_real_decode_path_on_synthesized_images(spark):
     media = synthesize_media(spark, docs).where(F.col("kind") == "image")
     rows = media.collect()
     assert rows
+    from golden_horse_spark.operators.multimodal import parse_jpeg
+
     parsers = {
         b"P6": parse_ppm,
         b"\x89P": parse_png,
         b"GI": parse_gif,
         b"BM": parse_bmp,
+        b"\xff\xd8": parse_jpeg,
     }
     checked = set()
     for row in rows:
@@ -230,7 +234,7 @@ def test_real_decode_path_on_synthesized_images(spark):
         ).astype(np.float32) / 255.0
         assert np.allclose(lum, want, atol=1e-6)
         checked.add(payload[:2])
-    assert len(checked) == 4, checked  # all four formats hit the real path
+    assert len(checked) == 5, checked  # all five formats hit the real path
 
 
 def test_resized_payload_is_decodable(spark):
@@ -384,7 +388,12 @@ def test_decoders_route_by_magic_bytes():
     ).astype(np.float32) / 255.0
     np.testing.assert_allclose(_decode_image(encode_ppm(rgb), 6, 8), lum, atol=1e-6)
     np.testing.assert_allclose(_decode_image(encode_png(rgb), 6, 8), lum, atol=1e-6)
-    stub = _decode_image(b"\xff\xd8jpegish-bytes", 6, 8)   # JPEG magic → stub
+    # JPEG magic now routes to the REAL baseline decoder (round 4)
+    from golden_horse_spark.operators.multimodal import encode_jpeg
+
+    jl = _decode_image(encode_jpeg(rgb, 95), 6, 8)
+    assert jl.shape == (8, 6) and np.abs(jl - lum).max() < 0.1
+    stub = _decode_image(b"XX-unknown-format", 6, 8)  # unknown → stub
     assert stub.shape == (8, 6)
 
     wave = (0.25 * np.sin(np.arange(800) / 10.0)).astype(np.float32)
@@ -503,3 +512,72 @@ def test_decode_image_routes_gif_and_bmp():
     ).astype(np.float32) / 255.0
     np.testing.assert_allclose(_decode_image(encode_gif(rgb), 7, 10), lum, atol=1e-6)
     np.testing.assert_allclose(_decode_image(encode_bmp(rgb), 7, 10), lum, atol=1e-6)
+
+
+def test_jpeg_roundtrip_bounds():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    # flat color: DC-only blocks — error bounded by DC quantization
+    rgb = np.full((24, 32, 3), 120, dtype=np.uint8)
+    dec = parse_jpeg(encode_jpeg(rgb, 85))
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - 120).max() <= 2
+    # smooth gradient at q90: PSNR well above 35 dB
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = parse_jpeg(encode_jpeg(g, 90))
+    mse = ((dec.astype(float) - g.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 35.0
+    # noise at q95, odd dims (pads internally, crops on decode) —
+    # exercises byte stuffing with high probability; deterministic
+    rng = np.random.RandomState(7)
+    n = rng.randint(0, 256, (13, 19, 3), dtype=np.uint8)
+    payload = encode_jpeg(n, 95)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    d1 = parse_jpeg(payload)
+    d2 = parse_jpeg(encode_jpeg(n, 95))
+    assert d1.shape == n.shape
+    assert (d1 == d2).all()  # codec is deterministic
+    # quality ordering: higher quality → lower error on the gradient
+    e_hi = ((parse_jpeg(encode_jpeg(g, 95)).astype(float) - g) ** 2).mean()
+    e_lo = ((parse_jpeg(encode_jpeg(g, 40)).astype(float) - g) ** 2).mean()
+    assert e_hi < e_lo
+
+
+def test_jpeg_guards():
+    import numpy as np
+    import pytest
+
+    from golden_horse_spark.operators.multimodal import parse_jpeg
+
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x89PNG\r\n\x1a\nnope")
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _decode_image,
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    rgb = np.full((16, 16, 3), 200, dtype=np.uint8)
+    payload = encode_jpeg(rgb, 85)
+    lum = _decode_image(payload, 16, 16)
+    want = parse_jpeg(payload).astype(np.float32)
+    want = (
+        0.299 * want[..., 0] + 0.587 * want[..., 1] + 0.114 * want[..., 2]
+    ) / 255.0
+    assert lum.shape == (16, 16)
+    assert np.abs(lum - want).max() < 1e-6
