@@ -1934,6 +1934,185 @@ def graph_embeddings(
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    sources=None,
+    walk_length: int = 10,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD'16)
+    → ``(root, walk, step, node)`` — the (p, q) generalization of
+    :func:`random_walks`: stepping from v with previous node t, the
+    unnormalized weight of candidate x is 1/p if x = t (return), 1 if
+    x is adjacent to t (BFS-ish), else 1/q (DFS-ish). Low q explores
+    outward (structural roles), low p stays local (communities).
+
+    Derandomized like :func:`random_walks`: weights are quantized to
+    integers (round(3600/p), 3600, round(3600/q), floored at 1 so no
+    step ever has zero total mass), and the choice is
+    ``md5(node ⊕ step ⊕ root ⊕ walk) mod Σweights`` against the
+    cumulative weight in sorted-neighbor order — reproducible across
+    runs and partitionings, replayable by any engine with md5.
+
+    Cost model (inherent to node2vec, not this formulation): the
+    biased choice needs EVERY neighbor's weight, so a step costs
+    Σ deg(v_t) candidate rows — the relational twin of the original's
+    per-node alias tables. Per step: one co-partitioned adjacency
+    join (the fan-out), one (prev, cand) adjacency-flag join against
+    the arc set, and one (root, walk) window for the cumulative pick —
+    all bounded by the fan-out, checkpointed per step. The first step
+    is uniform (prev initialized to the root: nothing equals prev, and
+    every candidate is adjacent to it — weight 3600 each), matching
+    the paper.
+    """
+    if walk_length < 0 or num_walks < 1:
+        raise ValueError("node2vec_walks: walk_length ≥ 0, num_walks ≥ 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec_walks: p, q must be > 0")
+    w_ret = max(1, round(3600.0 / p))
+    w_in = 3600
+    w_out = max(1, round(3600.0 / q))
+    spark = edges.sparkSession
+    pn = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        base = base.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    arcs = (
+        base.where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(pn, "a")
+        .localCheckpoint()
+    )
+    if sources is None:
+        roots = arcs.select(F.col("a").alias("root")).distinct()
+    elif isinstance(sources, DataFrame):
+        roots = sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    else:
+        seeds = list(dict.fromkeys(sources))
+        if not seeds:
+            raise ValueError("node2vec_walks: empty source set")
+        from pyspark.sql.types import StructField, StructType
+
+        roots = spark.createDataFrame(
+            [(s,) for s in seeds],
+            schema=StructType(
+                [StructField("root", arcs.schema["a"].dataType)]
+            ),
+        )
+    state = (
+        roots.select(
+            "root",
+            F.explode(
+                F.array(*[F.lit(w) for w in range(num_walks)])
+            ).alias("walk"),
+            F.col("root").alias("node"),
+            F.col("root").alias("prev"),
+        )
+        .repartition(pn, "node")
+        .localCheckpoint()
+    )
+    if state.count() == 0:
+        raise ValueError("node2vec_walks: empty source set")
+    from pyspark.sql import Window
+
+    out_parts = [
+        state.select("root", "walk", F.lit(0).alias("step"), "node")
+    ]
+    flag_arcs = arcs.select(
+        F.col("a").alias("px"), F.col("b").alias("cy"),
+        F.lit(1).alias("is_adj"),
+    )
+    for t in range(walk_length):
+        cand = (
+            state.join(arcs, state["node"] == arcs["a"])
+            .select("root", "walk", "node", "prev", F.col("b").alias("cand"))
+            .join(
+                flag_arcs,
+                (F.col("prev") == F.col("px"))
+                & (F.col("cand") == F.col("cy")),
+                "left",
+            )
+            .select(
+                "root",
+                "walk",
+                "node",
+                "cand",
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("is_adj").isNotNull(), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        wspec = Window.partitionBy("root", "walk").orderBy("cand")
+        picked = (
+            cand.withColumn(
+                "cum",
+                F.sum("w").over(
+                    wspec.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "total",
+                F.sum("w").over(
+                    wspec.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .withColumn(
+                "idx",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_", "node", F.lit(t), "root", "walk"
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("total"),
+            )
+            .where(
+                (F.col("cum") - F.col("w") <= F.col("idx"))
+                & (F.col("idx") < F.col("cum"))
+            )
+        )
+        state = (
+            picked.select(
+                "root",
+                "walk",
+                F.col("cand").alias("node"),
+                F.col("node").alias("prev"),
+            )
+            .repartition(pn, "node")
+            .localCheckpoint()
+        )
+        if state.isEmpty():
+            break
+        out_parts.append(
+            state.select("root", "walk", F.lit(t + 1).alias("step"), "node")
+        )
+    out = out_parts[0]
+    for d in out_parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources=None,

@@ -1940,3 +1940,113 @@ def test_graph_embeddings_end_to_end(spark):
     qvec = [float(v) for v in first["0"]]
     top = cosine_topk(vecs, qvec, k=3)
     assert top.count() == 3
+
+
+def _py_n2v(edges, roots, length, num_walks, p, q, directed):
+    """Reference: replay the integer-weighted node2vec choice exactly."""
+    import hashlib
+
+    adj = {}
+    aset = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        aset.add((s, d))
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+            aset.add((d, s))
+    adj = {k: sorted(v) for k, v in adj.items()}
+    w_ret = max(1, round(3600.0 / p))
+    w_in = 3600
+    w_out = max(1, round(3600.0 / q))
+    rows = []
+    for r in roots:
+        for wk in range(num_walks):
+            v, prev = r, r
+            rows.append((r, wk, 0, v))
+            for t in range(length):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    break
+                ws = [
+                    w_ret
+                    if c == prev
+                    else (w_in if (prev, c) in aset else w_out)
+                    for c in nbrs
+                ]
+                h = int(
+                    hashlib.md5(
+                        f"{v}_{t}_{r}_{wk}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                ) % sum(ws)
+                cum = 0
+                for c, wt in zip(nbrs, ws):
+                    cum += wt
+                    if h < cum:
+                        nxt = c
+                        break
+                rows.append((r, wk, t + 1, nxt))
+                prev, v = v, nxt
+    return sorted(rows)
+
+
+def test_node2vec_walks_vs_python_replay(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import node2vec_walks
+
+    rng = random.Random(97)
+    for trial in range(4):
+        n = rng.randint(6, 13)
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(8, 32))
+            }
+            if a != b
+        ]
+        if not edges:
+            continue
+        directed = trial % 2 == 1
+        p, q = [(0.5, 2.0), (2.0, 0.5), (1.0, 1.0), (0.25, 4.0)][trial]
+        nodes = sorted({x for e in edges for x in e})
+        roots = nodes[::2]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            tuple(r)
+            for r in node2vec_walks(
+                df,
+                roots,
+                walk_length=5,
+                num_walks=2,
+                p=p,
+                q=q,
+                directed=directed,
+            ).collect()
+        )
+        want = _py_n2v(edges, roots, 5, 2, p, q, directed)
+        assert got == want, (edges, roots, p, q, directed)
+
+
+def test_node2vec_guards_and_uniform_first_step(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import node2vec_walks
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    with pytest.raises(ValueError):
+        node2vec_walks(df, [0], p=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(df, [0], q=-1)
+    # directed path with huge p (return suppressed): the walk from 0 is
+    # still forced forward and stops at the dead end
+    got = sorted(
+        (r["step"], r["node"])
+        for r in node2vec_walks(
+            df, [0], walk_length=9, p=1000, q=1000, directed=True
+        ).collect()
+    )
+    assert got == [(0, 0), (1, 1), (2, 2)]
