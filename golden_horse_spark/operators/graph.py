@@ -269,6 +269,93 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return closed.agg(F.count("*").alias("n_triangles"))
 
 
+def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity (Newman 2002, Pearson correlation of degrees
+    across edges) → ONE row ``(m2, s_jk, s_j, s_jj, r)``: the four
+    integer sums, carried exactly, plus the coefficient
+    ``r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)`` over the 2m directed arc
+    ends (M = 2m). Positive r = hubs attach to hubs (social graphs),
+    negative = hubs attach to leaves (KG/star topologies — the shape
+    that decides salting strategy).
+
+    Plan: one degree groupBy + two co-partitioned degree joins onto the
+    symmetrized arc table + ONE global aggregate — no rounds, no driver
+    state but the single row. The integer sums are partitioning-
+    invariant (exact long addition), so cross-engine checks pin THEM;
+    the one float division happens once at the end.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    j = deg.select(F.col("a"), F.col("d").alias("dj"))
+    k = deg.select(F.col("a").alias("b"), F.col("d").alias("dk"))
+    sums = (
+        sym.join(j, "a")
+        .join(k, "b")
+        .agg(
+            F.count("*").alias("m2"),
+            F.sum(F.col("dj") * F.col("dk")).alias("s_jk"),
+            F.sum("dj").alias("s_j"),
+            F.sum(F.col("dj") * F.col("dj")).alias("s_jj"),
+        )
+    )
+    return sums.select(
+        "m2",
+        "s_jk",
+        "s_j",
+        "s_jj",
+        (
+            (F.col("m2") * F.col("s_jk") - F.col("s_j") * F.col("s_j"))
+            / (F.col("m2") * F.col("s_jj") - F.col("s_j") * F.col("s_j"))
+        ).alias("r"),
+    )
+
+
+def clustering_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global clustering coefficient inputs → ONE row ``(n_triangles,
+    n_wedges, global_cc)`` with ``global_cc = 3·triangles / wedges``
+    (wedges = Σ_v C(deg v, 2), the open+closed path-of-2 count). The
+    two integers are exact; the division is the only float. Reuses the
+    degree-oriented triangle count, so the wedge-explosion bound holds.
+    """
+    tri = triangle_count(edges, src=src, dst=dst)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        (
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.greatest(F.col("n_wedges"), F.lit(1))
+        ).alias("global_cc"),
+    )
+
+
 def k_truss(
     edges: DataFrame,
     k: int,

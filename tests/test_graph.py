@@ -2050,3 +2050,73 @@ def test_node2vec_guards_and_uniform_first_step(spark):
         ).collect()
     )
     assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_assortativity_and_clustering_vs_python(spark):
+    import random
+    from itertools import combinations
+
+    from golden_horse_spark.operators.graph import (
+        assortativity,
+        clustering_stats,
+    )
+
+    def py_ref(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        arcs = [(a, b) for a, b in es] + [(b, a) for a, b in es]
+        m2 = len(arcs)
+        s_jk = sum(deg[a] * deg[b] for a, b in arcs)
+        s_j = sum(deg[a] for a, _ in arcs)
+        s_jj = sum(deg[a] ** 2 for a, _ in arcs)
+        den = m2 * s_jj - s_j * s_j
+        r = (m2 * s_jk - s_j * s_j) / den if den else float("nan")
+        tri = sum(
+            1
+            for t in combinations(sorted(deg), 3)
+            if all(tuple(sorted(p)) in es for p in combinations(t, 2))
+        )
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        return (m2, s_jk, s_j, s_jj, r), (tri, wedges)
+
+    rng = random.Random(101)
+    # star: perfectly disassortative (r = -1); plus random graphs
+    cases = [[(0, i) for i in range(1, 6)]]
+    for _ in range(5):
+        n = rng.randint(5, 12)
+        cases.append(
+            [
+                (a, b)
+                for a, b in {
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(rng.randint(6, 30))
+                }
+                if a != b
+            ]
+        )
+    for edges in cases:
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src int, dst int")
+        (m2, s_jk, s_j, s_jj, r), (tri, wedges) = py_ref(edges)
+        row = assortativity(df).head()
+        assert (row["m2"], row["s_jk"], row["s_j"], row["s_jj"]) == (
+            m2,
+            s_jk,
+            s_j,
+            s_jj,
+        ), edges
+        if r == r:  # not NaN
+            assert abs(row["r"] - r) < 1e-12, edges
+        crow = clustering_stats(df).head()
+        assert (crow["n_triangles"], crow["n_wedges"]) == (tri, wedges)
+        if wedges:
+            assert abs(crow["global_cc"] - 3 * tri / wedges) < 1e-12
+    # the star closed form
+    srow = assortativity(
+        spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    ).head()
+    assert abs(srow["r"] + 1.0) < 1e-12
