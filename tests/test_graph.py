@@ -2120,3 +2120,40 @@ def test_assortativity_and_clustering_vs_python(spark):
         spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
     ).head()
     assert abs(srow["r"] + 1.0) < 1e-12
+
+
+def test_new_ops_plan_shapes_no_cartesian(spark):
+    """The round-4 operators keep equi-join plans: no CartesianProduct /
+    BroadcastNestedLoopJoin in the assembled output plans. (Per-round
+    joins inside the loops execute eagerly at checkpoints; their
+    behavioral evidence is the brute-force equality tests plus the 2M
+    closed-form bench rows — this guard catches a regression to a
+    non-equi condition in whatever subtree remains lazy.)"""
+    from golden_horse_spark.operators.graph import (
+        k_truss,
+        node2vec_walks,
+        random_walks,
+        reachability,
+        shortest_paths,
+        strongly_connected_components,
+    )
+
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+        (i, (i + 1) % 40) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    wdf = df.withColumn("w", (F.col("src") % 5 + 1).cast("long"))
+    outs = [
+        reachability(df, [0], max_hops=3),
+        shortest_paths(wdf, [0], weight_col="w", max_hops=3),
+        strongly_connected_components(df),
+        random_walks(df, [0, 3], walk_length=3),
+        node2vec_walks(df, [0, 3], walk_length=3, p=2, q=0.5),
+        k_truss(df, 3),
+    ]
+    for out in outs:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan[:500]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
