@@ -1,7 +1,7 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode is REAL for six formats, all pure stdlib+NumPy (this container
+Decode is REAL for eight formats, all pure stdlib+NumPy (this container
 ships no PIL/libsndfile):
 
 * **PPM/P6** — header parse + raw RGB read;
@@ -23,13 +23,18 @@ ships no PIL/libsndfile):
   libjpeg's quality scaling (flat round-trip maxerr ≤1, gradient PSNR
   ~50 dB at q90 — tested).
 
+* **G.711 µ-law / A-law** (round 4) — REAL compressed audio: the
+  segmented ITU-T companding tables (telephony WAV format codes 7/6),
+  byte-exact against CPython's audioop over the entire 16-bit domain;
+  2:1 compression, round-trip SNR ~37 dB on a sine — tested.
+
 The synthetic media table emits genuine P6/PNG/GIF/BMP/JPEG image
-payloads and genuine WAV audio payloads, so the feature/resize stages
-run on real decoded pixels/samples end-to-end. Remaining stubs:
-compressed audio (true codecs need native libraries — the fallback is
-the deterministic fake, and swapping it for soundfile is a one-function
-change on executors) and video containers (frame sampling uses the
-stub). All the Spark-side plumbing (schemas, Arrow batch shapes,
+payloads and genuine PCM/µ-law/A-law WAV audio payloads, so the
+feature/resize stages run on real decoded pixels/samples end-to-end.
+Remaining stubs: PERCEPTUAL audio codecs (mp3/aac need native
+libraries — the fallback is the deterministic fake, and swapping it
+for soundfile is a one-function change on executors) and video
+containers (frame sampling uses the stub). All the Spark-side plumbing (schemas, Arrow batch shapes,
 mapInPandas signatures, partition sizing) is real and tested either
 way.
 
@@ -121,15 +126,23 @@ def synthesize_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
                             encode_jpeg,
                         ][fmt](rgb)
                 elif kind == "audio":
-                    # REAL 16-bit PCM WAV of the declared duration: a
-                    # seeded sine + noise mix at 8 kHz
+                    # REAL WAV of the declared duration: a seeded sine +
+                    # noise mix at 8 kHz; format rotates 16-bit PCM /
+                    # G.711 µ-law / G.711 A-law by hash so the real
+                    # compressed-audio decode paths run in-pipeline
                     n = max(1, dur * 8000 // 1000)
                     t = np.arange(n, dtype=np.float32) / 8000.0
                     f0 = 100.0 + float(h[4]) * 4.0
                     wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.randn(
                         n
                     ).astype(np.float32)
-                    payload = encode_wav(wave)
+                    afmt = h[5] % 3
+                    if afmt == 0:
+                        payload = encode_wav(wave)
+                    else:
+                        payload = encode_wav_g711(
+                            wave, law="mu" if afmt == 1 else "a"
+                        )
                 else:
                     payload = h * 4  # 128 deterministic bytes (video stub)
                 rows.append(
@@ -279,13 +292,118 @@ def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_ch, sr, _rate, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")
+        x = x.astype(np.float32) / 32767.0
+    elif audio_fmt == 7 and bits == 8:  # G.711 µ-law (round 4)
+        x = _mulaw_expand(np.frombuffer(data, np.uint8))
+    elif audio_fmt == 6 and bits == 8:  # G.711 A-law (round 4)
+        x = _alaw_expand(np.frombuffer(data, np.uint8))
+    else:
         raise ValueError(f"unsupported wav (fmt={audio_fmt} bits={bits})")
-    x = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")
-    x = x.astype(np.float32) / 32767.0
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(1)
     return x, sr
+
+
+# G.711 companding (round 4) — REAL compressed-audio codecs, pure
+# NumPy, implementing the ITU-T SEGMENTED tables (the telephony-WAV
+# bytes, format codes 7/6), not the continuous companding formula:
+# byte-exact against CPython's audioop over the entire 16-bit domain
+# (both directions, both laws — tested). 2:1 compression vs 16-bit PCM.
+
+
+def _msb_index(v: np.ndarray) -> np.ndarray:
+    """Index of the highest set bit (v ≥ 1), vectorized."""
+    return (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int32)
+
+
+def _lin2ulaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 → µ-law byte (G.711 segmented, the 14-bit-domain variant
+    audioop/g711.c use; == audioop.lin2ulaw byte-for-byte)."""
+    p14 = pcm.astype(np.int32) >> 2
+    mask = np.where(p14 < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.where(p14 < 0, -p14, p14), 8159) + 33
+    seg = _msb_index(mag) - 5  # mag ≥ 33 ⇒ msb ≥ 5
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0xF)
+    uval = np.where(seg > 7, 0x7F, uval)
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _ulaw2lin(b: np.ndarray) -> np.ndarray:
+    """µ-law byte → int16 (== audioop.ulaw2lin)."""
+    a = (~b.astype(np.int32)) & 0xFF
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(a & 0x80, -t, t).astype(np.int16)
+
+
+def _lin2alaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 → A-law byte (G.711 segmented; == audioop.lin2alaw)."""
+    pcm = pcm.astype(np.int32) >> 3  # 13-bit
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    mag = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg = np.maximum(_msb_index(np.maximum(mag, 1)) - 4, 0)
+    aval = (seg << 4) | np.where(
+        seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF
+    )
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _alaw2lin(b: np.ndarray) -> np.ndarray:
+    """A-law byte → int16 (== audioop.alaw2lin)."""
+    a = b.astype(np.int32) ^ 0x55
+    t = (a & 0xF) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, t + 0x108)
+    t = np.where(seg > 1, t << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _mulaw_compress(x: np.ndarray) -> np.ndarray:
+    return _lin2ulaw(
+        (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+    )
+
+
+def _mulaw_expand(b: np.ndarray) -> np.ndarray:
+    return _ulaw2lin(b).astype(np.float32) / 32768.0
+
+
+def _alaw_compress(x: np.ndarray) -> np.ndarray:
+    return _lin2alaw(
+        (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+    )
+
+
+def _alaw_expand(b: np.ndarray) -> np.ndarray:
+    return _alaw2lin(b).astype(np.float32) / 32768.0
+
+
+def encode_wav_g711(
+    wave_f32: np.ndarray, sr: int = 8000, law: str = "mu"
+) -> bytes:
+    """float32 waveform → G.711-companded mono RIFF/WAVE (format code 7
+    for µ-law, 6 for A-law) — half the bytes of 16-bit PCM."""
+    if law == "mu":
+        data = _mulaw_compress(wave_f32).tobytes()
+        code = 7
+    elif law == "a":
+        data = _alaw_compress(wave_f32).tobytes()
+        code = 6
+    else:
+        raise ValueError("law must be 'mu' or 'a'")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, code, 1, sr, sr, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 
