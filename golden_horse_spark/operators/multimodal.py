@@ -1,7 +1,7 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode is REAL for eight formats, all pure stdlib+NumPy (this container
+Decode is REAL for nine formats, all pure stdlib+NumPy (this container
 ships no PIL/libsndfile):
 
 * **PPM/P6** — header parse + raw RGB read;
@@ -28,13 +28,17 @@ ships no PIL/libsndfile):
   byte-exact against CPython's audioop over the entire 16-bit domain;
   2:1 compression, round-trip SNR ~37 dB on a sine — tested.
 
+* **Motion-JPEG AVI** (round 4) — REAL video container: RIFF writer +
+  generic LIST-descent reader, one baseline-JPEG '00dc' chunk per
+  frame, fps from strh; frame sampling decodes real frames.
+
 The synthetic media table emits genuine P6/PNG/GIF/BMP/JPEG image
-payloads and genuine PCM/µ-law/A-law WAV audio payloads, so the
-feature/resize stages run on real decoded pixels/samples end-to-end.
-Remaining stubs: PERCEPTUAL audio codecs (mp3/aac need native
-libraries — the fallback is the deterministic fake, and swapping it
-for soundfile is a one-function change on executors) and video
-containers (frame sampling uses the stub). All the Spark-side plumbing (schemas, Arrow batch shapes,
+payloads, genuine PCM/µ-law/A-law WAV audio payloads AND genuine
+Motion-JPEG AVI video payloads — EVERY payload kind now runs a real
+decode end-to-end. Remaining stubs: perceptual codecs only (mp3/aac,
+H.264 — native libraries; the unknown-format fallback stays the
+deterministic fake, and swapping it for soundfile/ffmpeg is a
+one-function change on executors). All the Spark-side plumbing (schemas, Arrow batch shapes,
 mapInPandas signatures, partition sizing) is real and tested either
 way.
 
@@ -144,7 +148,25 @@ def synthesize_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
                             wave, law="mu" if afmt == 1 else "a"
                         )
                 else:
-                    payload = h * 4  # 128 deterministic bytes (video stub)
+                    # REAL video payload (round 4): Motion-JPEG AVI at
+                    # 1 fps — one deterministic gradient frame per
+                    # sampled second, so frame sampling decodes real
+                    # frames end-to-end
+                    n_frames = max(1, -(-dur // 1000))
+                    fh, fw = min(ht, 32), min(w, 32)
+                    yy, xx = np.mgrid[0:fh, 0:fw]
+                    frames = [
+                        np.stack(
+                            [
+                                (yy * 5 + i * 31 + int(h[6])) % 256,
+                                (xx * 3 + i * 17) % 256,
+                                (yy + xx + i * 7) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        for i in range(n_frames)
+                    ]
+                    payload = encode_avi_mjpeg(frames, fps=1)
                 rows.append(
                     {
                         "media_ref": ref,
@@ -1121,6 +1143,92 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+# Motion-JPEG AVI (round 4) — the video container leaves the stub
+# list: a RIFF/AVI writer+reader whose frames are baseline JPEGs
+# (decoded by parse_jpeg above). MJPEG-in-AVI is the classic
+# library-free video interchange format; real perceptual video codecs
+# (H.264 etc.) stay env-blocked.
+
+
+def encode_avi_mjpeg(
+    frames: list, fps: int = 1, quality: int = 85
+) -> bytes:
+    """List of (h, w, 3) uint8 frames → Motion-JPEG AVI (one '00dc'
+    JPEG chunk per frame, avih/strh/strf headers, idx1 index)."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+    movi_items = b""
+    idx = b""
+    offset = 4
+    for j in jpegs:
+        data = j + (b"\x00" if len(j) % 2 else b"")
+        movi_items += b"00dc" + struct.pack("<I", len(j)) + data
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(j))
+        offset += 8 + len(data)
+    movi = (
+        b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi"
+        + movi_items
+    )
+    maxbuf = max(len(j) for j in jpegs)
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I",
+        1000000 // fps, 0, 0, 0x10, len(jpegs), 0, 1, maxbuf,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack("<I", 56) + b"vidsMJPG" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0, 1, fps, 0, len(jpegs), maxbuf, 10000, 0,
+        0, 0, w, h,
+    )
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl"
+        + strh + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl"
+        + avih + strl
+    )
+    idx1 = b"idx1" + struct.pack("<I", len(idx)) + idx
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes) -> tuple[list, int]:
+    """Motion-JPEG AVI → (list of (h, w, 3) uint8 frames, fps). Generic
+    RIFF walk (LIST descent); every '..dc'/'..db' chunk decodes through
+    :func:`parse_jpeg`; fps = strh rate/scale."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an avi")
+    frames: list = []
+    fps = [1]
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strh" and body[:4] == b"vids":
+                scale, rate = struct.unpack("<II", body[20:28])
+                if scale:
+                    fps[0] = max(1, rate // scale)
+            elif cid[2:4] in (b"dc", b"db") and body[:2] == b"\xff\xd8":
+                frames.append(parse_jpeg(body))
+            pos += 8 + ln + (ln & 1)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("avi has no mjpeg frames")
+    return frames, fps[0]
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Grayscale float32 in [0, 1]. REAL decode for P6/PPM, PNG, GIF
     (round 4: real LZW), BMP (round 4) and baseline JPEG (round 4:
@@ -1135,6 +1243,11 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         b"BM": parse_bmp,
         b"\xff\xd8": parse_jpeg,
     }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # video: representative luminance = the FIRST mjpeg frame
+        rgb = parse_avi_mjpeg(payload)[0][0].astype(np.float32)
+        lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return (lum / 255.0).astype(np.float32)
     for magic, dec in decoders.items():
         if payload[: len(magic)] == magic:
             rgb = dec(payload).astype(np.float32)
@@ -1282,9 +1395,11 @@ def extract_media_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing (kind='video'): one output row per sampled
-    timestamp; the decode is the same stub. Demonstrates 1→N mapInPandas
-    fan-out shape for frame extraction."""
+    """Frame sampling (kind='video'): one output row per sampled
+    timestamp — 1→N mapInPandas fan-out. Round 4: Motion-JPEG AVI
+    payloads decode REAL frames (the frame at ts picks by the
+    container's fps); unknown containers keep the deterministic stub
+    (payload ⊕ ts tiled), preserving the fan-out contract either way."""
     frames_schema = StructType(
         [
             StructField("media_ref", StringType()),
@@ -1299,8 +1414,22 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for ref, payload, w, h, dur in pdf[
                 ["media_ref", "payload", "width", "height", "duration_ms"]
             ].itertuples(index=False, name=None):
+                raw = bytes(payload)
+                frames = fps = None
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    frames, fps = parse_avi_mjpeg(raw)
                 for ts in range(0, max(int(dur), 1), every_ms):
-                    img = _decode_image(bytes(payload) + ts.to_bytes(4, "little"), int(w), int(h))
+                    if frames is not None:
+                        f = frames[min(ts * fps // 1000, len(frames) - 1)]
+                        img = (
+                            0.299 * f[..., 0]
+                            + 0.587 * f[..., 1]
+                            + 0.114 * f[..., 2]
+                        ).astype(np.float32) / 255.0
+                    else:
+                        img = _decode_image(
+                            raw + ts.to_bytes(4, "little"), int(w), int(h)
+                        )
                     rows.append(
                         {
                             "media_ref": ref,

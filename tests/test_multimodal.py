@@ -32,7 +32,7 @@ def test_media_table_schema_and_determinism(spark, media):
     rows = media.collect()
     assert rows, "synthesizer produced no media rows"
     # images carry real P6/PNG/GIF/BMP/JPEG payloads, audio real 16-bit
-    # PCM WAV; only video keeps the 128-byte deterministic stub payload
+    # PCM / G.711 WAV, video real Motion-JPEG AVI — every payload real
     seen_formats = set()
     for r in rows:
         p = bytes(r["payload"])
@@ -47,8 +47,8 @@ def test_media_table_schema_and_determinism(spark, media):
             seen_formats.add(p[:2])
         elif r["kind"] == "audio":
             assert p.startswith(b"RIFF") and p[8:12] == b"WAVE"
-        else:
-            assert len(p) == 128
+        else:  # real Motion-JPEG AVI (round 4)
+            assert p.startswith(b"RIFF") and p[8:12] == b"AVI "
     if sum(1 for r in rows if r["kind"] == "image") >= 16:
         assert len(seen_formats) == 5  # all five real image formats exercised
     assert {r["kind"] for r in rows} <= {"image", "audio", "video"}
@@ -631,3 +631,69 @@ def test_g711_wav_roundtrip_snr():
         assert snr > floor, (law, snr)
         # _decode_audio routes RIFF payloads through the same parser
         assert (abs(_decode_audio(payload, 1000) - dec) < 1e-7).all()
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames = [
+        np.stack(
+            [(yy * 5 + i * 40) % 256, (xx * 3) % 256, (yy + xx + i) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for i in range(4)
+    ]
+    payload = encode_avi_mjpeg(frames, fps=2, quality=90)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    dec, fps = parse_avi_mjpeg(payload)
+    assert fps == 2 and len(dec) == 4
+    for f, d in zip(frames, dec):
+        assert d.shape == f.shape
+        mse = ((d.astype(float) - f.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / mse) > 30.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], fps=1)
+
+
+def test_video_frames_are_real_mjpeg(spark):
+    """Synthesized videos are real MJPEG AVIs; sampled frame features
+    equal the container frames decoded by hand at each timestamp."""
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        parse_avi_mjpeg,
+        sample_video_frames,
+        synthesize_media,
+    )
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, 80, seed=9, partitions=4)
+    media = synthesize_media(spark, docs).where(F.col("kind") == "video")
+    vids = media.collect()
+    assert vids
+    got = {}
+    for r in sample_video_frames(media, every_ms=1000).collect():
+        got[(r["media_ref"], r["ts_ms"])] = tuple(r["frame_feature"])
+    for v in vids:
+        frames, fps = parse_avi_mjpeg(bytes(v["payload"]))
+        assert fps == 1
+        assert len(frames) == max(1, -(-v["duration_ms"] // 1000))
+        for ts in range(0, max(v["duration_ms"], 1), 1000):
+            f = frames[min(ts * fps // 1000, len(frames) - 1)]
+            lum = (
+                0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+            ).astype(np.float32) / 255.0
+            want = (float(lum.mean()), float(lum.std()))
+            gf = got[(v["media_ref"], ts)]
+            assert abs(gf[0] - want[0]) < 1e-6
+            assert abs(gf[1] - want[1]) < 1e-6
