@@ -269,6 +269,69 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return closed.agg(F.count("*").alias("n_triangles"))
 
 
+def quotient_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """Contract a labeled partition into its QUOTIENT graph →
+    ``(src, dst, weight)`` with ``src ≤ dst``: supernodes are labels,
+    superedge weight = number (or ``weight_col`` sum) of original
+    edges between the two communities; intra-community edges become
+    self-loops (``keep_self_loops=False`` drops them). This is the
+    coarsening step of multi-level graph algorithms (Louvain levels,
+    METIS-style partitioning) and the KG rollup — contract entity
+    nodes by type/community and read the type-interaction graph.
+
+    Plan: two label joins (the label table is |nodes| rows — broadcast
+    or co-partitioned, Catalyst/AQE picks) + ONE canonical-pair groupBy
+    with map-side combine. Unlabeled endpoints raise (a silently
+    dropped edge would bias every downstream weight); integer weights
+    stay exact longs.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        and dict(edges.dtypes).get(weight_col)
+        in ("int", "bigint", "smallint", "tinyint")
+        else (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        )
+    )
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    )
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("lb")
+    )
+    j = e.join(la, "a", "left").join(lb, "b", "left")
+    n_unlabeled = j.where(
+        F.col("la").isNull() | F.col("lb").isNull()
+    ).count()
+    if n_unlabeled:
+        raise ValueError(
+            f"quotient_graph: {n_unlabeled} edges touch unlabeled nodes"
+        )
+    q = j.select(
+        F.least("la", "lb").alias("src"),
+        F.greatest("la", "lb").alias("dst"),
+        "w",
+    )
+    if not keep_self_loops:
+        q = q.where(F.col("src") != F.col("dst"))
+    return q.groupBy("src", "dst").agg(F.sum("w").alias("weight"))
+
+
 def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Degree assortativity (Newman 2002, Pearson correlation of degrees
     across edges) → ONE row ``(m2, s_jk, s_j, s_jj, r)``: the four

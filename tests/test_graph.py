@@ -2157,3 +2157,51 @@ def test_new_ops_plan_shapes_no_cartesian(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan[:500]
         assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
+
+
+def test_quotient_graph_vs_python(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import quotient_graph
+
+    rng = random.Random(103)
+    n = 14
+    edges = [
+        (a, b, rng.randint(1, 5))
+        for a, b in {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        }
+    ]
+    lab = {v: v % 4 for v in range(n)}
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    ldf = spark.createDataFrame(list(lab.items()), "node int, label int")
+
+    def ref(weighted, self_loops):
+        out = {}
+        for a, b, w in edges:
+            la, lb = sorted((lab[a], lab[b]))
+            if la == lb and not self_loops:
+                continue
+            out[(la, lb)] = out.get((la, lb), 0) + (w if weighted else 1)
+        return out
+
+    for weighted in (False, True):
+        for self_loops in (True, False):
+            got = {
+                (r["src"], r["dst"]): r["weight"]
+                for r in quotient_graph(
+                    df,
+                    ldf,
+                    weight_col="w" if weighted else None,
+                    keep_self_loops=self_loops,
+                ).collect()
+            }
+            assert got == ref(weighted, self_loops), (weighted, self_loops)
+    # unlabeled endpoint raises instead of silently dropping edges
+    import pytest
+
+    partial = spark.createDataFrame(
+        [(v, v % 4) for v in range(n - 1)], "node int, label int"
+    )
+    with pytest.raises(ValueError):
+        quotient_graph(df, partial)
