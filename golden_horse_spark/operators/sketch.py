@@ -1,4 +1,4 @@
-"""Sketch-assisted EXACT heavy hitters (round 4).
+"""Mergeable sketches: exact heavy hitters, Bloom-filter joins, Count-Min.
 
 The hot-surface-form problem from the other side: ``salting.py`` makes
 skewed keys cheap to aggregate; this module FINDS them without paying a
