@@ -1,5 +1,6 @@
 """Deduplication suite for training-data pipelines (exact, MinHash+LSH,
-SimHash, n-gram Jaccard, embedding-cosine near-dup).
+SimHash, n-gram Jaccard, embedding-cosine near-dup, cross-doc dup-span
+stats + removal, corpus-level line dedup).
 
 Portability note: stages meant for DuckDB oracle comparison use only
 md5-based hashing (identical bytes→hex across engines). Spark-internal
@@ -1059,4 +1060,93 @@ def dup_span_remove(
             F.coalesce(F.col("n_removed_tokens"), F.lit(0))
             .alias("n_removed_tokens"),
         )
+    )
+
+
+# --------------------------------------------- corpus-level line dedup
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    min_chars: int = 5,
+    keep_first: bool = True,
+) -> DataFrame:
+    """CCNet / RefinedWeb corpus-level LINE dedup (Wenzek 2020 §3.1,
+    Penedo 2023 §4.2): a line whose trimmed form occurs ≥ ``min_count``
+    times ACROSS THE CORPUS is boilerplate (nav bars, cookie banners,
+    like-button captions) and is cut from every document —
+    ``keep_first=True`` retains the single globally-first occurrence
+    (min ``(doc_id, pos)`` — an argmin, not a sample, so the output is
+    deterministic and order-independent), ``keep_first=False`` cuts all
+    of them (CCNet's choice).
+
+    Lines shorter than ``min_chars`` after trimming (blank lines,
+    stray punctuation) are ALWAYS kept and never counted — they carry
+    no boilerplate signal and would otherwise make every paragraph
+    break in the corpus "duplicated".
+
+    Returns ``(doc_id, clean_text, n_lines, n_removed_lines)`` for
+    every input doc; ``clean_text`` re-joins surviving lines with
+    ``\\n`` in original order (byte-faithful except the cut lines —
+    unlike ``dup_span_remove`` this operator never re-tokenizes).
+
+    Scale shape: two shuffles total, no pair generation —
+
+    * line occurrences group on ``md5(trim(line))`` (bounded key width;
+      the count and the global keeper ride ONE aggregate:
+      ``count(*)`` + ``min(struct(doc_id, pos))``);
+    * the duplicate-line table joins back by line hash (equi-join; the
+      hot-line side of the join is exactly the boilerplate set, which
+      is small relative to the corpus by construction);
+    * rebuild = per-doc ``array_sort(collect_list(...))`` — per-DOC
+      state only, bounded by document length.
+
+    Complements ``dup_span_remove`` (Lee+22 k-token spans, re-tokenized)
+    and ``repetition_stats`` (WITHIN-doc dup-line fractions, Gopher):
+    this is the cross-doc, line-granularity member of the family.
+    """
+    if min_count < 2:
+        raise ValueError("min_count must be ≥ 2")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    elig = F.length(F.trim(F.col("line"))) >= min_chars
+    lk = lines.withColumn(
+        "lh", F.when(elig, F.md5(F.trim(F.col("line"))))
+    )
+    dup = (
+        lk.where(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .where(F.col("_n") >= min_count)
+    )
+    keep_one = (
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("pos") == F.col("_first.pos"))
+        if keep_first
+        else F.lit(False)
+    )
+    marked = lk.join(dup, "lh", "left").withColumn(
+        "removed", F.col("_n").isNotNull() & ~keep_one
+    )
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("removed"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_lines"),
     )

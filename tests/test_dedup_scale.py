@@ -810,3 +810,110 @@ def test_dup_span_remove_keeps_first_and_is_deterministic(spark):
     again = {r["doc_id"]: r["clean_text"]
              for r in dup_span_remove(docs, k=5).collect()}
     assert again == {d: r["clean_text"] for d, r in rows.items()}
+
+
+def _python_dedup_lines(texts, min_count=2, min_chars=5, keep_first=True):
+    """Reference line-dedup: a trimmed line occurring >= min_count times
+    corpus-wide is cut everywhere except (optionally) its globally first
+    (doc_id, pos); lines with len(trim) < min_chars are always kept."""
+    split = {d: t.split("\n") for d, t in texts}
+    count, first = {}, {}
+    for d in sorted(split):
+        for i, ln in enumerate(split[d]):
+            key = ln.strip()
+            if len(key) < min_chars:
+                continue
+            count[key] = count.get(key, 0) + 1
+            first.setdefault(key, (d, i))
+    out = {}
+    for d, lns in split.items():
+        kept, nrm = [], 0
+        for i, ln in enumerate(lns):
+            key = ln.strip()
+            dup = len(key) >= min_chars and count[key] >= min_count
+            if dup and not (keep_first and first[key] == (d, i)):
+                nrm += 1
+            else:
+                kept.append(ln)
+        out[d] = ("\n".join(kept), len(lns), nrm)
+    return out
+
+
+def test_dedup_lines_vs_bruteforce(spark):
+    import random
+
+    from golden_horse_spark.operators.dedup import dedup_lines
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    banner = "subscribe to our newsletter today"
+    cookie = "this site uses cookies"
+    texts = []
+    for d in range(30):
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(0, 6))
+        ]
+        if d % 3 == 0:
+            lines.insert(rng.randint(0, len(lines)), banner)
+        if d % 4 == 0:
+            lines.append(cookie)
+        if d % 7 == 0:
+            lines.append("")  # blank lines never count
+        if d % 5 == 0:
+            lines.append("  ok  ")  # < min_chars after trim: always kept
+        texts.append((d, "\n".join(lines)))
+    texts.append((97, ""))
+    texts.append((98, banner))  # whole doc is one boilerplate line
+    texts.append((99, f"{banner}\n{banner}"))  # within-doc repeats count
+
+    want = _python_dedup_lines(texts)
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed_lines"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert got == want
+    # the boilerplate survives exactly once corpus-wide
+    n_banner = sum(t.count(banner) for t, _, _ in got.values())
+    assert n_banner == 1
+    assert sum(c for _, _, c in got.values()) > 0
+
+
+def test_dedup_lines_keep_first_false_and_trim_key(spark):
+    from golden_horse_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me alone\nshared boilerplate line\nunique tail one"),
+            (2, "  shared boilerplate line  \nunique tail two"),
+            (3, "short\nunique tail three"),
+        ],
+        "doc_id long, text string",
+    )
+    # keep_first=True: doc 1 (first by (doc_id, pos)) keeps the line —
+    # doc 2 loses its padded variant (trim-normalized key matches)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert got[1] == (
+        "keep me alone\nshared boilerplate line\nunique tail one", 0
+    )
+    assert got[2] == ("unique tail two", 1)
+    assert got[3] == ("short\nunique tail three", 0)  # < min_chars: kept
+
+    # keep_first=False cuts every occurrence (CCNet)
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in dedup_lines(docs, keep_first=False).collect()
+    }
+    assert got2[1] == ("keep me alone\nunique tail one", 1)
+    assert got2[2] == ("unique tail two", 1)
+
+    # min_count above the occurrence count leaves everything alone
+    got3 = {
+        r["doc_id"]: r["n_removed_lines"]
+        for r in dedup_lines(docs, min_count=3).collect()
+    }
+    assert got3 == {1: 0, 2: 0, 3: 0}
