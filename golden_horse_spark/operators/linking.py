@@ -141,6 +141,111 @@ def fuzzy_candidates(
     )
 
 
+def _del1(v: str) -> str:
+    """SQL expr: array of all single-codepoint deletions of ``v``
+    (length-0 input maps to itself — sequence(1,0) would descend)."""
+    return (
+        f"if(length({v}) = 0, array({v}), "
+        f"transform(sequence(1, length({v})), i -> "
+        f"concat(substring({v}, 1, i - 1), "
+        f"substring({v}, i + 1, length({v})))))"
+    )
+
+
+def _deletion_variants(col: str, d: int) -> str:
+    """SQL expr: array_distinct of every string reachable from ``col``
+    by deleting UP TO ``d`` codepoints (the string itself included)."""
+    if d == 1:
+        return f"array_distinct(concat(array({col}), {_del1(col)}))"
+    return (
+        f"array_distinct(concat(array({col}), {_del1(col)}, "
+        f"flatten(transform({_del1(col)}, v -> {_del1('v')}))))"
+    )
+
+
+def edit_distance_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    max_distance: int = 1,
+    block_prefix: str = "edit:",
+) -> DataFrame:
+    """Candidate generation under an edit-distance budget: every
+    (mention, alias) pair with levenshtein ≤ ``max_distance``, found via
+    FastSS / SymSpell deletion-neighborhood blocking — never an
+    all-pairs join.
+
+    Blocking theorem (Bocek et al. 2007, "Fast Similarity Search in
+    Large Dictionaries"): if lev(a, b) ≤ d then the ≤d-deletion
+    neighborhoods D_d(a) and D_d(b) intersect (delete the unmatched
+    positions of an optimal alignment from each side). So an equi-join
+    on deletion variants has FULL recall; false positives are removed by
+    an exact banded-DP verify (``levenshtein(l, r, threshold)`` —
+    JVM-side, O(d·n) early-exit, returns -1 past the budget).
+
+    Scale: each side explodes to O(len^d) variant rows — bounded by the
+    short-surface-form regime of alias dictionaries (document the cap,
+    don't hide it: a 20-char surface at d=2 is ~191 variants). The join
+    is a plain equi-join on the variant string; variants shared by many
+    aliases are the skew axis and ride AQE skew-split (or
+    operators/salting.py if pinned). Distances are codepoint-based
+    (Spark levenshtein semantics).
+
+    Score = prior · (1 − dist / max(len(surface), len(alias))), so an
+    exact hit scores the full prior. Complements fuzzy_candidates: LSH
+    recalls long near-duplicate surfaces cheaply; deletion blocking is
+    exact-recall for short surfaces under small d (typos, dropped
+    chars), which LSH's bigram Jaccard under-recalls.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2 (variant blowup is O(len^d))")
+    mv = (
+        mentions.select("mention_id", "surface")
+        .distinct()
+        .select(
+            "mention_id",
+            "surface",
+            F.explode(
+                F.expr(_deletion_variants("surface", max_distance))
+            ).alias("_v"),
+        )
+    )
+    av = aliases.select(
+        "surface_form",
+        "entity_id",
+        "prior",
+        F.explode(
+            F.expr(_deletion_variants("surface_form", max_distance))
+        ).alias("_v"),
+    )
+    pairs = (
+        mv.join(av, "_v")
+        .select("mention_id", "surface", "surface_form", "entity_id", "prior")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "_d",
+            F.levenshtein(F.col("surface"), F.col("surface_form"), max_distance),
+        )
+        .where(F.col("_d") >= 0)
+        .select(
+            "mention_id",
+            "entity_id",
+            (
+                F.col("prior")
+                * (
+                    1.0
+                    - F.col("_d")
+                    / F.greatest(
+                        F.length("surface"), F.length("surface_form"), F.lit(1)
+                    )
+                )
+            ).alias("score"),
+            F.concat(F.lit(block_prefix), F.col("surface_form")).alias("block_id"),
+        )
+    )
+
+
 def generate_candidates(
     mentions: DataFrame,
     aliases: DataFrame,

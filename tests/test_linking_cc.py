@@ -283,3 +283,64 @@ def test_salted_join_spreads_hot_key(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert out.count() == 2000
     assert n_parts >= 4  # 8 salt values spread across reducers
+
+
+def _brute_edit_pairs(ments, als, d):
+    # python-side reference: all pairs with levenshtein <= d
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for mid, s in ments:
+        for sf, eid, prior in als:
+            dd = lev(s, sf)
+            if dd <= d:
+                score = prior * (1.0 - dd / max(len(s), len(sf), 1))
+                out.add((mid, eid, round(score, 9), f"edit:{sf}"))
+    return out
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_edit_distance_candidates_equal_brute_force(spark, d):
+    from golden_horse_spark.operators.linking import edit_distance_candidates
+
+    # mixed ASCII + CJK (codepoint distances), incl. exact hit, transposition
+    # (=2 edits under plain levenshtein), deletions, insertions, far misses
+    ments = [
+        ("m1", "beijing"), ("m2", "bejing"), ("m3", "biejing"),
+        ("m4", "张三"), ("m5", "张三丰"), ("m6", "unrelated"),
+        ("m7", "a"), ("m8", "ab"),
+    ]
+    als = [
+        ("beijing", "e1", 0.9), ("张三", "e2", 0.7), ("b", "e3", 0.5),
+        ("清华大学", "e4", 1.0),
+    ]
+    m = spark.createDataFrame(ments, "mention_id string, surface string")
+    a = spark.createDataFrame(
+        als, "surface_form string, entity_id string, prior double"
+    )
+    got = {
+        (r["mention_id"], r["entity_id"], round(r["score"], 9), r["block_id"])
+        for r in edit_distance_candidates(m, a, max_distance=d).collect()
+    }
+    assert got == _brute_edit_pairs(ments, als, d)
+
+
+def test_edit_distance_candidates_rejects_large_d(spark):
+    from golden_horse_spark.operators.linking import edit_distance_candidates
+
+    m = spark.createDataFrame([("m1", "x")], "mention_id string, surface string")
+    a = spark.createDataFrame(
+        [("x", "e", 1.0)], "surface_form string, entity_id string, prior double"
+    )
+    with pytest.raises(ValueError):
+        edit_distance_candidates(m, a, max_distance=3)
