@@ -191,3 +191,56 @@ def sessionize(
     secs = F.col(ts_col).cast("timestamp").cast("double")
     is_new = F.when(secs - F.lag(secs).over(w) < gap, 0).otherwise(1)
     return events.withColumn("session_seq", F.sum(is_new).over(w))
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key: Sequence[str] | str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Union of half-open ``[start, end)`` validity intervals per key
+    into maximal disjoint intervals — the temporal-KG canonicalization
+    step (a fact asserted by many overlapping sources collapses to its
+    coverage spans), and the classic gaps-and-islands shape.
+
+    Two stacked window functions over ONE (key, start, end) ordering —
+    a running ``max(end)`` over all PRIOR rows opens a new island
+    exactly when the next start clears everything seen so far, then a
+    running sum numbers the islands — followed by a groupBy on
+    (key, island). Cost: one hash exchange + one sort; the groupBy
+    reuses the window's hash partitioning (keys ⊂ group keys), so no
+    second exchange. No joins, no row multiplication, skew bounded by
+    the key's own skew.
+
+    Touching intervals merge (``[1,3) ∪ [3,5) = [1,5)`` — half-open
+    union is contiguous): the island break is strictly
+    ``start > max(prior ends)``. Works on any orderable type (ints,
+    timestamps); use exact integer epochs (e.g. ``unix_micros``) to
+    keep downstream arithmetic float-free. Starts/ends must be
+    non-null; end ≥ start is the caller's contract.
+
+    Output: key cols, ``interval_seq`` (1-based per key),
+    ``start_col``/``end_col`` (the coalesced bounds), ``n_source``
+    (source rows merged into the island).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(F.col(start_col) <= prev_max_end, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islanded = flagged.withColumn("_island", F.sum("_new").over(w))
+    return (
+        islanded.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_source"),
+        )
+        .withColumnRenamed("_island", "interval_seq")
+        .select(*keys, "interval_seq", start_col, end_col, "n_source")
+    )

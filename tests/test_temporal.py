@@ -291,3 +291,63 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         ).repartition(parts)
         got = _collect(asof_join(left, right, on="k", value_cols=["v"]))
         assert got == {"a": 9.0}, (parts, got)
+
+
+def _py_coalesce(intervals):
+    """reference: sort per key, sweep, merge touching/overlapping."""
+    out = {}
+    bykey = {}
+    for k, s, e in intervals:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        out[k] = [
+            (i + 1, s, e, n) for i, (s, e, n) in enumerate(merged)
+        ]
+    return {
+        (k, seq, s, e, n)
+        for k, islands in out.items()
+        for seq, s, e, n in islands
+    }
+
+
+def test_coalesce_intervals_randomized_vs_python_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.temporal import coalesce_intervals
+
+    rng = random.Random(20240819)
+    rows = []
+    for i in range(400):
+        k = f"k{rng.randrange(6)}"
+        s = rng.randrange(0, 1000)
+        rows.append((k, s, s + rng.randrange(0, 60)))
+    # edge shapes: touching, contained, identical, zero-length
+    rows += [("t", 0, 10), ("t", 10, 20), ("t", 5, 7), ("t", 5, 7),
+             ("t", 30, 30), ("t", 30, 30), ("t", 29, 31)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        (r["k"], r["interval_seq"], r["s"], r["e"], r["n_source"])
+        for r in coalesce_intervals(df, key="k", start_col="s",
+                                    end_col="e").collect()
+    }
+    assert got == _py_coalesce(rows)
+
+
+def test_coalesce_intervals_single_exchange(spark):
+    from golden_horse_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 3, 8), ("a", 20, 22)], "k string, s long, e long"
+    )
+    out = coalesce_intervals(df, key="k", start_col="s", end_col="e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # window + groupBy must share one hash exchange on the key
+    assert plan.count("Exchange hashpartitioning") == 1
