@@ -93,3 +93,171 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > threshold_frac * n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — replayable universal hashing
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31 - 1: with a, b, (x mod P) all < 2^31, every
+# intermediate of ((a·x + b) mod P) mod width stays under 2^62 — exact
+# in BIGINT on ANY engine, so a SQL oracle can replay the sketch
+# bit-for-bit (no engine-specific hash like xxhash64 in the loop).
+CMS_P = 2_147_483_647
+
+# fixed (a, b) rows — classic LCG multipliers, all < 2^31; depth ≤ 8
+CMS_PARAMS = [
+    (1_103_515_245, 12_345),
+    (22_695_477, 1),
+    (69_069, 7),
+    (1_664_525, 1_013_904_223),
+    (134_775_813, 1),
+    (214_013, 2_531_011),
+    (16_807, 0),
+    (48_271, 0),
+]
+
+
+def _cms_bucket(x, a: int, b: int, width: int):
+    return (F.lit(a) * x + F.lit(b)) % F.lit(CMS_P) % F.lit(width)
+
+
+def count_min_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of an integer key column as a DataFrame of
+    ``(row, bucket, cnt)`` — at most depth·width rows REGARDLESS of the
+    input size, fully mergeable (two sketches merge by summing cnt on
+    (row, bucket)), built with ONE map-side-combined groupBy whose key
+    space is bounded by the sketch dimensions, never by the data.
+
+    Point estimates (count_min_estimate) carry the standard CM
+    guarantee: est ≥ true, and est ≤ true + εN with probability
+    1 − (1/2)^depth for width = ⌈e/ε⌉ (Cormode & Muthukrishnan 2005).
+
+    Hashing is 2-universal ((a·x + b) mod P) mod width over the
+    Mersenne prime P = 2^31 − 1 with FIXED published (a, b) rows —
+    deliberately arithmetic-only so the DuckDB oracle replays the
+    sketch exactly. Keys are folded to x mod P first; keys must be
+    integral (hash strings to a 31-bit int upstream if needed).
+    """
+    if not 1 <= depth <= len(CMS_PARAMS):
+        raise ValueError(f"depth must be in [1, {len(CMS_PARAMS)}]")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    x = F.col(col).cast("long") % F.lit(CMS_P)
+    buckets = F.array(
+        *[_cms_bucket(x, a, b, width) for a, b in CMS_PARAMS[:depth]]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a ``count_min_table`` sketch: per probe key, the min
+    over its depth buckets — ``(col, est)``. The sketch side is bounded
+    (≤ depth·width rows) so it broadcasts; the probe side never
+    shuffles more than its own distinct keys. Probes whose buckets are
+    absent from the sketch (possible only for keys the data never
+    hashed anywhere near) estimate 0 via the left join."""
+    x = F.col(col).cast("long") % F.lit(CMS_P)
+    buckets = F.array(
+        *[_cms_bucket(x, a, b, width) for a, b in CMS_PARAMS[:depth]]
+    )
+    pe = probes.select(col).distinct().select(
+        col, F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        pe.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join — sketch prefilter, exact result
+# ---------------------------------------------------------------------------
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1 << 16,
+) -> DataFrame:
+    """EXACT semi-join of ``big`` against the key set of ``keys``,
+    prefiltered by a partitioned Bloom filter so the exact join touches
+    only surviving rows.
+
+    Build: the key side's distinct (row, bucket) bit positions —
+    bounded by depth·width by CONSTRUCTION, not by the data — collect
+    into ``depth`` packed 64-bit-word masks shipped as literal arrays
+    in the plan (width 2^16 → 1024 longs per hash row). Probe: a pure
+    JVM expression filter — all ``depth`` bit tests must pass — so the
+    big side is never exploded, never shuffled, and whole-stage codegen
+    keeps the probe in the scan stage (predicate runs at the source).
+    Bloom filters have NO false negatives, so the survivors are a
+    superset of the true matches; the final ``left_semi`` against the
+    distinct key set makes the result exact — which is why its oracle
+    twin is a plain EXISTS, not a tolerance band.
+
+    Use when the key set is too large to broadcast raw but its bitmask
+    is small (a 2^16-bit mask summarizes millions of keys in 8 KiB per
+    hash row): the exact semi-join then shuffles only the filtered
+    survivors. Hashing is the same 2-universal family as the Count-Min
+    sketch, with pmod so negative keys probe correctly.
+    """
+    if not 1 <= depth <= len(CMS_PARAMS):
+        raise ValueError(f"depth must be in [1, {len(CMS_PARAMS)}]")
+    if width < 64 or width % 64:
+        raise ValueError("width must be a positive multiple of 64")
+
+    def buckets_for(x):
+        folded = F.pmod(x.cast("long"), F.lit(CMS_P))
+        return [
+            F.pmod(F.lit(a) * folded + F.lit(b), F.lit(CMS_P)) % F.lit(width)
+            for a, b in CMS_PARAMS[:depth]
+        ]
+
+    kd = keys.select(key_col).distinct()
+    bits = (
+        kd.select(F.posexplode(F.array(*buckets_for(F.col(key_col)))).alias(
+            "row", "bucket"
+        ))
+        .distinct()
+        .collect()
+    )  # bounded: ≤ depth·width rows, independent of |keys|
+    masks = [[0] * (width // 64) for _ in range(depth)]
+    for r in bits:
+        masks[r["row"]][r["bucket"] >> 6] |= 1 << (r["bucket"] & 63)
+
+    cond = F.lit(True)
+    for i, (a, b) in enumerate(CMS_PARAMS[:depth]):
+        bkt_sql = (
+            f"pmod({a}L * pmod(cast(`{key_col}` as bigint), {CMS_P}L) "
+            f"+ {b}L, {CMS_P}L) % {width}L"
+        )
+        # two's-complement literal for longs with bit 63 set
+        words = ", ".join(
+            f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in masks[i]
+        )
+        test = F.expr(
+            f"((shiftright(element_at(array({words}), "
+            f"cast(shiftright({bkt_sql}, 6) as int) + 1), "
+            f"cast(({bkt_sql}) & 63 as int))) & 1) = 1"
+        )
+        cond = cond & test
+    survivors = big.where(cond)
+    # exact verify on the survivors only; Catalyst picks the strategy
+    # (broadcast if kd is small, shuffled hash join otherwise)
+    return survivors.join(kd, key_col, "left_semi")

@@ -98,3 +98,111 @@ def test_candidates_are_superset_and_bounded(spark):
     assert len(cands) <= 8 * (int(1 / phi) + 1)  # ≤ k per partition
     with pytest.raises(ValueError):
         heavy_hitter_candidates(df, "w", 1.5)
+
+
+def _py_cms(values, depth, width):
+    from golden_horse_spark.operators.sketch import CMS_P, CMS_PARAMS
+
+    table = {}
+    for v in values:
+        x = v % CMS_P
+        for i, (a, b) in enumerate(CMS_PARAMS[:depth]):
+            k = (i, (a * x + b) % CMS_P % width)
+            table[k] = table.get(k, 0) + 1
+    return table
+
+
+def test_count_min_table_matches_python_replay(spark):
+    from golden_horse_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 50) for _ in range(2000)] + [3] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    depth, width = 4, 64
+    sk = count_min_table(df, "k", depth=depth, width=width)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got == _py_cms(vals, depth, width)
+    # sketch size bound holds regardless of input
+    assert sk.count() <= depth * width
+
+    # point estimates: est >= true always; min over rows == python replay
+    from collections import Counter
+
+    true = Counter(vals)
+    probes = spark.createDataFrame([(v,) for v in set(vals)], "k long")
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk, probes, "k", depth, width).collect()
+    }
+    for v, t in true.items():
+        assert est[v] >= t
+    # wide sketch => no collisions on this key space => exact
+    sk2 = count_min_table(df, "k", depth=2, width=4096)
+    est2 = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk2, probes, "k", 2, 4096).collect()
+    }
+    assert est2 == dict(true)
+
+
+def test_count_min_merge_law(spark):
+    from golden_horse_spark.operators.sketch import count_min_table
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(i % 11,) for i in range(300)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(200)], "k long")
+    sk_union = count_min_table(a.union(b), "k", depth=3, width=32)
+    merged = (
+        count_min_table(a, "k", depth=3, width=32)
+        .union(count_min_table(b, "k", depth=3, width=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {tuple(r) for r in sk_union.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
+def test_count_min_rejects_bad_dims(spark):
+    from golden_horse_spark.operators.sketch import count_min_table
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        count_min_table(df, "k", depth=99)
+    with pytest.raises(ValueError):
+        count_min_table(df, "k", width=1)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    import random
+
+    from golden_horse_spark.operators.sketch import bloom_semi_join
+
+    rng = random.Random(99)
+    big_rows = [(rng.randrange(-500, 500), f"p{i}") for i in range(3000)]
+    key_rows = [(rng.randrange(-500, 500),) for _ in range(80)]
+    big = spark.createDataFrame(big_rows, "k long, payload string")
+    keys = spark.createDataFrame(key_rows, "k long")
+    got = sorted(
+        tuple(r) for r in bloom_semi_join(big, keys, "k", depth=3,
+                                          width=1024).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in big.join(keys.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_semi_join_rejects_bad_width(spark):
+    from golden_horse_spark.operators.sketch import bloom_semi_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, payload string")
+    keys = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        bloom_semi_join(big, keys, "k", width=100)
