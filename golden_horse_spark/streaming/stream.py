@@ -23,6 +23,11 @@ continuous ingestion of interleaved documents with exactly-once sinks.
 * ``streaming_heavy_hitters`` — online Misra–Gries hot-key detection
   (partition-local summaries → one bounded global state row); the
   salting trigger for long-running jobs.
+* ``streaming_count_min`` — online frequency sketch: the batch
+  Count-Min aggregation applied verbatim to the stream; state is
+  bounded by the sketch dimensions (≤ depth·width rows) BY
+  CONSTRUCTION, never by key cardinality (== batch sketch after every
+  drain; equivalence tested).
 * ``run_to_sink`` — drives the stream with ``availableNow`` (drain-all,
   then stop: deterministic for tests/benchmarks) into a parquet sink
   with checkpointing — kill/restart resumes from the checkpoint.
@@ -368,6 +373,29 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_count_min(
+    rows: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Online Count-Min sketch over an unbounded key stream — the batch
+    ``sketch.count_min_table`` expression applied verbatim to a
+    streaming DataFrame. It is a plain stateful aggregation whose
+    grouping key space is (row, bucket), so the state store holds at
+    most depth·width rows REGARDLESS of stream length or key
+    cardinality — the rare stateful-streaming operator whose state is
+    bounded by construction, no watermark or TTL needed. Point-query
+    any emitted snapshot with ``sketch.count_min_estimate``; the same
+    CM guarantees (est ≥ true; ε–δ band) hold at every trigger because
+    the snapshot IS the batch sketch of the prefix (equivalence
+    tested). Output mode: complete (full sketch is tiny) or update.
+    """
+    from ..operators.sketch import count_min_table
+
+    return count_min_table(rows, key_col, depth=depth, width=width)
 
 
 def run_to_sink(

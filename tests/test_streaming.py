@@ -539,3 +539,58 @@ def test_streaming_heavy_hitters_mg_guarantees(spark, tmp_path_factory):
         for key, (est, _) in got.items():
             assert est <= true[key], (key, est, true[key])
             assert est >= true[key] - n_total / k, (key, est, true[key])
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, tmp_path_factory):
+    """After every drain, the streaming CMS snapshot == the batch
+    count_min_table of everything ingested so far, and the state key
+    space stays within depth*width."""
+    from golden_horse_spark.operators.sketch import count_min_table
+    from golden_horse_spark.streaming.stream import streaming_count_min
+
+    d = tmp_path_factory.mktemp("cms_in")
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+    out = str(tmp_path_factory.mktemp("cms_out") / "snap")
+    depth, width = 3, 32
+
+    def drain():
+        stream = spark.readStream.schema("k long").parquet(str(d / "keys"))
+        sk = streaming_count_min(stream, "k", depth=depth, width=width)
+
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            sk.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        last = max(r["batch_id"] for r in rows)
+        return {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in rows
+            if r["batch_id"] == last
+        }
+
+    all_rows = []
+    for seed, n in ((11, 500), (23, 700)):
+        wave = [((i * 2654435761 + seed) % 97,) for i in range(n)]
+        all_rows += wave
+        spark.createDataFrame(wave, "k long").repartition(3).write.mode(
+            "append"
+        ).parquet(str(d / "keys"))
+        got = drain()
+        batch = spark.createDataFrame(all_rows, "k long")
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in count_min_table(batch, "k", depth=depth,
+                                     width=width).collect()
+        }
+        assert got == want
+        assert len(got) <= depth * width
