@@ -244,3 +244,92 @@ def coalesce_intervals(
         .withColumnRenamed("_island", "interval_seq")
         .select(*keys, "interval_seq", start_col, end_col, "n_source")
     )
+
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    ts,
+) -> DataFrame:
+    """Open a type-2 dimension from a first snapshot: every row becomes
+    the current version ``[ts, null)``. ``valid_to`` takes the type of
+    the ``ts`` literal (epoch long, timestamp, batch number, …)."""
+    vf = F.lit(ts)
+    return snapshot.select(
+        "*",
+        vf.alias("valid_from"),
+        F.lit(None).cast(snapshot.select(vf).schema[0].dataType).alias(
+            "valid_to"
+        ),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge — the temporal-KG fact
+    versioner Spark has no built-in for: apply a snapshot of
+    ``changes`` (key + attribute columns) to a versioned ``dim``
+    (key + attrs + valid_from/valid_to/is_current) at time ``ts``.
+
+    Semantics (the standard warehouse contract):
+
+    * a change row whose attrs differ (null-safely) from the key's
+      CURRENT version closes that version at ``ts`` and opens a new
+      one ``[ts, null)``;
+    * a change row identical to the current version is a NO-OP (no
+      spurious versions — the subtle bug class in hand-rolled SCD2);
+    * a key absent from ``dim`` inserts as a new current version;
+    * history rows and untouched current rows pass through unchanged.
+
+    Plan shape: ONE keyed equi-join (changes × current) + one
+    left_anti on the same key — no windows, no row multiplication;
+    both sides shuffle at most once on the key (a broadcast join when
+    the change batch is small, the common case for incremental KG
+    maintenance). Deletes are out of scope (soft-delete by sending a
+    tombstone attr if needed).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    ch = changes.select(
+        *keys, *[F.col(a).alias(f"_new_{a}") for a in attrs]
+    )
+    joined = ch.join(cur, keys, "left")
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"_new_{a}"))
+    # key unseen before (no current row): valid_from is null post-join
+    is_insert = F.col("valid_from").isNull()
+    eff = joined.where(is_insert | differs)
+
+    new_versions = eff.select(
+        *keys,
+        *[F.col(f"_new_{a}").alias(a) for a in attrs],
+        F.lit(ts).alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff_keys = eff.select(*keys).distinct()
+    closed = (
+        cur.join(eff_keys, keys, "left_semi")
+        .withColumn("valid_to", F.lit(ts))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched = cur.join(eff_keys, keys, "left_anti")
+    out_cols = dim.columns
+    return (
+        hist.select(out_cols)
+        .unionByName(closed.select(out_cols))
+        .unionByName(untouched.select(out_cols))
+        .unionByName(new_versions.select(out_cols))
+    )

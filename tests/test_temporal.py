@@ -351,3 +351,56 @@ def test_coalesce_intervals_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # window + groupBy must share one hash exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_apply_randomized_vs_python_reference(spark):
+    """Random change batches applied sequentially; final versioned dim
+    must equal a python SCD2 sweep — exercises change/no-op/insert and
+    multi-version histories."""
+    import random
+
+    from golden_horse_spark.operators.temporal import scd2_apply, scd2_init
+
+    rng = random.Random(424242)
+    keys = [f"k{i}" for i in range(30)]
+    snap0 = {k: rng.randrange(5) for k in keys[:20]}
+
+    # python reference dim: key -> list of [attr, vfrom, vto, cur]
+    ref = {k: [[v, 0, None, True]] for k, v in snap0.items()}
+
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(k, v) for k, v in snap0.items()], "k string, a long"
+        ),
+        0,
+    )
+    for ts in (1, 2, 3):
+        batch = {
+            k: rng.randrange(5)
+            for k in rng.sample(keys, 12)
+        }
+        for k, v in batch.items():
+            if k in ref and ref[k][-1][3] and ref[k][-1][0] == v:
+                continue  # no-op
+            if k in ref and ref[k][-1][3]:
+                ref[k][-1][2] = ts
+                ref[k][-1][3] = False
+            ref.setdefault(k, []).append([v, ts, None, True])
+        changes = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "k string, a long"
+        )
+        dim = scd2_apply(dim, changes, ["k"], ["a"], ts)
+
+    got = {
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    }
+    want = {
+        (k, a, vf, vt, cur)
+        for k, vers in ref.items()
+        for a, vf, vt, cur in vers
+    }
+    assert got == want
+    # exactly one current version per live key; intervals chain
+    for k, vers in ref.items():
+        assert sum(1 for v in vers if v[3]) == 1
