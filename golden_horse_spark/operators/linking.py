@@ -252,16 +252,31 @@ def generate_candidates(
     fuzzy: bool = False,
     jaccard_max_distance: float = 0.5,
     num_hash_tables: int = 3,
+    edit_distance: int | None = None,
 ) -> DataFrame:
+    """Candidate generation with stacked blocking strategies: exact
+    broadcast lookup always; optional MinHash-LSH bigram blocking
+    (``fuzzy=True``) and/or FastSS deletion-neighborhood blocking
+    (``edit_distance=1|2``) — each recall pass runs only over mentions
+    the EARLIER passes left uncovered (anti-join), so a mention's
+    candidates come from the cheapest strategy that reached it."""
     cands = exact_candidates(mentions, aliases)
-    if fuzzy:
-        # fuzzy pass only for mentions with no exact candidate (anti-join)
-        uncovered = mentions.join(
+
+    def uncovered() -> DataFrame:
+        return mentions.join(
             cands.select("mention_id").distinct(), "mention_id", "left_anti"
         )
+
+    if fuzzy:
         cands = cands.unionByName(
             fuzzy_candidates(
-                uncovered, aliases, jaccard_max_distance, num_hash_tables
+                uncovered(), aliases, jaccard_max_distance, num_hash_tables
+            )
+        )
+    if edit_distance is not None:
+        cands = cands.unionByName(
+            edit_distance_candidates(
+                uncovered(), aliases, max_distance=edit_distance
             )
         )
     return cands

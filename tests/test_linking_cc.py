@@ -344,3 +344,25 @@ def test_edit_distance_candidates_rejects_large_d(spark):
     )
     with pytest.raises(ValueError):
         edit_distance_candidates(m, a, max_distance=3)
+
+
+def test_generate_candidates_edit_pass_covers_only_uncovered(spark, aliases):
+    from golden_horse_spark.operators.linking import generate_candidates
+
+    m = spark.createDataFrame(
+        [("m1", "张三"),      # exact hit -> edit pass must skip it
+         ("m2", "张三丰"),    # no exact; lev("张三丰","张三")=1 -> edit hit
+         ("m3", "完全无关")], # covered by nothing
+        "mention_id string, surface string",
+    )
+    cands = generate_candidates(m, aliases, edit_distance=1)
+    got = {(r["mention_id"], r["entity_id"], r["block_id"][:5])
+           for r in cands.collect()}
+    blocks = {r["block_id"] for r in cands.collect()}
+    # m1 only via exact (both aliased entities), m2 only via edit
+    assert ("m1", "e1", "exact") in got and ("m1", "e2", "exact") in got
+    assert not any(b.startswith("edit:张三") and m == "m1"
+                   for m, e, b in got)
+    assert ("m2", "e1", "edit:") in got and ("m2", "e2", "edit:") in got
+    assert not any(m == "m3" for m, e, b in got)
+    assert any(b.startswith("edit:") for b in blocks)
