@@ -333,3 +333,34 @@ def scd2_apply(
         .unionByName(untouched.select(out_cols))
         .unionByName(new_versions.select(out_cols))
     )
+
+
+def compact_changelog(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tombstone: str = "D",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """CDC changelog compaction — materialize the LATEST state of a
+    keyed insert/update/delete log (the maintenance path for a
+    continuously re-extracted KG table): per key, keep the newest row
+    by ``(ts, *tiebreak_cols)``; keys whose newest op is the
+    ``tombstone`` disappear from the snapshot.
+
+    ONE window over a single (key, ts desc) ordering — one hash
+    exchange + one sort, no joins; skew is the key's own skew.
+    Determinism requires the ordering to be total per key: pass
+    ``tiebreak_cols`` (e.g. a change-id) when timestamps can tie —
+    ties without a tiebreak make "latest" partition-order-dependent,
+    which is exactly the nondeterminism this operator exists to avoid.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != tombstone))
+        .drop("_rn")
+    )

@@ -404,3 +404,32 @@ def test_scd2_apply_randomized_vs_python_reference(spark):
     # exactly one current version per live key; intervals chain
     for k, vers in ref.items():
         assert sum(1 for v in vers if v[3]) == 1
+
+
+def test_compact_changelog_latest_wins_and_tombstones(spark):
+    from golden_horse_spark.operators.temporal import compact_changelog
+
+    rows = [
+        # key a: I then U -> latest U survives
+        ("a", 1, 10, "I", 1.0), ("a", 2, 11, "U", 2.0),
+        # key b: latest is a delete -> vanishes
+        ("b", 1, 20, "I", 3.0), ("b", 3, 21, "D", 0.0),
+        # key c: ts tie broken by change id (cid 31 wins)
+        ("c", 5, 30, "U", 4.0), ("c", 5, 31, "U", 5.0),
+        # key d: delete then re-insert -> re-insert survives
+        ("d", 1, 40, "D", 0.0), ("d", 2, 41, "I", 6.0),
+    ]
+    log = spark.createDataFrame(
+        rows, "k string, ts long, cid long, op string, val double"
+    )
+    got = {
+        (r["k"], r["cid"], r["op"], r["val"])
+        for r in compact_changelog(
+            log, ["k"], ts_col="ts", op_col="op", tiebreak_cols=["cid"]
+        ).collect()
+    }
+    assert got == {
+        ("a", 11, "U", 2.0),
+        ("c", 31, "U", 5.0),
+        ("d", 41, "I", 6.0),
+    }
