@@ -22,8 +22,16 @@ shapes:
   ``bin_width`` near the typical interval length so the explode stays
   O(1) per interval while each bucket stays narrow.
 
-Neither exists in the reference (its only joins are dict lookups —
-SURVEY.md §2.12); these are the training-pipeline additions the brief
+Round-4 additions complete the temporal toolkit with the same
+one-exchange discipline: ``sessionize`` (gap sessions; lag + running
+sum), ``coalesce_intervals`` (validity-interval union via
+gaps-and-islands, the temporal-KG canonicalization step),
+``scd2_init``/``scd2_apply`` (type-2 dimension versioning: one keyed
+join + one anti-join), and ``compact_changelog`` (CDC latest-wins
+materialization with tombstones: one window).
+
+None of these exist in the reference (its only joins are dict lookups —
+SURVEY.md §2.12); they are the training-pipeline additions the brief
 asks for beyond reference parity.
 """
 
