@@ -597,6 +597,51 @@ def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -
         .count()
     )
     sess_sec = round(_t.time() - t0, 2)
+
+    # late-round-4 surfaces at the same scale / the same one-exchange
+    # discipline: interval coalescing, SCD-2 merge, CDC compaction
+    from golden_horse_spark.operators.temporal import (
+        coalesce_intervals,
+        compact_changelog,
+        scd2_apply,
+        scd2_init,
+    )
+
+    secs = F.col("ts").cast("timestamp").cast("double")
+    iv = ev.select(
+        "user_id",
+        secs.alias("s"),
+        (secs + 60 + F.pmod(F.xxhash64("event_id"), F.lit(12)) * 300).alias("e"),
+    )
+    t0 = _t.time()
+    n_islands = coalesce_intervals(iv, key="user_id", start_col="s",
+                                   end_col="e").count()
+    coal_sec = round(_t.time() - t0, 2)
+
+    base = ev.select(F.col("event_id").alias("k"), F.col("value").alias("v"))
+    dim0 = scd2_init(base, 0).localCheckpoint()
+    changes = base.where(F.col("k") % 3 == 0).select(
+        "k", (F.col("v") + 1.0).alias("v")
+    ).unionByName(
+        # no-ops, disjoint from the bump set (snapshot contract:
+        # at most one change row per key per batch)
+        base.where((F.col("k") % 5 == 1) & (F.col("k") % 3 != 0))
+    )
+    t0 = _t.time()
+    n_versions = scd2_apply(dim0, changes, ["k"], ["v"], 1).count()
+    scd2_sec = round(_t.time() - t0, 2)
+
+    log = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_id") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    t0 = _t.time()
+    n_live = compact_changelog(
+        log, ["user_id"], ts_col="ts", op_col="op", tiebreak_cols=["event_id"]
+    ).count()
+    cdc_sec = round(_t.time() - t0, 2)
+
     return {
         "n_events": n_events,
         "n_keys": n_keys,
@@ -604,6 +649,12 @@ def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -
         "asof_rows_per_sec": round(n_events / asof_sec, 1),
         "sessionize_sec": sess_sec,
         "n_sessions": n_sessions,
+        "coalesce_sec": coal_sec,
+        "n_islands": n_islands,
+        "scd2_sec": scd2_sec,
+        "n_versions": n_versions,
+        "cdc_sec": cdc_sec,
+        "n_live_keys": n_live,
     }
 
 

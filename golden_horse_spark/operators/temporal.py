@@ -297,50 +297,59 @@ def scd2_apply(
     * a key absent from ``dim`` inserts as a new current version;
     * history rows and untouched current rows pass through unchanged.
 
-    Plan shape: ONE keyed equi-join (changes × current) + one
-    left_anti on the same key — no windows, no row multiplication;
-    both sides shuffle at most once on the key (a broadcast join when
-    the change batch is small, the common case for incremental KG
-    maintenance). Deletes are out of scope (soft-delete by sending a
-    tombstone attr if needed).
+    Contract: ``changes`` is a SNAPSHOT — at most one row per key per
+    batch (duplicate keys in one batch are ambiguous under any SCD2
+    definition; dedupe upstream, e.g. with ``compact_changelog``, if
+    the source is a raw change stream).
+
+    Plan shape: ONE full-outer keyed equi-join (current × changes),
+    then each joined row emits its 0–2 output versions through a
+    single ``inline`` of a case-built struct array — the join runs
+    exactly once (the naive closed/untouched/new three-branch form
+    re-executes it per branch), there are no windows, and both sides
+    shuffle at most once on the key (a broadcast join when the change
+    batch is small, the common case for incremental KG maintenance).
+    Deletes are out of scope (soft-delete by sending a tombstone attr
+    if needed).
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
+    vt_type = dim.schema["valid_to"].dataType
 
     ch = changes.select(
-        *keys, *[F.col(a).alias(f"_new_{a}") for a in attrs]
+        *keys,
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.lit(True).alias("_chg"),
     )
-    joined = ch.join(cur, keys, "left")
+    j = cur.join(ch, keys, "full")
     differs = F.lit(False)
     for a in attrs:
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"_new_{a}"))
-    # key unseen before (no current row): valid_from is null post-join
-    is_insert = F.col("valid_from").isNull()
-    eff = joined.where(is_insert | differs)
 
-    new_versions = eff.select(
-        *keys,
-        *[F.col(f"_new_{a}").alias(a) for a in attrs],
-        F.lit(ts).alias("valid_from"),
-        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    def _el(attr_src, vf, vt, is_cur):
+        return F.struct(
+            *[attr_src(a).alias(a) for a in attrs],
+            vf.alias("valid_from"),
+            vt.cast(vt_type).alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    keep_el = _el(F.col, F.col("valid_from"), F.col("valid_to"), F.lit(True))
+    closed_el = _el(F.col, F.col("valid_from"), F.lit(ts), F.lit(False))
+    new_el = _el(
+        lambda a: F.col(f"_new_{a}"), F.lit(ts), F.lit(None), F.lit(True)
     )
-    eff_keys = eff.select(*keys).distinct()
-    closed = (
-        cur.join(eff_keys, keys, "left_semi")
-        .withColumn("valid_to", F.lit(ts))
-        .withColumn("is_current", F.lit(False))
+    emit = (
+        F.when(F.col("_chg").isNull(), F.array(keep_el))  # untouched
+        .when(F.col("is_current").isNull(), F.array(new_el))  # insert
+        .when(differs, F.array(closed_el, new_el))  # version
+        .otherwise(F.array(keep_el))  # no-op change
     )
-    untouched = cur.join(eff_keys, keys, "left_anti")
     out_cols = dim.columns
-    return (
-        hist.select(out_cols)
-        .unionByName(closed.select(out_cols))
-        .unionByName(untouched.select(out_cols))
-        .unionByName(new_versions.select(out_cols))
-    )
+    applied = j.select(*keys, F.inline(emit)).select(out_cols)
+    return hist.select(out_cols).unionByName(applied)
 
 
 def compact_changelog(
