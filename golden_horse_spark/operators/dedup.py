@@ -526,10 +526,12 @@ def embedding_near_dup_pairs(
     # normalize + drop zeros in numpy (mirrors the _nrm > 0 filter)
     from .similarity import _lloyd
 
-    x = np.array(
-        [r[0] for r in e0.select(vec_col).limit(sample).collect()],
-        dtype=np.float64,
-    )
+    raw = [r[0] for r in e0.select(vec_col).limit(sample).collect()]
+    raw = [v for v in raw if v is not None]
+    if raw:  # drop ragged strays — np.array would raise on them
+        d0 = len(raw[0])
+        raw = [v for v in raw if len(v) == d0]
+    x = np.array(raw, dtype=np.float64)
     spark = embeddings.sparkSession
     if x.size:
         nrm = np.sqrt((x * x).sum(1))
@@ -600,10 +602,24 @@ def embedding_near_dup_pairs(
             ]
         )
 
+        dim = C.shape[1]
+
         def run(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
+                # NULL / wrong-length vectors have undefined cosine and
+                # must drop HERE — np.array on a ragged tolist() raises
+                # (the expression path drops them via its NULL _nrm)
+                good = np.fromiter(
+                    (v is not None and len(v) == dim for v in pdf[vec_col]),
+                    dtype=bool,
+                    count=len(pdf),
+                )
+                if not good.all():
+                    pdf = pdf[good]
+                    if not len(pdf):
+                        continue
                 v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 nrm = np.sqrt((v * v).sum(1))
                 ok = nrm > 0
@@ -1135,7 +1151,7 @@ def dedup_lines(
     marked = lk.join(dup, "lh", "left").withColumn(
         "removed", F.col("_n").isNotNull() & ~keep_one
     )
-    return marked.groupBy("doc_id").agg(
+    cleaned = marked.groupBy("doc_id").agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -1149,4 +1165,15 @@ def dedup_lines(
         ).alias("clean_text"),
         F.count("*").alias("n_lines"),
         F.sum(F.col("removed").cast("long")).alias("n_removed_lines"),
+    )
+    # NULL text explodes to zero line rows and would vanish from the
+    # groupBy — join back to the input doc set so the "row for every
+    # input doc" contract holds (clean_text stays NULL, 0 lines).
+    return docs.select("doc_id").join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "clean_text",
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_removed_lines"), F.lit(0)).alias(
+            "n_removed_lines"
+        ),
     )

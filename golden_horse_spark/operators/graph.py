@@ -315,21 +315,30 @@ def quotient_graph(
         F.col(node_col).alias("b"), F.col(label_col).alias("lb")
     )
     j = e.join(la, "a", "left").join(lb, "b", "left")
-    n_unlabeled = j.where(
-        F.col("la").isNull() | F.col("lb").isNull()
-    ).count()
-    if n_unlabeled:
-        raise ValueError(
-            f"quotient_graph: {n_unlabeled} edges touch unlabeled nodes"
-        )
+    # the unlabeled-edge guard rides the SAME aggregate as the output
+    # (a separate pre-count would execute the label joins twice):
+    # unlabeled edges collapse into one (NULL, NULL) group whose _unl
+    # count the guard reads off the label-pair-sized result
+    unl = F.col("la").isNull() | F.col("lb").isNull()
     q = j.select(
-        F.least("la", "lb").alias("src"),
-        F.greatest("la", "lb").alias("dst"),
+        F.when(~unl, F.least("la", "lb")).alias("src"),
+        F.when(~unl, F.greatest("la", "lb")).alias("dst"),
         "w",
+        unl.cast("long").alias("_unl"),
     )
     if not keep_self_loops:
-        q = q.where(F.col("src") != F.col("dst"))
-    return q.groupBy("src", "dst").agg(F.sum("w").alias("weight"))
+        q = q.where(F.col("src").isNull() | (F.col("src") != F.col("dst")))
+    agg = (
+        q.groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"), F.sum("_unl").alias("_unl"))
+        .localCheckpoint()
+    )
+    bad = agg.where(F.col("src").isNull()).collect()
+    if bad:
+        raise ValueError(
+            f"quotient_graph: {bad[0]['_unl']} edges touch unlabeled nodes"
+        )
+    return agg.select("src", "dst", "weight")
 
 
 def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -405,8 +414,12 @@ def clustering_stats(
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
+    # d·(d−1) is even, so shiftright-1 IS the exact /2 — summing longs
+    # keeps the wedge count exact past 2^53 (double SUM would not)
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        F.sum(
+            F.shiftright(F.col("d") * (F.col("d") - 1), 1)
+        ).alias("n_wedges")
     )
     return tri.crossJoin(wedges).select(
         "n_triangles",
@@ -1566,16 +1579,19 @@ def strongly_connected_components(
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     arcs0 = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        raw.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
         .localCheckpoint()
     )
+    # node universe from the RAW edges: a node incident only to
+    # self-loops has no arc after the a != b cut but is still its own
+    # singleton SCC (every node belongs to exactly one) — trim emits it
     active = (
-        arcs0.select(F.col("a").alias("node"))
-        .union(arcs0.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .repartition(p, "node")
         .localCheckpoint()
@@ -1734,6 +1750,38 @@ def strongly_connected_components(
     return out
 
 
+def _roots(
+    arcs: DataFrame, sources, fn: str, all_nodes: bool = True
+) -> DataFrame:
+    """Normalize a multi-source spec into one deduped ``root`` column
+    typed from the arc table (shared by every multi-source traversal —
+    shortest_paths / random_walks / node2vec_walks /
+    betweenness_centrality / reachability). ``sources`` may be ``None``
+    (default universe: both arc endpoints when ``all_nodes``, else only
+    nodes with an out-arc — the walk generators' convention, where a
+    dead-end root would emit just its trivial step-0 row), a DataFrame
+    (first column), or a plain id list. An explicitly empty list raises
+    here; an empty DataFrame is caught by the caller's seed count."""
+    if sources is None:
+        out = arcs.select(F.col("a").alias("root"))
+        if all_nodes:
+            out = out.union(arcs.select(F.col("b").alias("root")))
+        return out.distinct()
+    if isinstance(sources, DataFrame):
+        return sources.select(
+            F.col(sources.columns[0]).alias("root")
+        ).distinct()
+    seeds = list(dict.fromkeys(sources))  # dedupe, keep order
+    if not seeds:
+        raise ValueError(f"{fn}: empty source set")
+    from pyspark.sql.types import StructField, StructType
+
+    return arcs.sparkSession.createDataFrame(
+        [(s,) for s in seeds],
+        schema=StructType([StructField("root", arcs.schema["a"].dataType)]),
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     sources,
@@ -1796,22 +1844,7 @@ def shortest_paths(
     )
     if arcs.where(F.col("w") < 0).count() > 0:
         raise ValueError("shortest_paths: negative weights unsupported")
-    if isinstance(sources, DataFrame):
-        roots = sources.select(
-            F.col(sources.columns[0]).alias("root")
-        ).distinct()
-    else:
-        seeds = list(dict.fromkeys(sources))
-        if not seeds:
-            raise ValueError("shortest_paths: empty source set")
-        from pyspark.sql.types import StructField, StructType
-
-        roots = spark.createDataFrame(
-            [(s,) for s in seeds],
-            schema=StructType(
-                [StructField("root", arcs.schema["a"].dataType)]
-            ),
-        )
+    roots = _roots(arcs, sources, "shortest_paths")
     zero = F.lit(0).cast(dict(arcs.dtypes)["w"])
     dist = (
         roots.select("root", F.col("root").alias("node"), zero.alias("dist"))
@@ -1928,24 +1961,7 @@ def random_walks(
         .repartition(p, "a")
         .localCheckpoint()
     )
-    if sources is None:
-        roots = arcs.select(F.col("a").alias("root")).distinct()
-    elif isinstance(sources, DataFrame):
-        roots = sources.select(
-            F.col(sources.columns[0]).alias("root")
-        ).distinct()
-    else:
-        seeds = list(dict.fromkeys(sources))
-        if not seeds:
-            raise ValueError("random_walks: empty source set")
-        from pyspark.sql.types import StructField, StructType
-
-        roots = spark.createDataFrame(
-            [(s,) for s in seeds],
-            schema=StructType(
-                [StructField("root", arcs.schema["a"].dataType)]
-            ),
-        )
+    roots = _roots(arcs, sources, "random_walks", all_nodes=False)
     state = (
         roots.select(
             "root",
@@ -1962,6 +1978,9 @@ def random_walks(
         raise ValueError("random_walks: empty source set")
     parts = [state]
     for t in range(walk_length):
+        # 8 hex chars = 32 draw bits (same width as node2vec_walks):
+        # 16 bits would zero the step probability of neighbors ranked
+        # ≥ 65536 on big hubs and carry ~2x modulo bias by deg ~44k
         idx = (
             F.conv(
                 F.substring(
@@ -1971,7 +1990,7 @@ def random_walks(
                         )
                     ),
                     1,
-                    4,
+                    8,
                 ),
                 16,
                 10,
@@ -2141,24 +2160,7 @@ def node2vec_walks(
         .repartition(pn, "a")
         .localCheckpoint()
     )
-    if sources is None:
-        roots = arcs.select(F.col("a").alias("root")).distinct()
-    elif isinstance(sources, DataFrame):
-        roots = sources.select(
-            F.col(sources.columns[0]).alias("root")
-        ).distinct()
-    else:
-        seeds = list(dict.fromkeys(sources))
-        if not seeds:
-            raise ValueError("node2vec_walks: empty source set")
-        from pyspark.sql.types import StructField, StructType
-
-        roots = spark.createDataFrame(
-            [(s,) for s in seeds],
-            schema=StructType(
-                [StructField("root", arcs.schema["a"].dataType)]
-            ),
-        )
+    roots = _roots(arcs, sources, "node2vec_walks", all_nodes=False)
     state = (
         roots.select(
             "root",
@@ -2319,28 +2321,7 @@ def betweenness_centrality(
         .repartition(p, "a")
         .localCheckpoint()
     )
-    if sources is None:
-        roots = (
-            arcs.select(F.col("a").alias("root"))
-            .union(arcs.select(F.col("b").alias("root")))
-            .distinct()
-        )
-    elif isinstance(sources, DataFrame):
-        roots = sources.select(
-            F.col(sources.columns[0]).alias("root")
-        ).distinct()
-    else:
-        seeds = list(dict.fromkeys(sources))
-        if not seeds:
-            raise ValueError("betweenness_centrality: empty source set")
-        from pyspark.sql.types import StructField, StructType
-
-        roots = spark.createDataFrame(
-            [(s,) for s in seeds],
-            schema=StructType(
-                [StructField("root", arcs.schema["a"].dataType)]
-            ),
-        )
+    roots = _roots(arcs, sources, "betweenness_centrality")
     # ---- forward: per-level (root, node, sigma) ----
     lvl0 = (
         roots.select(
@@ -2487,28 +2468,7 @@ def reachability(
         .repartition(p, "a")
         .localCheckpoint()
     )
-    if sources is None:
-        roots = (
-            arcs.select(F.col("a").alias("root"))
-            .union(arcs.select(F.col("b").alias("root")))
-            .distinct()
-        )
-    elif isinstance(sources, DataFrame):
-        roots = sources.select(
-            F.col(sources.columns[0]).alias("root")
-        ).distinct()
-    else:
-        seeds = list(dict.fromkeys(sources))  # dedupe, keep order
-        if not seeds:
-            raise ValueError("reachability: empty source set")
-        from pyspark.sql.types import StructField, StructType
-
-        roots = spark.createDataFrame(
-            [(s,) for s in seeds],
-            schema=StructType(
-                [StructField("root", arcs.schema["a"].dataType)]
-            ),
-        )
+    roots = _roots(arcs, sources, "reachability")
     first = (
         roots.select(
             "root", F.col("root").alias("node"), F.lit(0).alias("dist")

@@ -221,6 +221,18 @@ def bloom_semi_join(
         raise ValueError(f"depth must be in [1, {len(CMS_PARAMS)}]")
     if width < 64 or width % 64:
         raise ValueError("width must be a positive multiple of 64")
+    # same integral-key contract as count_min_table, but enforced: a
+    # string key would cast to NULL buckets (opaque driver TypeError)
+    # and, worse, mis-filter rows whose cast-to-bigint happens to
+    # succeed — hash strings to a 31-bit int upstream instead
+    for side, sdf in (("big", big), ("keys", keys)):
+        t = dict(sdf.dtypes).get(key_col)
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"bloom_semi_join: {side}.{key_col} must be an integral "
+                f"column (got {t}); hash non-integral keys to a 31-bit "
+                "int upstream"
+            )
 
     def buckets_for(x):
         folded = F.pmod(x.cast("long"), F.lit(CMS_P))
@@ -229,7 +241,9 @@ def bloom_semi_join(
             for a, b in CMS_PARAMS[:depth]
         ]
 
-    kd = keys.select(key_col).distinct()
+    # NULL keys can never equi-match (SQL semantics) but would emit a
+    # None bucket that crashes mask building — drop them from the build
+    kd = keys.select(key_col).where(F.col(key_col).isNotNull()).distinct()
     bits = (
         kd.select(F.posexplode(F.array(*buckets_for(F.col(key_col)))).alias(
             "row", "bucket"

@@ -195,6 +195,12 @@ def pmi_pairs(
     ev = events.select(F.col(x).alias("x"), F.col(y).alias("y"))
     pairs = ev.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
     n_total = pairs.agg(F.sum("n_xy")).collect()[0][0]
+    if n_total is None:  # empty event stream: SUM is NULL, not 0
+        return events.sparkSession.createDataFrame(
+            [],
+            f"x {dict(ev.dtypes)['x']}, y {dict(ev.dtypes)['y']}, "
+            "n_xy bigint, n_x bigint, n_y bigint, pmi double",
+        )
     mx = pairs.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     my = pairs.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
     scored = (

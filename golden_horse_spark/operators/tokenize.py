@@ -377,7 +377,9 @@ def unigram_encode(
             out = []
             for text in pdf["__t"]:
                 pieces: list = []
-                for w in str(text).split():
+                # null text → [] (same contract as bpe_encode's `t or ""`;
+                # str(None) would tokenize the literal word "None")
+                for w in (text.split() if isinstance(text, str) else []):
                     got = cache.get(w)
                     if got is None:
                         got = _viterbi_pieces(w, lp, mpl)

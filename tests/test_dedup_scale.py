@@ -917,3 +917,39 @@ def test_dedup_lines_keep_first_false_and_trim_key(spark):
         for r in dedup_lines(docs, min_count=3).collect()
     }
     assert got3 == {1: 0, 2: 0, 3: 0}
+
+
+def test_dedup_lines_null_text_doc_survives(spark):
+    from golden_horse_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same boilerplate line\nunique one"),
+            (2, "same boilerplate line\nunique two"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert set(got) == {1, 2, 3}  # row for EVERY input doc
+    assert got[3]["n_lines"] == 0 and got[3]["n_removed_lines"] == 0
+    assert got[1]["n_removed_lines"] == 0  # keep_first keeps doc 1's
+    assert got[2]["n_removed_lines"] == 1
+
+
+def test_embedding_near_dup_null_and_ragged_vectors(spark):
+    # the Arrow assignment path must DROP null / wrong-length vectors
+    # (undefined cosine), not crash on the ragged np.array
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, None), (3, [1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, min_cosine=0.99, n_cells=2, unroll_max_cells=0
+        ).collect()
+    )
+    assert got == [(0, 1)]

@@ -1746,7 +1746,7 @@ def _py_walks(edges, roots, length, num_walks, directed):
                 if not nb:
                     break
                 h = int(
-                    hashlib.md5(f"{v}_{t}_{r}_{w}".encode()).hexdigest()[:4],
+                    hashlib.md5(f"{v}_{t}_{r}_{w}".encode()).hexdigest()[:8],
                     16,
                 )
                 v = nb[h % len(nb)]
@@ -2205,3 +2205,56 @@ def test_quotient_graph_vs_python(spark):
     )
     with pytest.raises(ValueError):
         quotient_graph(df, partial)
+
+
+def test_scc_self_loop_only_node_is_singleton(spark):
+    # a node incident only to self-loops must still appear as its own
+    # singleton SCC (every node belongs to exactly one SCC)
+    from golden_horse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_quotient_graph_single_pass_and_guard(spark):
+    from golden_horse_spark.operators.graph import quotient_graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "node long, label long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in quotient_graph(edges, labels).collect()
+    }
+    assert got == {(10, 10): 1, (10, 20): 2, (20, 20): 1}
+    # unlabeled endpoint raises with the offending edge count
+    bad_labels = spark.createDataFrame(
+        [(1, 10), (2, 10)], "node long, label long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unlabeled"):
+        quotient_graph(edges, bad_labels)
+
+
+def test_clustering_stats_wedges_exact_long(spark):
+    from golden_horse_spark.operators.graph import clustering_stats
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    row = clustering_stats(star).collect()[0]
+    # center degree 5 -> 10 wedges; leaves contribute 0
+    assert row["n_wedges"] == 10 and row["n_triangles"] == 0
+    assert dict(clustering_stats(star).dtypes)["n_wedges"] == "bigint"

@@ -206,3 +206,25 @@ def test_bloom_semi_join_rejects_bad_width(spark):
     keys = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         bloom_semi_join(big, keys, "k", width=100)
+
+
+def test_bloom_semi_join_rejects_non_integral_key(spark):
+    import pytest
+
+    from golden_horse_spark.operators.sketch import bloom_semi_join
+
+    big = spark.createDataFrame([("a",), ("b",)], "name string")
+    keys = spark.createDataFrame([("a",)], "name string")
+    with pytest.raises(TypeError, match="integral"):
+        bloom_semi_join(big, keys, "name")
+
+
+def test_bloom_semi_join_null_keys_build_side(spark):
+    from golden_horse_spark.operators.sketch import bloom_semi_join
+
+    big = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    keys = spark.createDataFrame(
+        [(1,), (None,), (3,)], "k long"
+    )
+    got = sorted(r["k"] for r in bloom_semi_join(big, keys, "k").collect())
+    assert got == [1, 3]

@@ -321,3 +321,12 @@ def test_pmi_pairs_hand_case(spark):
     assert abs(got[("strong", "tea")] - math.log(2.0)) < 1e-12
     assert abs(got[("hot", "soup")] - math.log(3.0)) < 1e-12
     assert abs(got[("weak", "tea")] - math.log(1.0)) < 1e-12
+
+
+def test_pmi_pairs_empty_input(spark):
+    from golden_horse_spark.operators.text_analysis import pmi_pairs
+
+    ev = spark.createDataFrame([], "x string, y string")
+    out = pmi_pairs(ev)
+    assert out.count() == 0
+    assert out.columns == ["x", "y", "n_xy", "n_x", "n_y", "pmi"]

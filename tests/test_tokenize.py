@@ -200,3 +200,26 @@ def test_unigram_train_invariance_and_coverage(spark):
         for w in corpus
     )
     assert ll > -10000 and ll == ll
+
+
+def test_unigram_encode_null_text_is_empty(spark):
+    from golden_horse_spark.operators.tokenize import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    hist = spark.createDataFrame(
+        [("abab", 5), ("ab", 3)], "word string, count long"
+    )
+    vocab = unigram_train(hist, vocab_size=8, n_iter=2)
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(docs, "text", vocab).collect()
+    }
+    assert got[2] == []  # NULL text: no phantom 'None' tokens
+    assert got[3] == []
+    assert got[1] and "".join(got[1]) == "abab"
