@@ -138,14 +138,19 @@ def count_min_table(
     Hashing is 2-universal ((a·x + b) mod P) mod width over the
     Mersenne prime P = 2^31 − 1 with FIXED published (a, b) rows —
     deliberately arithmetic-only so the DuckDB oracle replays the
-    sketch exactly. Keys are folded to x mod P first; keys must be
-    integral (hash strings to a 31-bit int upstream if needed).
+    sketch exactly. Keys are folded to pmod(x, P) first (pmod, not %:
+    sign-preserving remainder would put negative keys in negative
+    buckets and silently double the sketch's row bound); keys must be
+    integral (hash strings to a 31-bit int upstream if needed). NULL
+    keys are dropped — they can never equi-match a probe, so counting
+    them would only inflate (row, NULL) junk buckets.
     """
     if not 1 <= depth <= len(CMS_PARAMS):
         raise ValueError(f"depth must be in [1, {len(CMS_PARAMS)}]")
     if width < 2:
         raise ValueError("width must be >= 2")
-    x = F.col(col).cast("long") % F.lit(CMS_P)
+    df = df.where(F.col(col).isNotNull())
+    x = F.pmod(F.col(col).cast("long"), F.lit(CMS_P))
     buckets = F.array(
         *[_cms_bucket(x, a, b, width) for a, b in CMS_PARAMS[:depth]]
     )
@@ -168,11 +173,14 @@ def count_min_estimate(
     (≤ depth·width rows) so it broadcasts; the probe side never
     shuffles more than its own distinct keys. Probes whose buckets are
     absent from the sketch (possible only for keys the data never
-    hashed anywhere near) estimate 0 via the left join."""
-    x = F.col(col).cast("long") % F.lit(CMS_P)
+    hashed anywhere near) estimate 0 via the left join. NULL probes are
+    dropped (the sketch never counts NULL keys — see count_min_table);
+    folding matches the sketch side (pmod)."""
+    x = F.pmod(F.col(col).cast("long"), F.lit(CMS_P))
     buckets = F.array(
         *[_cms_bucket(x, a, b, width) for a, b in CMS_PARAMS[:depth]]
     )
+    probes = probes.where(F.col(col).isNotNull())
     pe = probes.select(col).distinct().select(
         col, F.posexplode(buckets).alias("row", "bucket")
     )

@@ -228,3 +228,31 @@ def test_bloom_semi_join_null_keys_build_side(spark):
     )
     got = sorted(r["k"] for r in bloom_semi_join(big, keys, "k").collect())
     assert got == [1, 3]
+
+
+def test_count_min_negative_and_null_keys(spark):
+    # negative keys must fold to NON-NEGATIVE buckets (pmod, matching
+    # python % semantics); NULL keys are dropped from sketch and probes
+    from golden_horse_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    vals = [-5, -5, -5, 7, 7, -(2**40)]
+    rows = [(v,) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "k long")
+    depth, width = 3, 32
+    sk = count_min_table(df, "k", depth=depth, width=width)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got == _py_cms(vals, depth, width)
+    assert all(0 <= b < width for (_, b) in got)
+
+    probes = spark.createDataFrame(
+        [(-5,), (7,), (None,)], "k long"
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk, probes, "k", depth, width).collect()
+    }
+    assert None not in est
+    assert est[-5] >= 3 and est[7] >= 2
