@@ -57,7 +57,13 @@ def rank_codes(
     prefix: str = "_code_",
 ) -> DataFrame:
     """Add ``{prefix}{col}`` rank-code columns in ``[0, 2^bits)`` for
-    each of ``cols``. See module docstring for exact-vs-approx paths."""
+    each of ``cols``. See module docstring for exact-vs-approx paths.
+
+    NULL values land in the lowest cells on both paths (exact: Spark's
+    NULLS FIRST ordering; approx: a NULL comparison filters to code 0)
+    — they cluster together, which is what a min/max reader wants, but
+    filter upstream if NULL rows should not share a file with the
+    smallest keys."""
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
     n_cells = 1 << bits

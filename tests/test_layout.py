@@ -106,3 +106,16 @@ def test_layout_by_zorder_bounds_every_dimension(spark):
     )
     # the un-clustered dimension stays (near) full-range per partition
     assert max(r["sy"] for r in lin) >= 60
+
+
+def test_layout_plan_shape_single_range_exchange(spark):
+    # the re-layout is ONE range exchange + one local sort — no hash
+    # exchange, no extra shuffle beyond the repartitionByRange
+    rows = [(x, (x * 7) % 50) for x in range(400)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = layout_by_zorder(df, ["x", "y"], n_files=8, order_by=["x", "y"], bits=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") + plan.count("RangePartitioning") >= 1
+    # exactly one exchange below the layout (the window's single-task
+    # exchange is SinglePartition, not hashpartitioning on data keys)
+    assert "hashpartitioning" not in plan
