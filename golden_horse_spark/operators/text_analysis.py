@@ -162,6 +162,79 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document top-k terms by Okapi BM25 weight (Robertson &
+    Spärck Jones probabilistic ranking; the Lucene-style non-negative
+    idf) — the retrieval-grade upgrade of ``tfidf_top_terms``:
+
+        idf(t)     = ln((N − df + 0.5) / (df + 0.5) + 1)
+        score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    Plan shape is identical to tf·idf: ONE explode→(doc,term) groupBy
+    with map-side combine; document frequencies AND document lengths
+    both aggregate that same tf table (never a second corpus scan); the
+    df table is vocabulary-sized and broadcast-joins back. The two
+    corpus scalars (Σdl, #docs-with-tokens) ride one bounded aggregate
+    — avgdl enters the expression as the exact integer pair
+    ``dl·n_d / tot`` so the float arithmetic is reproducible by a SQL
+    twin operand-for-operand (same left-assoc order), which is what the
+    oracle checks. Ranking happens on the ROUNDED score with a term
+    tiebreak, so the top-k set is cross-engine stable.
+
+    ``min_df``/``max_df_frac`` prune hapaxes and stop-terms exactly as
+    in tf·idf (same df-cap reasoning as ngram_jaccard_pairs).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(
+            (F.col("df") >= min_df) & (F.col("df") <= int(n_docs * max_df_frac))
+        )
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot, n_d = dl.agg(F.sum("dl"), F.count("*")).collect()[0]
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # exact-integer avgdl form: b·dl/avgdl = b·dl·n_d/tot, left-assoc —
+    # (0.75·dl)·n_d exact in double well past any real dl, ONE rounding
+    # at the division; the oracle mirrors the operand order verbatim
+    norm = (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.lit(int(n_d)) / F.lit(int(tot))
+    )
+    score = F.round(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * norm),
+        4,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
 def pmi_pairs(
     events: DataFrame,
     x: str = "x",

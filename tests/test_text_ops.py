@@ -39,6 +39,60 @@ def test_tfidf_tie_break_deterministic(spark):
     assert got[0] == "aa" and got[1] == "aa"
 
 
+def test_bm25_vs_python_reference(spark):
+    """bm25_topk == a literal python Okapi BM25 (Lucene idf), incl. the
+    df caps, length normalization, and rounded-score/term tiebreak."""
+    from collections import Counter
+
+    from golden_horse_spark.operators.text_analysis import bm25_topk
+
+    texts = {
+        0: "apple banana apple apple banana cherry",
+        1: "apple cherry",
+        2: "banana cherry cherry unique words here too",
+        3: "noise",
+        4: "apple apple banana words",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, top_k=2, k1=1.2, b=0.75, min_df=2, max_df_frac=0.8)
+    got = {
+        (r["doc_id"], r["term"]): (r["score"], r["rank"]) for r in out.collect()
+    }
+
+    # python reference
+    tf = {d: Counter(t.split()) for d, t in texts.items()}
+    n = len(texts)
+    df = Counter(term for c in tf.values() for term in c)
+    keep = {t for t, v in df.items() if 2 <= v <= int(n * 0.8)}
+    dls = {d: sum(c.values()) for d, c in tf.items()}
+    tot, n_d = sum(dls.values()), len(dls)
+    want = {}
+    for d, c in tf.items():
+        scored = []
+        for term in c:
+            if term not in keep:
+                continue
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            norm = 0.25 + 0.75 * dls[d] * n_d / tot
+            s = round(idf * (c[term] * 2.2) / (c[term] + 1.2 * norm), 4)
+            scored.append((-s, term))
+        for rank, (neg_s, term) in enumerate(sorted(scored)[:2], start=1):
+            want[(d, term)] = (-neg_s, rank)
+    assert got == want
+    # length normalization: equal tf in a shorter doc scores higher
+    docs2 = spark.createDataFrame(
+        [(0, "apple apple pad"), (1, "apple apple pad pad pad pad pad")],
+        "doc_id long, text string",
+    )
+    out2 = bm25_topk(docs2, top_k=2, min_df=2, max_df_frac=1.0)
+    s2 = {
+        r["doc_id"]: r["score"] for r in out2.collect() if r["term"] == "apple"
+    }
+    assert s2[0] > s2[1]
+
+
 def test_rolling_fingerprint_vs_python_reference(spark):
     from golden_horse_spark.operators.text_analysis import (
         rolling_min_fingerprint,
