@@ -44,6 +44,62 @@ def exact_candidates(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+def alias_priors(
+    link_log: DataFrame,
+    surface_col: str = "surface_form",
+    entity_col: str = "entity_id",
+    weight_col: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Commonness priors P(entity | surface) from a raw link/anchor log
+    — the Milne & Witten 2008 anchor-statistics estimator that feeds
+    ``exact_candidates``' alias table (the reference's gazetteer,
+    icwb.py:238-247, carries no priors; at web scale the alias dict is
+    BUILT from observed anchors, and this is that builder).
+
+    One (surface, entity) groupBy with map-side combine over the log;
+    per-surface totals re-aggregate the PAIR table (vocabulary-sized,
+    the same never-rescan-the-corpus shape as tfidf's df table), then
+    one equi-join and an exact division:
+
+        prior(s, e) = n(s, e) / n(s)
+
+    ``weight_col`` switches counts to weighted sums (e.g. anchor click
+    weights). ``min_count`` drops rare (surface, entity) pairs AFTER
+    totals are taken, so surviving priors remain true conditional
+    probabilities of the full log (they need not sum to 1 per surface
+    once the tail is cut — documented, matches the usual commonness
+    pruning). Output (surface_form, entity_id, prior, n_links) plugs
+    straight into exact_candidates / generate_candidates.
+
+    Scale: both aggregates are keyed shuffles with partial aggregation;
+    hot surfaces (the north-rule skew axis) concentrate in the PAIR
+    table, which is already collapsed to vocabulary size — the log
+    itself is never grouped by surface alone.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    pairs = (
+        link_log.select(
+            F.col(surface_col).alias("surface_form"),
+            F.col(entity_col).alias("entity_id"),
+            w.alias("_w"),
+        )
+        .groupBy("surface_form", "entity_id")
+        .agg(F.sum("_w").alias("n_links"))
+    )
+    totals = pairs.groupBy("surface_form").agg(F.sum("n_links").alias("_tot"))
+    return (
+        pairs.join(totals, "surface_form")
+        .where(F.col("n_links") >= min_count)
+        .select(
+            "surface_form",
+            "entity_id",
+            (F.col("n_links") / F.col("_tot")).alias("prior"),
+            "n_links",
+        )
+    )
+
+
 def fuzzy_candidates(
     mentions: DataFrame,
     aliases: DataFrame,

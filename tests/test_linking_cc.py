@@ -366,3 +366,64 @@ def test_generate_candidates_edit_pass_covers_only_uncovered(spark, aliases):
     assert ("m2", "e1", "edit:") in got and ("m2", "e2", "edit:") in got
     assert not any(m == "m3" for m, e, b in got)
     assert any(b.startswith("edit:") for b in blocks)
+
+
+def test_alias_priors_vs_python_reference(spark):
+    """alias_priors == literal P(e|s) counting, incl. weighted sums,
+    min_count tail cut AFTER totals, and exact_candidates composition."""
+    from collections import Counter
+
+    from golden_horse_spark.operators.linking import (
+        alias_priors,
+        exact_candidates,
+    )
+
+    log_rows = [
+        ("apple", "e_fruit"), ("apple", "e_fruit"), ("apple", "e_fruit"),
+        ("apple", "e_corp"),
+        ("jaguar", "e_cat"), ("jaguar", "e_car"),
+        ("rare", "e_x"),
+    ]
+    log = spark.createDataFrame(log_rows, "surface_form string, entity_id string")
+    out = {
+        (r["surface_form"], r["entity_id"]): (r["prior"], r["n_links"])
+        for r in alias_priors(log).collect()
+    }
+    n = Counter(log_rows)
+    tot = Counter(s for s, _ in log_rows)
+    want = {
+        k: (n[k] / tot[k[0]], n[k]) for k in n
+    }
+    assert set(out) == set(want)
+    for k in want:
+        assert out[k][1] == want[k][1]
+        assert abs(out[k][0] - want[k][0]) < 1e-12
+
+    # min_count cuts the pair but totals still include it: apple/e_corp
+    # (n=1) disappears, apple/e_fruit keeps prior 0.75 (not 1.0)
+    cut = {
+        (r["surface_form"], r["entity_id"]): r["prior"]
+        for r in alias_priors(log, min_count=2).collect()
+    }
+    assert ("apple", "e_corp") not in cut and ("rare", "e_x") not in cut
+    assert abs(cut[("apple", "e_fruit")] - 0.75) < 1e-12
+
+    # weighted: weight column replaces counts
+    wlog = spark.createDataFrame(
+        [("s", "a", 9), ("s", "b", 1)],
+        "surface_form string, entity_id string, w long",
+    )
+    wp = {
+        r["entity_id"]: r["prior"]
+        for r in alias_priors(wlog, weight_col="w").collect()
+    }
+    assert abs(wp["a"] - 0.9) < 1e-12 and abs(wp["b"] - 0.1) < 1e-12
+
+    # output schema plugs straight into exact_candidates
+    mentions = spark.createDataFrame(
+        [("m1", "jaguar")], "mention_id string, surface string"
+    )
+    cands = exact_candidates(mentions, alias_priors(log))
+    got = {(r["mention_id"], r["entity_id"], round(r["score"], 6))
+           for r in cands.collect()}
+    assert got == {("m1", "e_cat", 0.5), ("m1", "e_car", 0.5)}
