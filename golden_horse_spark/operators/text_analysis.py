@@ -235,6 +235,118 @@ def bm25_topk(
     )
 
 
+def _hashed_grams(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) rows: lowercased whitespace unigrams + bigrams,
+    hashed into ``n_buckets`` via the portable 32-bit md5 draw
+    (conv(substr(md5(g),1,8),16,10) % B — same arithmetic the SQL
+    oracle and random_walks replay)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    with_w = df.select(F.col("doc_id"), w.alias("_w"))
+    grams = with_w.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("_w"),
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN transform("
+                    "sequence(0, size(_w) - 2),"
+                    " i -> concat(element_at(_w, i + 1), ' ',"
+                    " element_at(_w, i + 2))) "
+                    "ELSE array() END"
+                ),
+            )
+        ).alias("g"),
+    ).where(F.length("g") > 0)
+    return grams.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    ``ln p_target(d) − ln p_raw(d)`` under add-α-smoothed hashed-n-gram
+    bag models — the principled upgrade of heuristic quality filters:
+    rank the raw corpus by similarity to a trusted target corpus, then
+    select by weight (compose with ``quantile_keep`` /
+    ``quantile_thresholds`` for the resampling step, or exponentiate
+    for Gumbel-top-k).
+
+        λ[b]      = ln((c_t[b]+α)/(T_t+αB)) − ln((c_r[b]+α)/(T_r+αB))
+        weight(d) = Σ_b c_d[b] · λ[b]
+
+    Features are lowercased whitespace unigrams+bigrams hashed to
+    ``n_buckets`` via the 32-bit md5 draw — portable, so a SQL oracle
+    replays every bucket bit-for-bit (the paper hashes into 10⁴
+    buckets; B is a knob).
+
+    Plan shape: ONE explode→(doc, bucket) groupBy over the raw corpus
+    with map-side combine; the raw bucket histogram re-aggregates that
+    per-doc table (never a second corpus scan — the tfidf df-table
+    trick); the target corpus (typically sample-sized) contributes one
+    more bounded aggregate. λ is a ≤B-row table broadcast back; the two
+    gram totals are bounded scalars. Docs with no grams get weight 0.0
+    (no evidence either way — conservatively neutral).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    per_doc = (
+        _hashed_grams(docs, text_col, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c_raw = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("n_r"))
+    c_tgt = (
+        _hashed_grams(target, text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_t"))
+    )
+    t_raw = c_raw.agg(F.sum("n_r")).collect()[0][0] or 0
+    t_tgt = c_tgt.agg(F.sum("n_t")).collect()[0][0] or 0
+    denom = float(alpha * n_buckets)
+    lam = (
+        c_raw.join(c_tgt, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(float(t_tgt) + denom)
+                )
+                - F.log(
+                    (F.coalesce(F.col("n_r"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(float(t_raw) + denom)
+                )
+            ).alias("lam"),
+        )
+    )
+    weights = (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lam")).alias("dsir_weight"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(weights, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
+        )
+    )
+
+
 def pmi_pairs(
     events: DataFrame,
     x: str = "x",

@@ -384,3 +384,67 @@ def test_pmi_pairs_empty_input(spark):
     out = pmi_pairs(ev)
     assert out.count() == 0
     assert out.columns == ["x", "y", "n_xy", "n_x", "n_y", "pmi"]
+
+
+def test_dsir_weights_vs_python_reference(spark):
+    """dsir_weights == a literal python DSIR (hashed unigram+bigram
+    buckets via the md5 draw, add-α log-ratio), and docs that look like
+    the target outrank docs that don't."""
+    import hashlib
+    from collections import Counter
+
+    from golden_horse_spark.operators.text_analysis import dsir_weights
+
+    raw = {
+        0: "the cat sat on the mat",
+        1: "stock market prices fell sharply today",
+        2: "the dog sat on the rug",
+        3: "",
+        4: "quantum flux capacitor array",
+    }
+    tgt = {
+        10: "the cat sat quietly",
+        11: "a dog sat on the mat",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in raw.items()], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(i, t) for i, t in tgt.items()], "doc_id long, text string"
+    )
+    B, a = 64, 0.5
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(docs, target, n_buckets=B, alpha=a).collect()
+    }
+
+    def buckets(text):
+        w = [t for t in text.lower().strip().split() if t]
+        grams = w + [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        ]
+
+    c_r = Counter(b for t in raw.values() for b in buckets(t))
+    c_t = Counter(b for t in tgt.values() for b in buckets(t))
+    t_r, t_t = sum(c_r.values()), sum(c_t.values())
+    lam = {
+        b: math.log((c_t[b] + a) / (t_t + a * B))
+        - math.log((c_r[b] + a) / (t_r + a * B))
+        for b in set(c_r) | set(c_t)
+    }
+    want = {
+        d: sum(lam[b] for b in buckets(t)) for d, t in raw.items()
+    }
+    assert set(out) == set(want)
+    for d in want:
+        assert abs(out[d] - want[d]) < 1e-9, d
+    # the empty doc is neutral; target-like docs beat off-domain docs
+    assert out[3] == 0.0
+    assert out[0] > out[1] and out[2] > out[4]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_weights(docs, target, n_buckets=0)
