@@ -219,3 +219,39 @@ def test_dedup_docs_knobs_invalidate_resume(spark, weights_path, tmp_path_factor
     assert man_path.exists()
     m = spark.read.parquet(str(out / "metrics"))
     assert m.where(F.col("stage") == "docs_dedup").count() == 0
+
+
+def test_to_ntriples_escaping_and_shape(spark):
+    """N-Triples/N-Quads serialization: IRI percent-encoding of every
+    forbidden IRIREF char, ECHAR literal escapes (backslash first), the
+    literal_preds split, and the graph_col N-Quads form."""
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.triples import to_ntriples
+
+    rows = [
+        ("e one", "mentioned_in", "d<1>", "g1"),       # space + angles
+        ('e"q', "has_type", 'PER "x\\y\n\r\tz', "g2"),  # literal escapes
+        ("pct%20", "mentioned_in", "b|c^d`e{f}g", "g3"),  # % first + rest
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, g string")
+    out = {r["subj"]: r["line"] for r in to_ntriples(df).collect()}
+    b = "http://kg.local/"
+    assert out["e one"] == (
+        f"<{b}entity/e%20one> <{b}rel/mentioned_in> <{b}entity/d%3C1%3E> ."
+    )
+    # has_type objects are literals; backslash escaped before quote
+    assert out['e"q'] == (
+        f'<{b}entity/e%22q> <{b}rel/has_type> "PER \\"x\\\\y\\n\\r\\tz" .'
+    )
+    # '%' encodes first (no double-encode of the result), the rest of
+    # the forbidden set each map to their octet
+    assert out["pct%20"] == (
+        f"<{b}entity/pct%2520> <{b}rel/mentioned_in> "
+        f"<{b}entity/b%7Cc%5Ed%60e%7Bf%7Dg> ."
+    )
+    # N-Quads: graph_col appends a graph IRI before the dot
+    quads = {r["subj"]: r["line"] for r in to_ntriples(df, graph_col="g").collect()}
+    assert quads["e one"].endswith(f"<{b}graph/g1> .")
+    # every line stays single-line even with control chars in inputs
+    assert all("\n" not in l and "\r" not in l for l in quads.values())
