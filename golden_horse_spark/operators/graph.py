@@ -2501,3 +2501,114 @@ def reachability(
     for d in parts[1:]:
         out = out.unionByName(d)
     return out
+
+
+def negative_triples(
+    triples: DataFrame,
+    n_neg: int = 1,
+    corrupt: str = "tail",
+    entities: DataFrame | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    corrupt-one-side protocol of Bordes et al. 2013 TransE, with the
+    "filtered" candidate set of its evaluation: corrupted triples that
+    happen to be TRUE triples are discarded, never emitted as
+    negatives).
+
+    For each distinct true (h, r, t) and draw j < ``n_neg``, the
+    replacement entity is ``pool[md5(h|r|t|side|j) mod |pool|]`` — the
+    package's derandomized-draw convention (random_walks /
+    node2vec_walks): no RNG state, so the sample is a pure function of
+    the graph, reproducible across runs, partitionings AND engines (a
+    SQL oracle replays every draw). ``corrupt`` ∈ {'tail','head',
+    'both'}; 'both' emits n_neg draws per side, per the paper's
+    Bernoulli-free baseline.
+
+    ``entities`` (single-column) overrides the candidate pool; default
+    is the distinct subj∪obj inventory. The pool is ranked once by a
+    global row_number ordered on the entity id — the pool is
+    VOCABULARY-sized (the same bounded-dictionary argument as tfidf's
+    df table and alias_priors), so the single-partition rank sort is
+    bounded; the ranked pool then equi-joins the draws on the computed
+    index (one probe per draw, never a pool-sized fan-out).
+
+    Output: (subj, pred, obj, side, j) — negatives only. Scale: one
+    explode (n_neg×), one broadcast-sized rank join, one anti-join
+    against the true set keyed on all three columns; no cross product
+    anywhere.
+    """
+    from pyspark.sql import Window
+
+    if corrupt not in ("tail", "head", "both"):
+        raise ValueError("corrupt must be 'tail', 'head', or 'both'")
+    if n_neg < 1:
+        raise ValueError("n_neg must be >= 1")
+    tri = triples.select(
+        F.col(subj).alias("h"), F.col(pred).alias("r"), F.col(obj).alias("t")
+    ).distinct()
+    if entities is not None:
+        pool = entities.select(
+            F.col(entities.columns[0]).alias("entity")
+        ).distinct()
+    else:
+        pool = (
+            tri.select(F.col("h").alias("entity"))
+            .union(tri.select(F.col("t").alias("entity")))
+            .distinct()
+        )
+    pool = pool.withColumn(
+        "rk", F.row_number().over(Window.orderBy("entity")) - 1
+    ).localCheckpoint()
+    n_pool = pool.count()
+    if n_pool == 0:
+        raise ValueError("negative_triples: empty entity pool")
+    draws = tri.select(
+        "h",
+        "r",
+        "t",
+        F.explode(F.array(*[F.lit(j) for j in range(n_neg)])).alias("j"),
+    )
+    sides = ("tail", "head") if corrupt == "both" else (corrupt,)
+    outs = []
+    for side in sides:
+        ix = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "h", "r", "t", F.lit(side), "j")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n_pool)
+        )
+        cand = (
+            draws.withColumn("ix", ix)
+            .join(F.broadcast(pool), F.col("ix") == F.col("rk"))
+            .select(
+                (F.col("entity") if side == "head" else F.col("h")).alias("h"),
+                "r",
+                (F.col("entity") if side == "tail" else F.col("t")).alias("t"),
+                F.lit(side).alias("side"),
+                "j",
+            )
+        )
+        outs.append(cand)
+    neg = outs[0]
+    for o in outs[1:]:
+        neg = neg.unionByName(o)
+    # filtered setting: a corrupted triple that IS a true triple (incl.
+    # the original when the draw lands on the uncorrupted entity) is
+    # dropped
+    neg = neg.join(tri, ["h", "r", "t"], "left_anti")
+    return neg.select(
+        F.col("h").alias(subj),
+        F.col("r").alias(pred),
+        F.col("t").alias(obj),
+        "side",
+        "j",
+    )

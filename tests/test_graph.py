@@ -2258,3 +2258,70 @@ def test_clustering_stats_wedges_exact_long(spark):
     # center degree 5 -> 10 wedges; leaves contribute 0
     assert row["n_wedges"] == 10 and row["n_triangles"] == 0
     assert dict(clustering_stats(star).dtypes)["n_wedges"] == "bigint"
+
+
+def test_negative_triples_md5_replay_and_filter(spark):
+    """negative_triples == a literal python replay of the md5 draws +
+    filtered-setting anti-join, for tail/head/both; determinism under
+    repartitioning; guards."""
+    import hashlib
+
+    import pytest
+
+    from golden_horse_spark.operators.graph import negative_triples
+
+    tri = [
+        ("a", "r1", "b"), ("a", "r1", "c"), ("b", "r2", "c"),
+        ("c", "r1", "a"), ("d", "r2", "a"),
+    ]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+
+    def replay(corrupt, n_neg):
+        pool = sorted({h for h, _, _ in tri} | {t for _, _, t in tri})
+        true = set(tri)
+        sides = ("tail", "head") if corrupt == "both" else (corrupt,)
+        out = set()
+        for h, r, t in true:
+            for side in sides:
+                for j in range(n_neg):
+                    key = f"{h}|{r}|{t}|{side}|{j}"
+                    ix = int(
+                        hashlib.md5(key.encode()).hexdigest()[:8], 16
+                    ) % len(pool)
+                    e = pool[ix]
+                    cand = (h, r, e) if side == "tail" else (e, r, t)
+                    if cand not in true:
+                        out.add(cand + (side, j))
+        return out
+
+    for corrupt in ("tail", "head", "both"):
+        got = {
+            (r["subj"], r["pred"], r["obj"], r["side"], r["j"])
+            for r in negative_triples(df, n_neg=3, corrupt=corrupt).collect()
+        }
+        assert got == replay(corrupt, 3), corrupt
+        # filtered: no emitted negative is a true triple
+        assert not {(s, p, o) for s, p, o, _, _ in got} & set(tri)
+
+    # partitioning-invariant (derandomized draws)
+    a = {
+        tuple(r)
+        for r in negative_triples(df.repartition(7), n_neg=2).collect()
+    }
+    b = {tuple(r) for r in negative_triples(df.coalesce(1), n_neg=2).collect()}
+    assert a == b
+
+    # explicit entity pool restricts candidates
+    pool = spark.createDataFrame([("x",), ("y",)], "entity string")
+    got = {
+        r["obj"]
+        for r in negative_triples(df, n_neg=2, entities=pool).collect()
+    }
+    assert got <= {"x", "y"}
+
+    with pytest.raises(ValueError):
+        negative_triples(df, corrupt="nope")
+    with pytest.raises(ValueError):
+        negative_triples(df, n_neg=0)
+    with pytest.raises(ValueError):
+        negative_triples(df, entities=pool.where("entity = 'zz'"))
