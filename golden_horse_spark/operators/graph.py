@@ -2612,3 +2612,82 @@ def negative_triples(
         "side",
         "j",
     )
+
+
+def wl_labels(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    node_labels: DataFrame | None = None,
+) -> DataFrame:
+    """1-dimensional Weisfeiler–Leman color refinement (Weisfeiler &
+    Leman 1968; the WL subtree-kernel of Shervashidze et al. JMLR 2011)
+    — canonical node fingerprints: after ``rounds`` iterations two
+    nodes carry the same label iff 1-WL cannot distinguish their
+    rooted r-hop neighborhoods. The primitive behind graph kernels,
+    structural-role discovery, and structure-level graph dedup
+    (identical label MULTISETS ⇒ 1-WL-equivalent graphs).
+
+        label₀(v)   = node_labels (or '0')
+        labelᵣ₊₁(v) = md5(labelᵣ(v) || '|' ||
+                          ','-join(sort(multiset{labelᵣ(u) : u ∈ N(v)})))
+
+    md5 as the injective-enough hash makes labels portable: a SQL twin
+    (string_agg ORDER BY) reproduces every label byte-for-byte, and
+    labels are independent of partitioning by construction.
+
+    Shuffle shape per round: ONE neighbor-gather groupBy (collect_list
+    + array_sort) and one co-partitioned label join; plans stay O(1) in
+    rounds via localCheckpoint. Hub cost: the gathered string is
+    O(deg·33) bytes — at web scale cap hub degrees upstream (the same
+    Σdeg² philosophy as common_neighbor_pairs) or seed ``node_labels``
+    with degree classes to converge faster.
+
+    Known 1-WL limit (documented, tested): regular graphs of equal
+    degree sequence can be indistinguishable (C₆ vs 2×C₃) — that is the
+    algorithm, not a defect.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
+    if node_labels is not None:
+        nl = node_labels.select(
+            F.col(node_labels.columns[0]).alias("node"),
+            F.col(node_labels.columns[1]).cast("string").alias("label"),
+        )
+        labels = nodes.join(nl, "node", "left").select(
+            "node", F.coalesce("label", F.lit("0")).alias("label")
+        )
+    else:
+        labels = nodes.select("node", F.lit("0").alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(rounds):
+        nbr = e.join(labels, e["d"] == labels["node"]).select(
+            F.col("s").alias("node"), F.col("label").alias("nl")
+        )
+        gathered = nbr.groupBy("node").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("nl"))).alias("ns")
+        )
+        labels = (
+            labels.join(gathered, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(
+                        F.col("label"),
+                        F.lit("|"),
+                        F.coalesce(F.col("ns"), F.lit("")),
+                    )
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -2325,3 +2325,81 @@ def test_negative_triples_md5_replay_and_filter(spark):
         negative_triples(df, n_neg=0)
     with pytest.raises(ValueError):
         negative_triples(df, entities=pool.where("entity = 'zz'"))
+
+
+def _py_wl(edges, rounds, directed=False, init=None):
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        adj[a].add(b)
+        if not directed:
+            adj[b].add(a)
+    lab = {n: (init or {}).get(n, "0") for n in nodes}
+    for _ in range(rounds):
+        lab = {
+            n: hashlib.md5(
+                (lab[n] + "|" + ",".join(sorted(lab[u] for u in adj[n])))
+                .encode()
+            ).hexdigest()
+            for n in nodes
+        }
+    return lab
+
+
+def test_wl_labels_vs_python_reference(spark):
+    """wl_labels == a literal python 1-WL refinement (md5 of own label +
+    sorted neighbor multiset), directed and undirected, with seeds."""
+    import random
+
+    from golden_horse_spark.operators.graph import wl_labels
+
+    rng = random.Random(11)
+    for directed in (False, True):
+        edges = list({(rng.randint(0, 14), rng.randint(0, 14)) for _ in range(30)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in wl_labels(df, rounds=3, directed=directed).collect()
+        }
+        assert got == _py_wl(edges, 3, directed=directed), directed
+
+    # seeded initial labels
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0, "x"), (1, "y")], "node long, lab string")
+    got = {
+        r["node"]: r["label"]
+        for r in wl_labels(df, rounds=2, node_labels=seeds).collect()
+    }
+    assert got == _py_wl(edges, 2, init={0: "x", 1: "y"})
+
+
+def test_wl_labels_isomorphism_and_known_limit(spark):
+    """Isomorphic graphs yield identical label multisets under
+    relabeling; path vs star distinguish in 1 round; and the classic
+    1-WL blind spot (C6 vs 2xC3, equal degree sequences) is preserved
+    exactly — both get one uniform label class."""
+    from collections import Counter
+
+    from golden_horse_spark.operators.graph import wl_labels
+
+    def multiset(edges, rounds=3):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return Counter(
+            r["label"] for r in wl_labels(df, rounds=rounds).collect()
+        )
+
+    # a 5-path relabeled by +100 is isomorphic
+    p5 = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert multiset(p5) == multiset([(a + 100, b + 100) for a, b in p5])
+    # star_4 vs path_4 (same node/edge counts) split immediately
+    assert multiset([(0, 1), (0, 2), (0, 3)]) != multiset(p5[:3])
+    # C6 vs 2xC3: 2-regular both -> 1-WL equivalent (the documented limit)
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    c3x2 = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    assert multiset(c6) == multiset(c3x2)
