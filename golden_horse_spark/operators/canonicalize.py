@@ -114,3 +114,59 @@ def canonical_entities(links: DataFrame) -> DataFrame:
             F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
         )
     )
+
+
+def bcubed(
+    labels: DataFrame,
+    pred_col: str = "pred_label",
+    gold_col: str = "gold_label",
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    the standard entity-resolution / coreference quality metric —
+    Amigó et al. 2009 showed it is the only common metric satisfying
+    all four clustering-evaluation constraints). Input: one row per
+    item with its predicted and gold cluster labels. Per item,
+    precision = |C(e) ∩ G(e)| / |C(e)|; B³ P/R are the means, folded
+    through the contingency table so nothing item-level survives:
+
+        P = (1/N) Σ_{c,g} n_cg² / |C_c|      R = ... / |G_g|
+
+    Plan shape: ONE (pred, gold) groupBy with map-side combine builds
+    the contingency table; cluster sizes re-aggregate THAT table (the
+    vocabulary-sized-table trick — items are scanned once); one global
+    aggregate emits everything. Output: 1 row (n_items, n_cells,
+    p_pin, r_pin, precision, recall, f1) where p_pin/r_pin are the
+    EXACT longs Σ (10⁶·n_cg²) div size — order-independent and
+    partitioning-invariant, the pinnable twins of the float means
+    (float sums drift in the last ulp with partitioning; the pins
+    can't).
+    """
+    cells = (
+        labels.select(
+            F.col(pred_col).alias("c"), F.col(gold_col).alias("g")
+        )
+        .groupBy("c", "g")
+        .agg(F.count("*").alias("n"))
+    )
+    psz = cells.groupBy("c").agg(F.sum("n").alias("csz"))
+    gsz = cells.groupBy("g").agg(F.sum("n").alias("gsz"))
+    j = cells.join(psz, "c").join(gsz, "g")
+    return j.agg(
+        F.sum("n").cast("long").alias("n_items"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.expr("(1000000 * n * n) div csz")).cast("long").alias("p_pin"),
+        F.sum(F.expr("(1000000 * n * n) div gsz")).cast("long").alias("r_pin"),
+        (F.sum(F.col("n") * F.col("n") / F.col("csz")) / F.sum("n")).alias(
+            "precision"
+        ),
+        (F.sum(F.col("n") * F.col("n") / F.col("gsz")) / F.sum("n")).alias(
+            "recall"
+        ),
+    ).withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -427,3 +427,54 @@ def test_alias_priors_vs_python_reference(spark):
     got = {(r["mention_id"], r["entity_id"], round(r["score"], 6))
            for r in cands.collect()}
     assert got == {("m1", "e_cat", 0.5), ("m1", "e_car", 0.5)}
+
+
+def test_bcubed_vs_python_reference(spark):
+    """bcubed == the literal per-item B3 definition, incl. the exact
+    integer pins, the perfect-clustering identity, and the classic
+    all-singletons (P=1) / one-big-cluster (R=1) extremes."""
+    import random
+
+    from golden_horse_spark.operators.canonicalize import bcubed
+
+    rng = random.Random(5)
+    items = [(i, f"p{rng.randint(0, 4)}", f"g{rng.randint(0, 3)}")
+             for i in range(200)]
+    df = spark.createDataFrame(items, "id long, pred_label string, gold_label string")
+    row = bcubed(df).collect()[0]
+
+    # python reference: per-item means
+    from collections import Counter
+
+    pc = Counter(p for _, p, _ in items)
+    gc = Counter(g for _, _, g in items)
+    cell = Counter((p, g) for _, p, g in items)
+    P = sum(cell[(p, g)] / pc[p] for _, p, g in items) / len(items)
+    R = sum(cell[(p, g)] / gc[g] for _, p, g in items) / len(items)
+    assert row["n_items"] == len(items)
+    assert row["n_cells"] == len(cell)
+    assert abs(row["precision"] - P) < 1e-12
+    assert abs(row["recall"] - R) < 1e-12
+    assert abs(row["f1"] - 2 * P * R / (P + R)) < 1e-12
+    assert row["p_pin"] == sum(
+        (1_000_000 * n * n) // pc[p] for (p, g), n in cell.items()
+    )
+    assert row["r_pin"] == sum(
+        (1_000_000 * n * n) // gc[g] for (p, g), n in cell.items()
+    )
+
+    # perfect clustering: P = R = F1 = 1, pins = 10^6 * n_clusters-ish
+    perfect = spark.createDataFrame(
+        [(i, f"c{i % 3}", f"c{i % 3}") for i in range(30)],
+        "id long, pred_label string, gold_label string",
+    )
+    r2 = bcubed(perfect).collect()[0]
+    assert r2["precision"] == 1.0 and r2["recall"] == 1.0 and r2["f1"] == 1.0
+
+    # all-singleton prediction: P = 1, R = mean(1/|G(e)|)
+    singles = spark.createDataFrame(
+        [(i, f"s{i}", "g0") for i in range(10)],
+        "id long, pred_label string, gold_label string",
+    )
+    r3 = bcubed(singles).collect()[0]
+    assert r3["precision"] == 1.0 and abs(r3["recall"] - 0.1) < 1e-12
