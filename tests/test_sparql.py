@@ -1,0 +1,326 @@
+"""SPARQL BGP / property-path / ρdf-closure tests.
+
+Reference semantics come from a brute-force python evaluator written
+here from the W3C algebra (enumerate all per-pattern matches, natural-
+join binding dicts) and, for rdfs_closure, a naive run-rules-to-
+fixpoint loop — so the Spark compiler's join ordering, OPTIONAL
+left-join, and the one-instance-pass stratification are each checked
+against the definition, not against themselves.
+"""
+
+import itertools
+
+import pytest
+
+from golden_horse_spark.operators.sparql import (
+    OneOrMore,
+    ZeroOrMore,
+    rdfs_closure,
+    sparql_select,
+)
+
+TRIPLES = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "dave"),
+    ("carol", "knows", "dave"),
+    ("dave", "knows", "erin"),
+    ("alice", "worksAt", "acme"),
+    ("bob", "worksAt", "acme"),
+    ("carol", "worksAt", "globex"),
+    ("erin", "worksAt", "globex"),
+    ("acme", "locatedIn", "berlin"),
+    ("globex", "locatedIn", "paris"),
+    ("alice", "likes", "alice"),  # reflexive row for repeated-var tests
+    ("dave", "likes", "erin"),
+]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+# ---------- brute-force reference evaluator ----------
+
+
+def _match(pat, triple):
+    bind = {}
+    for t, val in zip(pat, triple):
+        if isinstance(t, str) and t.startswith("?"):
+            v = t[1:]
+            if v in bind and bind[v] != val:
+                return None
+            bind[v] = val
+        elif t != val:
+            return None
+    return bind
+
+
+def _bgp(triples, patterns):
+    sols = [{}]
+    for pat in patterns:
+        nxt = []
+        for sol in sols:
+            for tr in triples:
+                b = _match(pat, tr)
+                if b is None:
+                    continue
+                if all(sol.get(k, b[k]) == b[k] for k in b):
+                    nxt.append({**sol, **b})
+        sols = nxt
+    return sols
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _expected(triples, patterns, select):
+    return sorted(
+        set(tuple(s[v] for v in select) for s in _bgp(triples, patterns))
+    )
+
+
+def test_bgp_two_hop_join(tdf):
+    pats = [
+        ("?p", "worksAt", "?c"),
+        ("?c", "locatedIn", "?city"),
+    ]
+    got = _rows(sparql_select(tdf, pats, select=["?p", "?city"]))
+    assert got == _expected(TRIPLES, pats, ["p", "city"])
+    assert got  # non-trivial
+
+
+def test_bgp_three_patterns_shared_var(tdf):
+    pats = [
+        ("?a", "knows", "?b"),
+        ("?b", "knows", "?c"),
+        ("?a", "worksAt", "acme"),
+    ]
+    got = _rows(sparql_select(tdf, pats, select=["?a", "?c"]))
+    assert got == _expected(TRIPLES, pats, ["a", "c"])
+
+
+def test_filter_expression(tdf):
+    pats = [("?a", "knows", "?b")]
+    got = _rows(
+        sparql_select(tdf, pats, where="b > 'c'", select=["?a", "?b"])
+    )
+    exp = [t for t in _expected(TRIPLES, pats, ["a", "b"]) if t[1] > "c"]
+    assert got == exp
+
+
+def test_repeated_variable_in_pattern(tdf):
+    pats = [("?x", "likes", "?x")]
+    got = _rows(sparql_select(tdf, pats, select=["?x"]))
+    assert got == [("alice",)]
+
+
+def test_ground_gate_true_and_false(tdf):
+    pats = [("?p", "worksAt", "?c"), ("acme", "locatedIn", "berlin")]
+    got = _rows(sparql_select(tdf, pats, select=["?p"]))
+    assert got == _expected(TRIPLES, [("?p", "worksAt", "?c")], ["p"])
+    pats_false = [("?p", "worksAt", "?c"), ("acme", "locatedIn", "tokyo")]
+    assert _rows(sparql_select(tdf, pats_false, select=["?p"])) == []
+
+
+def test_optional_left_join_nulls(tdf):
+    # every company, optionally the person working there who also
+    # knows dave: only bob (acme) and carol (globex) know dave
+    pats = [("?c", "locatedIn", "?city")]
+    opt = [[("?p", "worksAt", "?c"), ("?p", "knows", "dave")]]
+    got = _rows(
+        sparql_select(tdf, pats, optional=opt, select=["?c", "?p"])
+    )
+    assert got == [("acme", "bob"), ("globex", "carol")]
+
+
+def test_optional_unmatched_is_null(spark):
+    tri = spark.createDataFrame(
+        [("x", "a", "y"), ("y", "b", "z")],
+        "subj string, pred string, obj string",
+    )
+    got = _rows(
+        sparql_select(
+            tri,
+            [("?s", "a", "?o")],
+            optional=[[("?o", "missing", "?m")]],
+            select=["?s", "?m"],
+        )
+    )
+    assert got == [("x", None)]
+
+
+def test_disconnected_raises_and_cartesian_opt_in(tdf):
+    pats = [("?a", "knows", "?b"), ("?x", "locatedIn", "?y")]
+    with pytest.raises(ValueError, match="cartesian"):
+        sparql_select(tdf, pats, select=["?a", "?x"])
+    got = _rows(
+        sparql_select(tdf, pats, select=["?a", "?x"], allow_cartesian=True)
+    )
+    assert got == _expected(TRIPLES, pats, ["a", "x"])
+
+
+def test_all_ground_raises(tdf):
+    with pytest.raises(ValueError, match="ASK"):
+        sparql_select(tdf, [("alice", "knows", "bob")])
+
+
+# ---------- property paths ----------
+
+
+def _closure_py(edges, reflexive_universe=None):
+    nodes = sorted({n for e in edges for n in e})
+    reach = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        for (a, b), (c, d) in itertools.product(list(reach), list(reach)):
+            if b == c and (a, d) not in reach:
+                reach.add((a, d))
+                changed = True
+    if reflexive_universe is not None:
+        reach |= {(n, n) for n in reflexive_universe}
+    return reach
+
+
+def test_one_or_more_path(tdf):
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    exp = sorted(_closure_py(knows))
+    got = _rows(
+        sparql_select(
+            tdf, [("?a", OneOrMore("knows"), "?b")], select=["?a", "?b"]
+        )
+    )
+    assert got == exp
+
+
+def test_one_or_more_bound_source(tdf):
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    exp = sorted(b for a, b in _closure_py(knows) if a == "alice")
+    got = _rows(
+        sparql_select(
+            tdf, [("alice", OneOrMore("knows"), "?b")], select=["?b"]
+        )
+    )
+    assert got == [(x,) for x in exp]
+
+
+def test_zero_or_more_path(tdf):
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    universe = {n for e in knows for n in e}
+    exp = sorted(_closure_py(knows, reflexive_universe=universe))
+    got = _rows(
+        sparql_select(
+            tdf, [("?a", ZeroOrMore("knows"), "?b")], select=["?a", "?b"]
+        )
+    )
+    assert got == exp
+
+
+def test_path_joined_with_pattern(tdf):
+    # everyone reachable from alice via knows+, and where they work
+    pats = [
+        ("alice", OneOrMore("knows"), "?p"),
+        ("?p", "worksAt", "?c"),
+    ]
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    reach = {b for a, b in _closure_py(knows) if a == "alice"}
+    exp = sorted(
+        (p, c) for s, pr, c in TRIPLES
+        for p in [s] if pr == "worksAt" and p in reach
+    )
+    got = _rows(sparql_select(tdf, pats, select=["?p", "?c"]))
+    assert got == exp
+
+
+def test_path_no_such_predicate(tdf):
+    got = _rows(
+        sparql_select(
+            tdf, [("?a", OneOrMore("nope"), "?b")], select=["?a", "?b"]
+        )
+    )
+    assert got == []
+
+
+# ---------- rdfs closure ----------
+
+SCO, SPO = "rdfs:subClassOf", "rdfs:subPropertyOf"
+DOM, RNG, TYP = "rdfs:domain", "rdfs:range", "rdf:type"
+
+
+def _rdfs_py(triples):
+    """Naive ρdf fixpoint — apply all six rules until nothing changes."""
+    t = set(triples)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        for (a, p1, b), (c, p2, d) in itertools.product(list(t), list(t)):
+            if p1 == SCO and p2 == SCO and b == c:
+                new.add((a, SCO, d))
+            if p1 == SPO and p2 == SPO and b == c:
+                new.add((a, SPO, d))
+            if p2 == SPO and p1 == c:
+                new.add((a, d, b))
+            if p2 == DOM and p1 == c:
+                new.add((a, TYP, d))
+            if p2 == RNG and p1 == c:
+                new.add((b, TYP, d))
+            if p1 == TYP and p2 == SCO and b == c:
+                new.add((a, TYP, d))
+        if new - t:
+            t |= new
+            changed = True
+    return t
+
+
+RDFS_DATA = [
+    # ontology
+    ("Employee", SCO, "Person"),
+    ("Person", SCO, "Agent"),
+    ("Manager", SCO, "Employee"),
+    ("manages", SPO, "worksWith"),
+    ("worksWith", SPO, "relatedTo"),
+    ("manages", DOM, "Manager"),
+    ("manages", RNG, "Employee"),
+    ("locatedIn", RNG, "Place"),
+    # instance
+    ("ann", "manages", "bob"),
+    ("bob", "worksWith", "carl"),
+    ("acme", "locatedIn", "berlin"),
+    ("carl", TYP, "Employee"),
+]
+
+
+def test_rdfs_closure_matches_fixpoint(spark):
+    tdf = spark.createDataFrame(
+        RDFS_DATA, "subj string, pred string, obj string"
+    )
+    got = set(tuple(r) for r in rdfs_closure(tdf).collect())
+    exp = _rdfs_py(RDFS_DATA)
+    assert got == exp
+    # spot-check the chained inferences actually fired:
+    assert ("ann", "relatedTo", "bob") in got        # spo chain ×2
+    assert ("ann", TYP, "Manager") in got            # domain
+    assert ("ann", TYP, "Agent") in got              # dom → sco chain ×3
+    assert ("bob", TYP, "Person") in got             # range → sco
+    assert ("berlin", TYP, "Place") in got           # range on plain pred
+    assert ("Manager", SCO, "Agent") in got          # sco TC
+
+
+def test_rdfs_closure_no_schema_is_identity(spark):
+    rows = [("a", "p", "b"), ("b", "q", "c")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = set(tuple(r) for r in rdfs_closure(tdf).collect())
+    assert got == set(rows)
+
+
+def test_rdfs_closure_idempotent(spark):
+    tdf = spark.createDataFrame(
+        RDFS_DATA, "subj string, pred string, obj string"
+    )
+    once = rdfs_closure(tdf)
+    twice = rdfs_closure(once)
+    assert set(map(tuple, once.collect())) == set(map(tuple, twice.collect()))
