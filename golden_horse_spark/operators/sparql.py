@@ -303,6 +303,211 @@ def sparql_select(
     return out.distinct() if distinct else out
 
 
+def sparql_construct(
+    triples: DataFrame,
+    patterns,
+    template,
+    **kwargs,
+) -> DataFrame:
+    """SPARQL CONSTRUCT (W3C sparql11-query §16.2): evaluate the BGP
+    (same options as :func:`sparql_select`), then instantiate each
+    ``(s, p, o)`` template triple once per solution — variables pull
+    from the binding, constants are literal. Output is the constructed
+    GRAPH: ``(subj, pred, obj)``, distinct (a graph is a set).
+
+    The bindings subtree is materialized once via a lazy localCheckpoint
+    when the template has >1 triple — otherwise every template arm
+    re-executes the whole BGP join chain.
+    """
+    if not template:
+        raise ValueError("sparql_construct: empty template")
+    used = set()
+    for tpl in template:
+        used |= {_vname(t) for t in tpl if _is_var(t)}
+    bind = sparql_select(triples, patterns, **kwargs)
+    missing = used - set(bind.columns)
+    if missing:
+        raise ValueError(
+            f"sparql_construct: template variables {sorted(missing)} "
+            "not bound by the pattern"
+        )
+    bind = bind.select(*sorted(used)).distinct()
+    if len(template) > 1:
+        bind = bind.localCheckpoint(eager=False)
+    arms = []
+    for s, p, o in template:
+        arms.append(
+            bind.select(
+                (F.col(_vname(s)) if _is_var(s) else F.lit(s)).alias("subj"),
+                (F.col(_vname(p)) if _is_var(p) else F.lit(p)).alias("pred"),
+                (F.col(_vname(o)) if _is_var(o) else F.lit(o)).alias("obj"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite constraint validation
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ShMinCount:
+    """Every instance of ``target_class`` must have ≥ ``n`` values of
+    ``path`` (SHACL sh:minCount against a sh:targetClass). Catches the
+    zero case — the constraint SQL alone can't see absent rows."""
+
+    id: str
+    target_class: str
+    path: str
+    n: int = 1
+
+
+@dataclass(frozen=True)
+class ShMaxCount:
+    """No focus node may have > ``n`` values of ``path``
+    (sh:maxCount; ``n=1`` = functional property). ``target_class``
+    optionally restricts the focus set."""
+
+    id: str
+    path: str
+    n: int = 1
+    target_class: str | None = None
+
+
+@dataclass(frozen=True)
+class ShPattern:
+    """Every value of ``path`` must match ``regex`` (sh:pattern,
+    Java/Spark `rlike` semantics — anchor explicitly for full-match)."""
+
+    id: str
+    path: str
+    regex: str
+
+
+@dataclass(frozen=True)
+class ShClass:
+    """The ``on`` end ('subj' or 'obj') of every ``path`` triple must
+    be rdf:type ``cls`` (sh:class on a property shape — i.e. a CHECKED
+    domain/range, where rdfs_closure would instead INFER the type)."""
+
+    id: str
+    path: str
+    cls: str
+    on: str = "subj"
+
+
+def shacl_validate(
+    triples: DataFrame,
+    shapes,
+    *,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """Validate the graph against SHACL-lite shapes → violation report
+    ``(constraint, focus, value)`` (empty = conforms). Run it AFTER
+    :func:`rdfs_closure` to validate against entailed types — the
+    closure infers, the validator checks, which is the W3C-recommended
+    division of labor (SHACL does not do RDFS inference itself).
+
+    Physical shape per constraint, all scan-pushed on the ``pred``
+    partition column: MinCount = typed-targets left-join a map-side-
+    combined per-focus count; MaxCount = groupBy-HAVING (+ optional
+    semi-join on the target class); Pattern = a pure JVM rlike filter
+    (no shuffle at all); Class = one anti-join against the typed set.
+    Violations are expected to be rare at 100 TB, so every constraint's
+    output is tiny even when its input scan is the full table.
+    """
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    )
+
+    def typed(cls: str) -> DataFrame:
+        return (
+            t.where((F.col("p") == type_pred) & (F.col("o") == cls))
+            .select(F.col("s").alias("focus"))
+            .distinct()
+        )
+
+    outs = []
+    for sh in shapes:
+        if isinstance(sh, ShMinCount):
+            cnt = (
+                t.where(F.col("p") == sh.path)
+                .groupBy(F.col("s").alias("focus"))
+                .agg(F.count("*").alias("_c"))
+            )
+            v = (
+                typed(sh.target_class)
+                .join(cnt, "focus", "left")
+                .where(F.coalesce("_c", F.lit(0)) < sh.n)
+                .select(
+                    F.lit(sh.id).alias("constraint"),
+                    "focus",
+                    F.coalesce("_c", F.lit(0)).cast("string").alias("value"),
+                )
+            )
+        elif isinstance(sh, ShMaxCount):
+            base = t.where(F.col("p") == sh.path)
+            if sh.target_class is not None:
+                base = base.join(
+                    typed(sh.target_class).withColumnRenamed("focus", "s"),
+                    "s",
+                    "left_semi",
+                )
+            v = (
+                base.groupBy(F.col("s").alias("focus"))
+                .agg(F.count("*").alias("_c"))
+                .where(F.col("_c") > sh.n)
+                .select(
+                    F.lit(sh.id).alias("constraint"),
+                    "focus",
+                    F.col("_c").cast("string").alias("value"),
+                )
+            )
+        elif isinstance(sh, ShPattern):
+            v = (
+                t.where(
+                    (F.col("p") == sh.path) & ~F.col("o").rlike(sh.regex)
+                )
+                .select(
+                    F.lit(sh.id).alias("constraint"),
+                    F.col("s").alias("focus"),
+                    F.col("o").alias("value"),
+                )
+                .distinct()
+            )
+        elif isinstance(sh, ShClass):
+            side = "s" if sh.on == "subj" else "o"
+            if sh.on not in ("subj", "obj"):
+                raise ValueError(f"ShClass.on must be subj|obj, got {sh.on}")
+            v = (
+                t.where(F.col("p") == sh.path)
+                .select(F.col(side).alias("focus"))
+                .distinct()
+                .join(typed(sh.cls), "focus", "left_anti")
+                .select(
+                    F.lit(sh.id).alias("constraint"),
+                    "focus",
+                    F.lit(None).cast("string").alias("value"),
+                )
+            )
+        else:
+            raise TypeError(f"unknown shape: {sh!r}")
+        outs.append(v)
+    if not outs:
+        raise ValueError("shacl_validate: empty shape list")
+    out = outs[0]
+    for v in outs[1:]:
+        out = out.unionByName(v)
+    return out
+
+
 def rdfs_closure(
     triples: DataFrame,
     *,
@@ -315,6 +520,7 @@ def rdfs_closure(
     rng: str = "rdfs:range",
     type_pred: str = "rdf:type",
     max_hops: int = 16,
+    collect_threshold: int = 100_000,
 ) -> DataFrame:
     """ρdf entailment closure (Muñoz/Pérez/Gutierrez ESWC'07): the
     deductive core of RDFS without the axiomatic-triple noise.
@@ -346,12 +552,46 @@ def rdfs_closure(
     )
     schema_preds = (sco, spo, dom, rng)
 
+    spark = triples.sparkSession
+
     def _tc(edges: DataFrame) -> DataFrame:
-        """Transitive closure pairs (a, b), a→…→b, dist ≥ 1; empty
-        input short-circuits (reachability raises on no roots)."""
-        if edges.limit(1).count() == 0:
+        """Transitive closure pairs (a, b), a→…→b, dist ≥ 1.
+
+        Schema graphs are dictionary-sized by assumption, so up to
+        ``collect_threshold`` edges the closure runs driver-side (a
+        BOUNDED collect — one python BFS over the ontology beats ~10
+        checkpoint/count jobs of pure scheduler latency); past the
+        threshold it falls back to the distributed semi-naive closure.
+        On a CYCLIC schema (mutual subClassOf = class equivalence) the
+        driver branch correctly entails the reflexive pairs the cycle
+        implies; the distributed fallback omits them (reachability
+        never revisits a settled root) — ontologies that large and
+        cyclic should be normalized first.
+        """
+        n = edges.count()
+        if n == 0:
             return edges.select(
                 F.col("src").alias("a"), F.col("dst").alias("b")
+            )
+        if n <= collect_threshold:
+            adj: dict = {}
+            for r in edges.collect():
+                adj.setdefault(r[0], set()).add(r[1])
+            pairs = []
+            for root in adj:
+                seen, frontier = set(), {root}
+                for _ in range(max_hops):
+                    frontier = {
+                        b for f in frontier for b in adj.get(f, ())
+                    } - seen
+                    if not frontier:
+                        break
+                    seen |= frontier
+                pairs.extend((root, b) for b in sorted(seen))
+            return spark.createDataFrame(
+                pairs, schema=edges.select(
+                    F.col("src").alias("a"), F.col("dst").alias("b")
+                ).schema,
             )
         return (
             reachability(edges, directed=True, max_hops=max_hops)

@@ -324,3 +324,167 @@ def test_rdfs_closure_idempotent(spark):
     once = rdfs_closure(tdf)
     twice = rdfs_closure(once)
     assert set(map(tuple, once.collect())) == set(map(tuple, twice.collect()))
+
+
+# ---------- CONSTRUCT ----------
+
+
+def test_construct_two_hop(tdf):
+    from golden_horse_spark.operators.sparql import sparql_construct
+
+    got = _rows(
+        sparql_construct(
+            tdf,
+            [("?a", "knows", "?b"), ("?b", "knows", "?c")],
+            [("?a", "knows2", "?c")],
+        )
+    )
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    exp = sorted(
+        {(a, "knows2", c) for a, b in knows for b2, c in knows if b == b2}
+    )
+    assert got == exp
+
+
+def test_construct_multi_template_and_constants(tdf):
+    from golden_horse_spark.operators.sparql import sparql_construct
+
+    got = _rows(
+        sparql_construct(
+            tdf,
+            [("?p", "worksAt", "?c"), ("?c", "locatedIn", "berlin")],
+            [("?p", "cityOf", "berlin"), ("?p", "rdf:type", "BerlinWorker")],
+        )
+    )
+    workers = sorted(
+        s for s, p, o in TRIPLES if p == "worksAt" and o == "acme"
+    )
+    exp = sorted(
+        [(w, "cityOf", "berlin") for w in workers]
+        + [(w, "rdf:type", "BerlinWorker") for w in workers]
+    )
+    assert got == exp
+
+
+def test_construct_unbound_template_var_raises(tdf):
+    from golden_horse_spark.operators.sparql import sparql_construct
+
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_construct(
+            tdf, [("?a", "knows", "?b")], [("?a", "x", "?zzz")]
+        )
+
+
+# ---------- SHACL ----------
+
+
+def test_shacl_all_constraint_kinds(spark):
+    from golden_horse_spark.operators.sparql import (
+        ShClass,
+        ShMaxCount,
+        ShMinCount,
+        ShPattern,
+        shacl_validate,
+    )
+
+    rows = [
+        ("e1", "rdf:type", "Employee"),
+        ("e2", "rdf:type", "Employee"),
+        ("e3", "rdf:type", "Employee"),
+        ("e1", "worksAt", "acme"),
+        ("e2", "worksAt", "acme"),
+        ("e2", "worksAt", "globex"),       # e2 has 2 employers
+        ("e1", "email", "e1@example.com"),
+        ("e2", "email", "not-an-email"),   # pattern violation
+        ("acme", "rdf:type", "Company"),   # globex is NOT typed
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    shapes = [
+        ShMinCount("emp-needs-job", "Employee", "worksAt", 1),
+        ShMaxCount("one-job", "worksAt", 1),
+        ShPattern("email-fmt", "email", r"^[\w.]+@[\w.]+$"),
+        ShClass("employer-is-company", "worksAt", "Company", on="obj"),
+    ]
+    got = sorted(map(tuple, shacl_validate(tdf, shapes).collect()))
+    assert got == [
+        ("email-fmt", "e2", "not-an-email"),
+        ("emp-needs-job", "e3", "0"),
+        ("employer-is-company", "globex", None),
+        ("one-job", "e2", "2"),
+    ]
+
+
+def test_shacl_maxcount_target_class_scopes(spark):
+    from golden_horse_spark.operators.sparql import ShMaxCount, shacl_validate
+
+    rows = [
+        ("e1", "rdf:type", "Employee"),
+        ("e1", "worksAt", "a"),
+        ("e1", "worksAt", "b"),
+        ("x9", "worksAt", "a"),
+        ("x9", "worksAt", "b"),  # x9 untyped: out of scope
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = shacl_validate(
+        tdf, [ShMaxCount("one-job", "worksAt", 1, target_class="Employee")]
+    ).collect()
+    assert [(r.constraint, r.focus, r.value) for r in got] == [
+        ("one-job", "e1", "2")
+    ]
+
+
+def test_shacl_conforming_graph_is_empty(spark):
+    from golden_horse_spark.operators.sparql import (
+        ShMinCount,
+        ShPattern,
+        shacl_validate,
+    )
+
+    rows = [
+        ("e1", "rdf:type", "Employee"),
+        ("e1", "worksAt", "acme"),
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    shapes = [
+        ShMinCount("j", "Employee", "worksAt", 1),
+        ShPattern("w", "worksAt", r"^[a-z]+$"),
+    ]
+    assert shacl_validate(tdf, shapes).count() == 0
+
+
+def test_shacl_after_closure_validates_entailed_types(spark):
+    """The closure infers the types, the validator checks against them
+    — run on the RAW graph the ShClass constraint fires (nobody is
+    explicitly typed), on the CLOSED graph it conforms."""
+    from golden_horse_spark.operators.sparql import (
+        ShClass,
+        rdfs_closure,
+        shacl_validate,
+    )
+
+    rows = [
+        ("manages", SPO, "worksWith"),
+        ("manages", DOM, "Manager"),
+        ("ann", "manages", "bob"),
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    shape = [ShClass("mgr", "manages", "Manager", on="subj")]
+    raw = shacl_validate(tdf, shape).collect()
+    assert [(r.constraint, r.focus) for r in raw] == [("mgr", "ann")]
+    closed = rdfs_closure(tdf)
+    assert shacl_validate(closed, shape).count() == 0
+
+
+def test_rdfs_closure_cyclic_schema_equivalence(spark):
+    """Mutual subClassOf (class equivalence): the fixpoint entails the
+    reflexive pairs and membership flows both ways."""
+    rows = [
+        ("A", SCO, "B"),
+        ("B", SCO, "A"),
+        ("x", TYP, "A"),
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = set(map(tuple, rdfs_closure(tdf).collect()))
+    assert got == _rdfs_py(rows)
+    assert ("A", SCO, "A") in got and ("B", SCO, "B") in got
+    assert ("x", TYP, "B") in got
