@@ -388,3 +388,129 @@ def score_links(
         .where(F.col("rank") <= top_k)
         .select("mention_id", "entity_id", "score")
     )
+
+
+def fs_weights(
+    pairs: DataFrame,
+    agree_cols,
+    label_col: str = "is_match",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage field weights (Fellegi & Sunter
+    JASA 1969; Winkler 1990) from LABELED comparison pairs.
+
+    For each comparison field i with agreement indicator γᵢ the model
+    needs m_i = P(γᵢ | match) and u_i = P(γᵢ | non-match); the pair
+    score is Σᵢ γᵢ·ln(mᵢ/uᵢ) + (1−γᵢ)·ln((1−mᵢ)/(1−uᵢ)). This builder
+    estimates m/u by counting agreement within the labeled strata,
+    add-α smoothed (mᵢ = (aᵢ+α)/(nᵢ+2α)) so a field that always/never
+    agrees still gets a finite weight. NULL γᵢ = field not comparable
+    on that pair — excluded from BOTH numerator and denominator (the
+    standard missing-at-random treatment), and contributes 0 at scoring
+    time.
+
+    ONE global aggregate over the pair table (conditional sums per
+    field, map-side combined — no shuffle wider than the final gather);
+    output is a FIELD-count-sized table: (field, a_match, n_match,
+    a_nonmatch, n_nonmatch, w_agree, w_disagree), with the exact
+    integer counts kept beside the float weights so downstream twins
+    can replay the ln from the same rationals. The ln itself runs
+    JVM-side (`F.log` over the integer columns), never in python.
+    """
+    if not agree_cols:
+        raise ValueError("fs_weights: empty agree_cols")
+    lab = F.col(label_col).cast("boolean")
+    aggs = []
+    for c in agree_cols:
+        g = F.col(c).cast("boolean")
+        aggs += [
+            F.sum(F.when(g & lab, 1).otherwise(0)).alias(f"am_{c}"),
+            F.sum(F.when(g.isNotNull() & lab, 1).otherwise(0)).alias(
+                f"nm_{c}"
+            ),
+            F.sum(F.when(g & ~lab, 1).otherwise(0)).alias(f"au_{c}"),
+            F.sum(F.when(g.isNotNull() & ~lab, 1).otherwise(0)).alias(
+                f"nu_{c}"
+            ),
+        ]
+    row = pairs.agg(*aggs)
+    per_field = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(f"am_{c}").cast("long").alias("a_match"),
+                        F.col(f"nm_{c}").cast("long").alias("n_match"),
+                        F.col(f"au_{c}").cast("long").alias("a_nonmatch"),
+                        F.col(f"nu_{c}").cast("long").alias("n_nonmatch"),
+                    )
+                    for c in agree_cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    a = F.lit(float(alpha))
+    m_agree = (F.col("a_match") + a) / (F.col("n_match") + 2 * a)
+    u_agree = (F.col("a_nonmatch") + a) / (F.col("n_nonmatch") + 2 * a)
+    m_dis = (F.col("n_match") - F.col("a_match") + a) / (
+        F.col("n_match") + 2 * a
+    )
+    u_dis = (F.col("n_nonmatch") - F.col("a_nonmatch") + a) / (
+        F.col("n_nonmatch") + 2 * a
+    )
+    return per_field.select(
+        "field", "a_match", "n_match", "a_nonmatch", "n_nonmatch",
+        (F.log(m_agree) - F.log(u_agree)).alias("w_agree"),
+        (F.log(m_dis) - F.log(u_dis)).alias("w_disagree"),
+    )
+
+
+def fs_score(
+    pairs: DataFrame,
+    weights: DataFrame,
+    agree_cols=None,
+) -> DataFrame:
+    """Apply Fellegi–Sunter weights to comparison pairs → the input
+    plus a ``fs_score`` column (the log-likelihood-ratio match weight).
+
+    ``weights`` is the field-count-sized output of :func:`fs_weights`
+    — collected driver-side (BOUNDED: one row per comparison field)
+    and folded into a single JVM CASE expression per field, so scoring
+    is one whole-stage-codegen projection over the pair table: zero
+    joins, zero shuffles, works unchanged on a 10¹²-pair candidate
+    stream. NULL agreement indicators contribute 0.
+    """
+    w = {r["field"]: (r["w_agree"], r["w_disagree"]) for r in weights.collect()}
+    cols = list(agree_cols) if agree_cols is not None else list(w)
+    missing = [c for c in cols if c not in w]
+    if missing:
+        raise ValueError(f"fs_score: no weights for fields {missing}")
+    score = F.lit(0.0)
+    for c in cols:
+        g = F.col(c).cast("boolean")
+        score = score + (
+            F.when(g.isNull(), 0.0)
+            .when(g, F.lit(w[c][0]))
+            .otherwise(F.lit(w[c][1]))
+        )
+    return pairs.withColumn("fs_score", score)
+
+
+def fs_classify(
+    scored: DataFrame,
+    upper: float,
+    lower: float,
+    score_col: str = "fs_score",
+) -> DataFrame:
+    """The Fellegi–Sunter three-way decision rule: ``match`` above
+    ``upper``, ``nonmatch`` below ``lower``, ``possible`` between (the
+    clerical-review band). Pure expression — no shuffle."""
+    if lower > upper:
+        raise ValueError("fs_classify: lower must be ≤ upper")
+    return scored.withColumn(
+        "decision",
+        F.when(F.col(score_col) > upper, "match")
+        .when(F.col(score_col) < lower, "nonmatch")
+        .otherwise("possible"),
+    )

@@ -478,3 +478,120 @@ def test_bcubed_vs_python_reference(spark):
     )
     r3 = bcubed(singles).collect()[0]
     assert r3["precision"] == 1.0 and abs(r3["recall"] - 0.1) < 1e-12
+
+
+# ---------------- Fellegi–Sunter ----------------
+
+
+def test_fs_weights_and_score_vs_python(spark):
+    """Exact equality of counts; weight/score equality to 1e-12 vs a
+    from-the-paper python reference (Fellegi & Sunter 1969 eq. 3.4)."""
+    import math
+
+    from golden_horse_spark.operators.linking import fs_score, fs_weights
+
+    rows = [
+        # (id, g_name, g_city, g_year, is_match)
+        (1, True, True, True, True),
+        (2, True, True, False, True),
+        (3, True, None, True, True),     # g_city missing on a match
+        (4, False, True, True, True),
+        (5, True, False, False, False),
+        (6, False, False, True, False),
+        (7, False, False, False, False),
+        (8, True, True, False, False),
+        (9, None, False, False, False),  # g_name missing on a non-match
+        (10, False, True, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, g_name boolean, g_city boolean, g_year boolean, "
+              "is_match boolean"
+    )
+    alpha = 0.5
+    wdf = fs_weights(df, ["g_name", "g_city", "g_year"], alpha=alpha)
+    got = {r["field"]: r.asDict() for r in wdf.collect()}
+
+    def py_counts(field_idx):
+        a_m = n_m = a_u = n_u = 0
+        for r in rows:
+            g, m = r[field_idx], r[4]
+            if g is None:
+                continue
+            if m:
+                n_m += 1
+                a_m += g
+            else:
+                n_u += 1
+                a_u += g
+        return a_m, n_m, a_u, n_u
+
+    for i, f in enumerate(["g_name", "g_city", "g_year"], start=1):
+        a_m, n_m, a_u, n_u = py_counts(i)
+        assert (
+            got[f]["a_match"], got[f]["n_match"],
+            got[f]["a_nonmatch"], got[f]["n_nonmatch"],
+        ) == (a_m, n_m, a_u, n_u)
+        w_a = math.log((a_m + alpha) / (n_m + 2 * alpha)) - math.log(
+            (a_u + alpha) / (n_u + 2 * alpha)
+        )
+        w_d = math.log((n_m - a_m + alpha) / (n_m + 2 * alpha)) - math.log(
+            (n_u - a_u + alpha) / (n_u + 2 * alpha)
+        )
+        assert abs(got[f]["w_agree"] - w_a) < 1e-12
+        assert abs(got[f]["w_disagree"] - w_d) < 1e-12
+
+    scored = {
+        r["id"]: r["fs_score"]
+        for r in fs_score(df, wdf, ["g_name", "g_city", "g_year"]).collect()
+    }
+    for r in rows:
+        exp = 0.0
+        for i, f in enumerate(["g_name", "g_city", "g_year"], start=1):
+            if r[i] is None:
+                continue
+            exp += got[f]["w_agree"] if r[i] else got[f]["w_disagree"]
+        assert abs(scored[r[0]] - exp) < 1e-12
+
+
+def test_fs_smoothing_handles_degenerate_fields(spark):
+    """A field that ALWAYS agrees on matches and NEVER on non-matches
+    gets finite weights (add-α), with the right signs."""
+    from golden_horse_spark.operators.linking import fs_weights
+
+    rows = [(True, True), (True, True), (False, False), (False, False)]
+    df = spark.createDataFrame(rows, "g boolean, is_match boolean")
+    w = fs_weights(df, ["g"]).collect()[0]
+    import math
+
+    assert math.isfinite(w["w_agree"]) and math.isfinite(w["w_disagree"])
+    assert w["w_agree"] > 0 > w["w_disagree"]
+
+
+def test_fs_classify_bands(spark):
+    from golden_horse_spark.operators.linking import fs_classify
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -5.0)], "id int, fs_score double"
+    )
+    got = {
+        r["id"]: r["decision"]
+        for r in fs_classify(df, upper=2.0, lower=-2.0).collect()
+    }
+    assert got == {1: "match", 2: "possible", 3: "nonmatch"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fs_classify(df, upper=-1.0, lower=1.0)
+
+
+def test_fs_guards(spark):
+    from golden_horse_spark.operators.linking import fs_score, fs_weights
+
+    df = spark.createDataFrame([(True, True)], "g boolean, is_match boolean")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        fs_weights(df, [])
+    w = fs_weights(df, ["g"])
+    with _pt.raises(ValueError, match="no weights"):
+        fs_score(df, w, ["nope"])
