@@ -2691,3 +2691,142 @@ def wl_labels(
             .localCheckpoint()
         )
     return labels
+
+
+def transe_rank_eval(
+    test: DataFrame,
+    entity_emb: DataFrame,
+    rel_emb: DataFrame,
+    known: DataFrame | None = None,
+    corrupt: str = "tail",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    node_col: str = "node",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Filtered TransE ranking evaluation (Bordes et al. NeurIPS 2013
+    §4 protocol): for each test triple, rank the true ``corrupt`` side
+    among ALL candidate entities by the TransE distance, excluding
+    corrupted triples that appear in ``known`` (the filtered setting —
+    ``known`` defaults to the test set itself). Returns the test
+    triples + ``rank`` (long).
+
+    Distance is the SQUARED L2 ‖e_h + e_r − e_t‖² — rank-equivalent to
+    the paper's L2 (sqrt is monotone) and, with integer-valued
+    embeddings, exactly reproducible across engines. Rank = 1 + the
+    number of STRICTLY better filtered candidates (optimistic tie
+    handling, documented; ties are measure-zero for trained floats and
+    the self-candidate can never be strictly better, so no self
+    special-case is needed).
+
+    Physical plan, all JVM expressions (zip_with + aggregate — no UDF):
+    the test side (joined to its h/r/true-candidate vectors) is
+    BROADCAST against the entity table — eval sets are small by
+    definition while the entity table may be huge, so the |T|·|E|
+    score stream is generated partition-locally over E and immediately
+    collapsed by a map-side-combined count per test triple; the only
+    wide exchanges are the filtered anti-join on (h, r, cand) and the
+    final |T|-row gather. Nothing is ever collected to the driver.
+    """
+    if corrupt not in ("tail", "head"):
+        raise ValueError("transe_rank_eval: corrupt must be tail|head")
+    fixed, ranked = (subj, obj) if corrupt == "tail" else (obj, subj)
+    if known is None:
+        known = test
+    ent = entity_emb.select(
+        F.col(node_col).alias("_cand"), F.col(vec_col).alias("_cvec")
+    )
+    sgn = F.lit(1.0) if corrupt == "tail" else F.lit(-1.0)
+    # translation vector: h + r for tail corruption; for head ranking
+    # we rank candidates c by ‖c + r − t‖² = ‖(t − r) − c‖², i.e. the
+    # same zip_with shape against target (t − r).
+    t0 = (
+        test.select(subj, pred, obj)
+        .join(
+            entity_emb.select(
+                F.col(node_col).alias(fixed), F.col(vec_col).alias("_fvec")
+            ),
+            fixed,
+        )
+        .join(
+            rel_emb.select(
+                F.col(node_col).alias(pred), F.col(vec_col).alias("_rvec")
+            ),
+            pred,
+        )
+        .join(
+            entity_emb.select(
+                F.col(node_col).alias(ranked), F.col(vec_col).alias("_tvec")
+            ),
+            ranked,
+        )
+        .withColumn(
+            "_target",
+            F.zip_with("_fvec", "_rvec", lambda x, y: x + sgn * y),
+        )
+        .withColumn(
+            "_d2true",
+            F.aggregate(
+                F.zip_with(
+                    "_target", "_tvec", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(subj, pred, obj, "_target", "_d2true")
+    )
+    scores = (
+        ent.join(F.broadcast(t0), how="cross")
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    "_target", "_cvec", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .where(F.col("_d2") < F.col("_d2true"))
+        .select(subj, pred, obj, "_cand")
+    )
+    # filtered protocol: drop candidates forming a KNOWN true triple
+    kn = known.select(
+        F.col(subj).alias("_ks"), F.col(pred).alias("_kp"),
+        F.col(obj).alias("_ko"),
+    )
+    if corrupt == "tail":
+        cond = [
+            scores[subj] == kn["_ks"], scores[pred] == kn["_kp"],
+            scores["_cand"] == kn["_ko"],
+        ]
+    else:
+        cond = [
+            scores["_cand"] == kn["_ks"], scores[pred] == kn["_kp"],
+            scores[obj] == kn["_ko"],
+        ]
+    better = scores.join(kn, cond, "left_anti")
+    counts = better.groupBy(subj, pred, obj).agg(
+        F.count("*").alias("_nbetter")
+    )
+    return (
+        t0.select(subj, pred, obj)
+        .join(counts, [subj, pred, obj], "left")
+        .select(
+            subj, pred, obj,
+            (F.coalesce("_nbetter", F.lit(0)) + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+def ranking_metrics(ranks: DataFrame, ks=(1, 3, 10)) -> DataFrame:
+    """MRR + Hits@k over a ``rank`` column (the standard KG-embedding
+    report). One global aggregate."""
+    aggs = [F.avg(1.0 / F.col("rank")).alias("mrr")]
+    for k in ks:
+        aggs.append(
+            F.avg((F.col("rank") <= k).cast("double")).alias(f"hits_{k}")
+        )
+    return ranks.agg(*aggs)

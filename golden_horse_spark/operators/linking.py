@@ -514,3 +514,74 @@ def fs_classify(
         .when(F.col(score_col) < lower, "nonmatch")
         .otherwise("possible"),
     )
+
+
+def phonetic_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    surface_col: str = "surface",
+    alias_col: str = "surface_form",
+) -> DataFrame:
+    """Phonetic blocking (classic record-linkage): candidates = mention
+    × alias pairs sharing a Soundex code. Runs on Spark's built-in
+    ``F.soundex`` (JVM expression, zero UDF); the join is an equi-join
+    on the 4-char code, so the cross product never materializes — the
+    block structure is exactly the Soundex partition of the name space.
+    Latin-script names only (Soundex is undefined for CJK — those
+    surfaces hash to themselves and only exact-match); pair with
+    :func:`fuzzy_candidates` / :func:`edit_distance_candidates` for
+    script-independent recall.
+    """
+    m = mentions.withColumn("_blk", F.soundex(F.col(surface_col)))
+    a = aliases.withColumn("_blk", F.soundex(F.col(alias_col)))
+    return (
+        m.join(a, "_blk")
+        .where(F.col(surface_col) != F.col(alias_col))  # exact pairs ride
+        .drop("_blk")                                   # exact_candidates
+    )
+
+
+def blocking_metrics(
+    candidate_pairs: DataFrame,
+    true_pairs: DataFrame,
+    n_left: int,
+    n_right: int | None = None,
+    id_cols=("id_a", "id_b"),
+) -> DataFrame:
+    """Blocking quality report (Christen 2012): one row with
+    ``n_candidates``, ``n_true``, ``n_found`` (true pairs surviving the
+    blocker), ``pair_completeness`` = n_found/n_true (the blocker's
+    RECALL — the number that bounds end-to-end linkage recall), and
+    ``reduction_ratio`` = 1 − n_candidates/n_total (fraction of the
+    cross product never scored). ``n_right=None`` means dedup mode:
+    n_total = C(n_left, 2); otherwise n_total = n_left·n_right.
+
+    n_found is ONE left-semi join (true pairs are the small side at any
+    scale — they are bounded by real-world duplication rates); the
+    counts are global aggregates. No driver-side pair materialization.
+    """
+    a, b = id_cols
+    n_total = (
+        n_left * (n_left - 1) // 2 if n_right is None else n_left * n_right
+    )
+    if n_total <= 0:
+        raise ValueError("blocking_metrics: empty comparison space")
+    cand = candidate_pairs.select(a, b).distinct()
+    true_d = true_pairs.select(a, b).distinct()
+    n_cand = cand.count()
+    n_true = true_d.count()
+    n_found = true_d.join(cand, [a, b], "left_semi").count()
+    spark = candidate_pairs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_true,
+                n_found,
+                float(n_found) / n_true if n_true else 1.0,
+                1.0 - float(n_cand) / n_total,
+            )
+        ],
+        "n_candidates long, n_true long, n_found long, "
+        "pair_completeness double, reduction_ratio double",
+    )

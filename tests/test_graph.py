@@ -2403,3 +2403,111 @@ def test_wl_labels_isomorphism_and_known_limit(spark):
     c6 = [(i, (i + 1) % 6) for i in range(6)]
     c3x2 = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
     assert multiset(c6) == multiset(c3x2)
+
+
+# ---------------- TransE ranking evaluation ----------------
+
+
+def _transe_brute(test, ent, rel, known, corrupt="tail"):
+    """Brute-force filtered ranks per the Bordes'13 protocol."""
+    known = set(known)
+    out = {}
+    for (h, r, t) in test:
+        def d2(c):
+            if corrupt == "tail":
+                tgt = [a + b for a, b in zip(ent[h], rel[r])]
+                return sum((x - y) ** 2 for x, y in zip(tgt, ent[c]))
+            tgt = [a - b for a, b in zip(ent[t], rel[r])]
+            return sum((x - y) ** 2 for x, y in zip(tgt, ent[c]))
+        true_c = t if corrupt == "tail" else h
+        base = d2(true_c)
+        n = 0
+        for c in ent:
+            if d2(c) >= base:
+                continue
+            cand_triple = (h, r, c) if corrupt == "tail" else (c, r, t)
+            if cand_triple in known:
+                continue
+            n += 1
+        out[(h, r, t)] = n + 1
+    return out
+
+
+def test_transe_rank_eval_vs_brute_force(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import (
+        ranking_metrics,
+        transe_rank_eval,
+    )
+
+    rng = random.Random(7)
+    ents = [f"e{i}" for i in range(12)]
+    rels = ["r0", "r1"]
+    ent = {e: [float(rng.randint(-5, 5)) for _ in range(4)] for e in ents}
+    rel = {r: [float(rng.randint(-3, 3)) for _ in range(4)] for r in rels}
+    all_triples = [
+        (rng.choice(ents), rng.choice(rels), rng.choice(ents))
+        for _ in range(30)
+    ]
+    known = sorted(set(all_triples))
+    test = known[:8]
+    edf = spark.createDataFrame(
+        [(k, v) for k, v in ent.items()], "node string, vec array<double>"
+    )
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rel.items()], "node string, vec array<double>"
+    )
+    tdf = spark.createDataFrame(test, "subj string, pred string, obj string")
+    kdf = spark.createDataFrame(known, "subj string, pred string, obj string")
+    for corrupt in ("tail", "head"):
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["rank"]
+            for r in transe_rank_eval(
+                tdf, edf, rdf, known=kdf, corrupt=corrupt
+            ).collect()
+        }
+        exp = _transe_brute(test, ent, rel, known, corrupt=corrupt)
+        assert got == exp, corrupt
+    # metrics formula
+    ranks = transe_rank_eval(tdf, edf, rdf, known=kdf)
+    m = ranking_metrics(ranks, ks=(1, 3)).collect()[0]
+    rs = [r["rank"] for r in ranks.collect()]
+    assert abs(m["mrr"] - sum(1.0 / r for r in rs) / len(rs)) < 1e-12
+    assert abs(m["hits_1"] - sum(r <= 1 for r in rs) / len(rs)) < 1e-12
+    assert abs(m["hits_3"] - sum(r <= 3 for r in rs) / len(rs)) < 1e-12
+
+
+def test_transe_filtered_vs_raw(spark):
+    """A known better tail is excluded by the filter; removing it from
+    `known` (raw setting) pushes the rank down by one."""
+    from golden_horse_spark.operators.graph import transe_rank_eval
+
+    ent = {"a": [0.0], "good": [1.3], "better": [1.0], "far": [9.0]}
+    rel = {"r": [1.0]}
+    edf = spark.createDataFrame(
+        [(k, v) for k, v in ent.items()], "node string, vec array<double>"
+    )
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rel.items()], "node string, vec array<double>"
+    )
+    test = [("a", "r", "good")]
+    tdf = spark.createDataFrame(test, "subj string, pred string, obj string")
+    known = spark.createDataFrame(
+        test + [("a", "r", "better")], "subj string, pred string, obj string"
+    )
+    filt = transe_rank_eval(tdf, edf, rdf, known=known).collect()[0]["rank"]
+    raw = transe_rank_eval(tdf, edf, rdf).collect()[0]["rank"]
+    assert (filt, raw) == (1, 2)
+
+
+def test_transe_guard(spark):
+    import pytest
+
+    from golden_horse_spark.operators.graph import transe_rank_eval
+
+    df = spark.createDataFrame(
+        [("a", "r", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="tail|head"):
+        transe_rank_eval(df, df, df, corrupt="both")

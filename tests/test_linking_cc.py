@@ -595,3 +595,49 @@ def test_fs_guards(spark):
     w = fs_weights(df, ["g"])
     with _pt.raises(ValueError, match="no weights"):
         fs_score(df, w, ["nope"])
+
+
+def test_phonetic_candidates_classic_pairs(spark):
+    """Spec-anchored Soundex equivalences (Robert≡Rupert R163,
+    Smith≡Smyth S530, Ashcraft≡Ashcroft A261 — the h/w rule) block
+    together; unrelated names don't."""
+    from golden_horse_spark.operators.linking import phonetic_candidates
+
+    mentions = spark.createDataFrame(
+        [(1, "Robert"), (2, "Smith"), (3, "Ashcraft"), (4, "Jones")],
+        "mention_id int, surface string",
+    )
+    aliases = spark.createDataFrame(
+        [("Rupert", "e_rup"), ("Smyth", "e_smy"), ("Ashcroft", "e_ash"),
+         ("Robert", "e_rob"), ("Brown", "e_bro")],
+        "surface_form string, entity_id string",
+    )
+    got = sorted(
+        (r["mention_id"], r["entity_id"])
+        for r in phonetic_candidates(mentions, aliases).collect()
+    )
+    # exact self-pair (Robert,Robert) is excluded (exact_candidates' job)
+    assert got == [(1, "e_rup"), (2, "e_smy"), (3, "e_ash")]
+
+
+def test_blocking_metrics_formulas(spark):
+    from golden_horse_spark.operators.linking import blocking_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a int, id_b int"
+    )
+    true = spark.createDataFrame(
+        [(1, 2), (4, 5), (7, 8)], "id_a int, id_b int"
+    )
+    # dedup mode over 10 records: C(10,2) = 45 comparisons
+    r = blocking_metrics(cand, true, n_left=10).collect()[0]
+    assert (r["n_candidates"], r["n_true"], r["n_found"]) == (4, 3, 2)
+    assert abs(r["pair_completeness"] - 2 / 3) < 1e-12
+    assert abs(r["reduction_ratio"] - (1 - 4 / 45)) < 1e-12
+    # two-table mode
+    r2 = blocking_metrics(cand, true, n_left=5, n_right=9).collect()[0]
+    assert abs(r2["reduction_ratio"] - (1 - 4 / 45)) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        blocking_metrics(cand, true, n_left=1)
