@@ -585,3 +585,115 @@ def blocking_metrics(
         "n_candidates long, n_true long, n_found long, "
         "pair_completeness double, reduction_ratio double",
     )
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    agree_cols,
+    n_iter: int = 20,
+    prevalence: float = 0.1,
+    alpha: float = 0.5,
+    clamp: float = 1e-6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter weights via the two-class EM of
+    Winkler 1988 ("Using the EM algorithm for weight computation in the
+    Fellegi-Sunter model") — the estimation method the 1969 paper
+    actually calls for when no labels exist.
+
+    Model: each pair is a mixture of match/non-match classes with
+    per-field conditional-independence Bernoullis. E-step computes the
+    match responsibility of each pair from the current (π, m, u);
+    M-step re-estimates them from responsibility-weighted agreement
+    sums. Deterministic: fixed ``n_iter``, fixed init (mᵢ⁰ = 0.9,
+    uᵢ⁰ = the field's overall agreement rate, π⁰ = ``prevalence`` —
+    Winkler's standard start), no RNG. ``clamp`` keeps m/u inside
+    (clamp, 1−clamp) so log-weights stay finite; NULL γᵢ contributes
+    nothing to either step (missing-at-random, same treatment as
+    :func:`fs_weights`).
+
+    Distributed shape per iteration: the E-step is ONE codegen'd
+    projection (the responsibility is a closed-form expression with
+    literal m/u/π — no join), the M-step is ONE global aggregate
+    (2·k+1 conditional sums, map-side combined), and the k+1 numbers
+    collected per iteration are field-count-sized. n_iter · 2 jobs
+    total; the pair table is never shuffled. Output schema matches
+    :func:`fs_weights` (a_*/n_* carry the FINAL responsibility-weighted
+    sums rounded to longs for inspection; w_agree/w_disagree are the
+    EM weights) so :func:`fs_score` consumes either.
+    """
+    import math
+
+    if not agree_cols:
+        raise ValueError("fs_em_weights: empty agree_cols")
+    if not 0.0 < prevalence < 1.0:
+        raise ValueError("fs_em_weights: prevalence must be in (0,1)")
+    spark = pairs.sparkSession
+    k = len(agree_cols)
+
+    def _cl(x: float) -> float:
+        return min(max(x, clamp), 1.0 - clamp)
+
+    # init: u from observed agreement rates (one aggregate), m = 0.9
+    init = pairs.agg(
+        *[
+            F.avg(F.col(c).cast("boolean").cast("double")).alias(c)
+            for c in agree_cols
+        ]
+    ).collect()[0]
+    m = [0.9] * k
+    u = [_cl(init[c] if init[c] is not None else 0.5) for c in agree_cols]
+    pi = prevalence
+    pairs = pairs.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        # E-step expression: log-odds accumulation, NULL fields skip
+        log_odds = F.lit(math.log(pi) - math.log(1.0 - pi))
+        for i, c in enumerate(agree_cols):
+            g = F.col(c).cast("boolean")
+            log_odds = log_odds + (
+                F.when(g.isNull(), 0.0)
+                .when(g, F.lit(math.log(m[i]) - math.log(u[i])))
+                .otherwise(
+                    F.lit(math.log(1.0 - m[i]) - math.log(1.0 - u[i]))
+                )
+            )
+        r = F.lit(1.0) / (F.lit(1.0) + F.exp(-log_odds))
+        aggs = [F.sum(r).alias("_sr"), F.count("*").alias("_n")]
+        for c in agree_cols:
+            g = F.col(c).cast("boolean")
+            gd = g.cast("double")
+            aggs += [
+                F.sum(F.when(g.isNotNull(), r * gd)).alias(f"_rm_{c}"),
+                F.sum(F.when(g.isNotNull(), r)).alias(f"_nm_{c}"),
+                F.sum(F.when(g.isNotNull(), (1.0 - r) * gd)).alias(
+                    f"_ru_{c}"
+                ),
+                F.sum(F.when(g.isNotNull(), 1.0 - r)).alias(f"_nu_{c}"),
+            ]
+        row = pairs.agg(*aggs).collect()[0]
+        pi = _cl(row["_sr"] / row["_n"])
+        m = [
+            _cl((row[f"_rm_{c}"] + alpha) / (row[f"_nm_{c}"] + 2 * alpha))
+            for c in agree_cols
+        ]
+        u = [
+            _cl((row[f"_ru_{c}"] + alpha) / (row[f"_nu_{c}"] + 2 * alpha))
+            for c in agree_cols
+        ]
+    final = row
+    out = [
+        (
+            c,
+            int(round(final[f"_rm_{c}"])),
+            int(round(final[f"_nm_{c}"])),
+            int(round(final[f"_ru_{c}"])),
+            int(round(final[f"_nu_{c}"])),
+            math.log(m[i]) - math.log(u[i]),
+            math.log(1.0 - m[i]) - math.log(1.0 - u[i]),
+        )
+        for i, c in enumerate(agree_cols)
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, a_match long, n_match long, a_nonmatch long, "
+        "n_nonmatch long, w_agree double, w_disagree double",
+    )

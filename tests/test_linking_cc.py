@@ -641,3 +641,100 @@ def test_blocking_metrics_formulas(spark):
 
     with _pt.raises(ValueError, match="empty"):
         blocking_metrics(cand, true, n_left=1)
+
+
+def test_fs_em_matches_python_reference(spark):
+    """EM trajectory equality (to 1e-9) vs a from-the-paper python EM
+    on a planted two-class mixture, and sign sanity: informative
+    fields get w_agree > 0 > w_disagree with the match class found."""
+    import math
+    import random
+
+    from golden_horse_spark.operators.linking import fs_em_weights, fs_score
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        is_m = i % 10 == 0  # 10% true matches (hidden from the model)
+        p_name = 0.95 if is_m else 0.1
+        p_city = 0.9 if is_m else 0.3
+        rows.append(
+            (
+                i,
+                rng.random() < p_name,
+                rng.random() < p_city,
+                None if i % 17 == 0 else rng.random() < (0.8 if is_m else 0.2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "id int, g_name boolean, g_city boolean, g_extra boolean"
+    )
+    cols = ["g_name", "g_city", "g_extra"]
+    n_iter, alpha, clamp, prev = 7, 0.5, 1e-6, 0.1
+
+    def cl(x):
+        return min(max(x, clamp), 1 - clamp)
+
+    # python reference EM
+    data = [r[1:] for r in rows]
+    u = []
+    for j in range(3):
+        vals = [d[j] for d in data if d[j] is not None]
+        u.append(cl(sum(vals) / len(vals)))
+    m = [0.9] * 3
+    pi = prev
+    for _ in range(n_iter):
+        srm = [0.0] * 3
+        snm = [0.0] * 3
+        sru = [0.0] * 3
+        snu = [0.0] * 3
+        sr = 0.0
+        for d in data:
+            lo = math.log(pi) - math.log(1 - pi)
+            for j in range(3):
+                if d[j] is None:
+                    continue
+                lo += (
+                    math.log(m[j]) - math.log(u[j])
+                    if d[j]
+                    else math.log(1 - m[j]) - math.log(1 - u[j])
+                )
+            r = 1.0 / (1.0 + math.exp(-lo))
+            sr += r
+            for j in range(3):
+                if d[j] is None:
+                    continue
+                srm[j] += r * d[j]
+                snm[j] += r
+                sru[j] += (1 - r) * d[j]
+                snu[j] += 1 - r
+        pi = cl(sr / len(data))
+        m = [cl((srm[j] + alpha) / (snm[j] + 2 * alpha)) for j in range(3)]
+        u = [cl((sru[j] + alpha) / (snu[j] + 2 * alpha)) for j in range(3)]
+
+    wdf = fs_em_weights(df, cols, n_iter=n_iter, prevalence=prev, alpha=alpha)
+    got = {r["field"]: r.asDict() for r in wdf.collect()}
+    for j, c in enumerate(cols):
+        exp_wa = math.log(m[j]) - math.log(u[j])
+        exp_wd = math.log(1 - m[j]) - math.log(1 - u[j])
+        assert abs(got[c]["w_agree"] - exp_wa) < 1e-9, c
+        assert abs(got[c]["w_disagree"] - exp_wd) < 1e-9, c
+        assert got[c]["w_agree"] > 0 > got[c]["w_disagree"], c
+    # the EM weights feed fs_score unchanged (schema compatibility) and
+    # separate the planted classes on average
+    scored = fs_score(df, wdf, cols).collect()
+    sm = [r["fs_score"] for r in scored if r["id"] % 10 == 0]
+    su = [r["fs_score"] for r in scored if r["id"] % 10 != 0]
+    assert sum(sm) / len(sm) > sum(su) / len(su) + 1.0
+
+
+def test_fs_em_guards(spark):
+    from golden_horse_spark.operators.linking import fs_em_weights
+
+    df = spark.createDataFrame([(True,)], "g boolean")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        fs_em_weights(df, [])
+    with _pt.raises(ValueError, match="prevalence"):
+        fs_em_weights(df, ["g"], prevalence=1.5)
