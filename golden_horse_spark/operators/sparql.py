@@ -241,6 +241,8 @@ def sparql_select(
     *,
     where: str | None = None,
     optional=(),
+    not_exists=(),
+    minus=(),
     select=None,
     distinct: bool = True,
     allow_cartesian: bool = False,
@@ -257,10 +259,17 @@ def sparql_select(
     paths. ``where``: a FILTER as a Spark SQL boolean expression over
     the variable names (e.g. ``"length(c) > 10"``). ``optional``: a
     list of pattern groups, each left-joined on its shared variables
-    (SPARQL OPTIONAL; unmatched rows carry nulls). ``select``: ordered
-    output variables (default: all, sorted). ``distinct``: SPARQL
-    SELECT DISTINCT (default True — set membership, the algebra's
-    default for comparing against SQL twins).
+    (SPARQL OPTIONAL; unmatched rows carry nulls). ``not_exists`` /
+    ``minus``: lists of pattern groups removing solutions (§8.3): each
+    compiles to ONE left-anti join on the shared variables — for
+    groups whose only free variables are shared ones the two
+    constructs coincide (the common case); a MINUS group sharing NO
+    variable removes nothing (per spec) while NOT EXISTS would be a
+    correlated filter — that divergent case raises
+    NotImplementedError rather than silently picking one. ``select``:
+    ordered output variables (default: all, sorted). ``distinct``:
+    SPARQL SELECT DISTINCT (default True — set membership, the
+    algebra's default for comparing against SQL twins).
 
     Returns one column per selected variable.
     """
@@ -296,9 +305,69 @@ def sparql_select(
             )
         out = out.join(g, on=shared, how="left")
         bgp_vars |= set(g.columns)
+    for kind, groups in (("not_exists", not_exists), ("minus", minus)):
+        for group in groups:
+            g_scans = [
+                (
+                    _scan_pattern(triples, p, subj, pred, obj, max_path_hops),
+                    _n_bound(p),
+                )
+                for p in group
+            ]
+            g = _join_group(g_scans, allow_cartesian)
+            shared = sorted(set(g.columns) & bgp_vars)
+            if not shared:
+                if kind == "minus":
+                    continue  # spec: disjoint MINUS removes nothing
+                raise NotImplementedError(
+                    "sparql_select: NOT EXISTS group sharing no variable "
+                    "is a correlated existence filter — not supported"
+                )
+            out = out.join(g.select(*shared).distinct(), shared, "left_anti")
     if where is not None:
         out = out.where(F.expr(where))
     cols = select if select is not None else sorted(out.columns)
+    out = out.select(*[_vname(c) if _is_var(c) else c for c in cols])
+    return out.distinct() if distinct else out
+
+
+def sparql_union(
+    triples: DataFrame,
+    groups,
+    *,
+    select=None,
+    distinct: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """SPARQL UNION (§6.2): evaluate each pattern group as its own BGP
+    and take the union of solution sequences — groups may bind
+    DIFFERENT variable sets; variables absent from a branch come back
+    null in that branch's rows (the spec's unbound). ``select`` defaults
+    to the sorted union of all branches' variables. Each branch accepts
+    nothing fancier than the plain BGP (compose with sparql_select's
+    OPTIONAL/FILTER by pre-building branches if needed)."""
+    if not groups:
+        raise ValueError("sparql_union: empty group list")
+    branches = [
+        sparql_select(triples, g, distinct=False, **kwargs) for g in groups
+    ]
+    all_vars = sorted({c for b in branches for c in b.columns})
+    # unbound nulls take the type the variable has where it IS bound
+    vtypes = {}
+    for b in branches:
+        for f in b.schema.fields:
+            vtypes.setdefault(f.name, f.dataType)
+    out = None
+    for b in branches:
+        aligned = b.select(
+            *[
+                F.col(v) if v in b.columns
+                else F.lit(None).cast(vtypes[v]).alias(v)
+                for v in all_vars
+            ]
+        )
+        out = aligned if out is None else out.unionByName(aligned)
+    cols = select if select is not None else all_vars
     out = out.select(*[_vname(c) if _is_var(c) else c for c in cols])
     return out.distinct() if distinct else out
 

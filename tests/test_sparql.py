@@ -488,3 +488,71 @@ def test_rdfs_closure_cyclic_schema_equivalence(spark):
     assert got == _rdfs_py(rows)
     assert ("A", SCO, "A") in got and ("B", SCO, "B") in got
     assert ("x", TYP, "B") in got
+
+
+# ---------- UNION / NOT EXISTS / MINUS ----------
+
+
+def test_union_branches_and_unbound_nulls(tdf):
+    from golden_horse_spark.operators.sparql import sparql_union
+
+    got = _rows(
+        sparql_union(
+            tdf,
+            [
+                [("?p", "worksAt", "acme")],
+                [("?p", "knows", "erin"), ("?p", "likes", "?x")],
+            ],
+        )
+    )
+    # branch 1 binds only ?p (x unbound → null); branch 2: dave knows
+    # erin AND dave likes erin
+    assert got == [("alice", None), ("bob", None), ("dave", "erin")]
+
+
+def test_union_empty_groups_raise(tdf):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.sparql import sparql_union
+
+    with _pt.raises(ValueError, match="empty"):
+        sparql_union(tdf, [])
+
+
+def test_not_exists_removes_matching_solutions(tdf):
+    # people and employers, except anyone who knows dave
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            not_exists=[[("?p", "knows", "dave")]],
+            select=["?p", "?c"],
+        )
+    )
+    base = _expected(TRIPLES, [("?p", "worksAt", "?c")], ["p", "c"])
+    knows_dave = {s for s, pr, o in TRIPLES if pr == "knows" and o == "dave"}
+    assert got == [t for t in base if t[0] not in knows_dave]
+
+
+def test_minus_disjoint_group_removes_nothing(tdf):
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            minus=[[("?x", "locatedIn", "?y")]],
+            select=["?p", "?c"],
+        )
+    )
+    assert got == _expected(TRIPLES, [("?p", "worksAt", "?c")], ["p", "c"])
+
+
+def test_not_exists_disjoint_raises(tdf):
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="correlated"):
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            not_exists=[[("?x", "locatedIn", "?y")]],
+            select=["?p"],
+        )
