@@ -625,6 +625,8 @@ def fs_em_weights(
 
     if not agree_cols:
         raise ValueError("fs_em_weights: empty agree_cols")
+    if n_iter < 1:
+        raise ValueError("fs_em_weights: n_iter must be ≥ 1")
     if not 0.0 < prevalence < 1.0:
         raise ValueError("fs_em_weights: prevalence must be in (0,1)")
     spark = pairs.sparkSession
