@@ -726,6 +726,127 @@ def run_dedup_bench(spark, n_docs: int = 100_000) -> dict:
     }
 
 
+def run_sparql_bench(spark, n_triples: int = 5_000_000) -> dict:
+    """SPARQL/ρdf/SHACL layer at 10^6-triple scale: a 3-level synthetic
+    KG (users —bought→ items —in_cat→ cats —in_region→ regions, ids
+    deterministic xxhash64 draws) through the four workloads a KG user
+    actually runs — a bound-constant 3-pattern BGP join, the full
+    within+ property-path closure, the ρdf entailment pass (spo ⊑ +
+    dom/rng typing + sco inheritance over ALL instance triples), and a
+    4-constraint SHACL validation. Inputs localCheckpointed out of the
+    timings."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.sparql import (
+        OneOrMore,
+        ShClass,
+        ShMaxCount,
+        ShMinCount,
+        ShPattern,
+        rdfs_closure,
+        shacl_validate,
+        sparql_select,
+    )
+
+    n_items = max(n_triples // 10, 1000)
+    n_cats = max(n_triples // 1000, 50)
+    n_regions = 20
+    bought = spark.range(n_triples).select(
+        F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(n_triples // 5))).alias("subj"),
+        F.lit("bought").alias("pred"),
+        F.concat(F.lit("i"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_items))).alias("obj"),
+    )
+    in_cat = spark.range(n_items).select(
+        F.concat(F.lit("i"), F.col("id")).alias("subj"),
+        F.lit("in_cat").alias("pred"),
+        F.concat(F.lit("c"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_cats))).alias("obj"),
+    )
+    in_region = spark.range(n_cats).select(
+        F.concat(F.lit("c"), F.col("id")).alias("subj"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_regions))).alias("obj"),
+    )
+    # explicit types for 90% of items (the SHACL class check finds the
+    # missing 10%)
+    item_types = spark.range(n_items).where(F.col("id") % 10 != 0).select(
+        F.concat(F.lit("i"), F.col("id")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("Item").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("bought", "rdfs:subPropertyOf", "interacted"),
+            ("in_cat", "rdfs:subPropertyOf", "within"),
+            ("in_region", "rdfs:subPropertyOf", "within"),
+            ("interacted", "rdfs:range", "Thing"),
+            ("in_region", "rdfs:range", "Region"),
+            ("Item", "rdfs:subClassOf", "Thing"),
+            ("Region", "rdfs:subClassOf", "Place"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    kg = (
+        bought.unionByName(in_cat).unionByName(in_region)
+        .unionByName(item_types).unionByName(onto)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .localCheckpoint()
+    )
+    n_kg = kg.count()
+
+    t0 = _t.time()
+    n_bgp = sparql_select(
+        kg,
+        [
+            ("?u", "bought", "?i"),
+            ("?i", "in_cat", "?c"),
+            ("?c", "in_region", "r0"),
+        ],
+        select=["?u", "?i"],
+    ).count()
+    bgp_sec = round(_t.time() - t0, 2)
+
+    t0 = _t.time()
+    closed = rdfs_closure(kg).localCheckpoint()
+    n_closed = closed.count()
+    rdfs_sec = round(_t.time() - t0, 2)
+    assert n_closed > n_kg
+
+    t0 = _t.time()
+    n_path = sparql_select(
+        closed,
+        [("?x", OneOrMore("within"), "?y"), ("?y", "rdf:type", "Region")],
+        select=["?x", "?y"],
+        max_path_hops=4,
+    ).count()
+    path_sec = round(_t.time() - t0, 2)
+
+    t0 = _t.time()
+    n_viol = shacl_validate(
+        closed,
+        [
+            ShClass("bought-item", "bought", "Item", on="obj"),
+            ShMinCount("item-cat", "Item", "in_cat", 1),
+            ShMaxCount("one-cat", "in_cat", 1),
+            ShPattern("region-ids", "in_region", "^r[0-9]+$"),
+        ],
+    ).groupBy("constraint").count().count()
+    shacl_sec = round(_t.time() - t0, 2)
+
+    return {
+        "n_triples": n_kg,
+        "n_bgp": n_bgp,
+        "n_closed": n_closed,
+        "n_path_pairs": n_path,
+        "n_shacl_firing": n_viol,
+        "bgp_sec": bgp_sec,
+        "rdfs_sec": rdfs_sec,
+        "path_sec": path_sec,
+        "shacl_sec": shacl_sec,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
@@ -741,6 +862,9 @@ def main() -> None:
     ap.add_argument("--dedup", action="store_true",
                     help="end-to-end fuzzy dedup 10^5-doc bench only")
     ap.add_argument("--dedup-docs", type=int, default=100_000)
+    ap.add_argument("--sparql", action="store_true",
+                    help="SPARQL/rdfs/SHACL 10^6-triple bench only")
+    ap.add_argument("--sparql-triples", type=int, default=5_000_000)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -777,6 +901,20 @@ def main() -> None:
         out = {"metric": "cc_graph_bench", "unit": "sec"}
         out.update(run_cc_bench(spark))
         out["value"] = out["cc_sec"]
+        print(json.dumps(out))
+        return
+
+    if args.sparql:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-sparql", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "sparql_layer_bench", "unit": "sec"}
+        out.update(run_sparql_bench(spark, args.sparql_triples))
+        out["value"] = (
+            out["bgp_sec"] + out["rdfs_sec"] + out["path_sec"]
+            + out["shacl_sec"]
+        )
         print(json.dumps(out))
         return
 

@@ -728,3 +728,64 @@ def rdfs_closure(
     return out.select(
         F.col("s").alias(subj), F.col("p").alias(pred), F.col("o").alias(obj)
     )
+
+
+def resolve_same_as(
+    triples: DataFrame,
+    *,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    same_pred: str = "owl:sameAs",
+    keep_same_as: bool = False,
+) -> DataFrame:
+    """owl:sameAs smushing — the triple-level form of the pipeline's
+    entity canonicalization: connected components over the (symmetric,
+    transitive) sameAs graph pick one canonical id per identity cluster
+    (the component minimum — deterministic), then every subject AND
+    object is rewritten to its canonical representative. The sameAs
+    statements themselves are dropped by default (they are now
+    tautologies); ``keep_same_as=True`` preserves them rewritten.
+    Output is distinct: statements that differed only via aliases
+    collapse to one canonical triple.
+
+    Scale shape: the sameAs edge set is a tiny slice of the KG (it
+    only grows with duplicate-identity density, not corpus size), so
+    the CC rounds run on that slice alone
+    (:func:`~golden_horse_spark.operators.canonicalize.connected_components`
+    — co-partitioned hash-to-min rounds); the big table is touched by
+    exactly two left joins on the canonical map + one distinct. The
+    map is (alias → canonical), component-count-sized; Catalyst/AQE
+    broadcasts it when it fits.
+    """
+    from .canonicalize import connected_components
+
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    )
+    same = t.where(F.col("p") == same_pred)
+    rest = t if keep_same_as else t.where(F.col("p") != same_pred)
+    if same.limit(1).count() == 0:
+        return rest.select(
+            F.col("s").alias(subj), F.col("p").alias(pred),
+            F.col("o").alias(obj),
+        ).distinct()
+    cc = connected_components(same, src="s", dst="o")
+    smap = (
+        cc.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("_alias"), F.col("component").alias("_canon"))
+    )
+    out = (
+        rest.join(smap, rest["s"] == smap["_alias"], "left")
+        .select(
+            F.coalesce("_canon", "s").alias("s"), "p", "o",
+        )
+        .join(smap, F.col("o") == smap["_alias"], "left")
+        .select(
+            "s", "p", F.coalesce("_canon", "o").alias("o"),
+        )
+        .distinct()
+    )
+    return out.select(
+        F.col("s").alias(subj), F.col("p").alias(pred), F.col("o").alias(obj)
+    )

@@ -556,3 +556,53 @@ def test_not_exists_disjoint_raises(tdf):
             not_exists=[[("?x", "locatedIn", "?y")]],
             select=["?p"],
         )
+
+
+# ---------- owl:sameAs resolution ----------
+
+
+def test_same_as_smushing(spark):
+    from golden_horse_spark.operators.sparql import resolve_same_as
+
+    rows = [
+        ("a1", "owl:sameAs", "a2"),
+        ("a3", "owl:sameAs", "a2"),       # chain: {a1,a2,a3} → a1
+        ("b1", "owl:sameAs", "b2"),       # {b1,b2} → b1
+        ("a2", "knows", "b2"),
+        ("a3", "knows", "b1"),            # collapses onto (a1 knows b1)
+        ("a1", "worksAt", "acme"),
+        ("z", "knows", "a3"),
+        ("plain", "knows", "alone"),
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(map(tuple, resolve_same_as(tdf).collect()))
+    assert got == [
+        ("a1", "knows", "b1"),
+        ("a1", "worksAt", "acme"),
+        ("plain", "knows", "alone"),
+        ("z", "knows", "a1"),
+    ]
+
+
+def test_same_as_keep_rewritten(spark):
+    from golden_horse_spark.operators.sparql import resolve_same_as
+
+    rows = [
+        ("a1", "owl:sameAs", "a2"),
+        ("a2", "knows", "x"),
+    ]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(
+        map(tuple, resolve_same_as(tdf, keep_same_as=True).collect())
+    )
+    # the sameAs statement smushes to the tautology (a1 sameAs a1)
+    assert got == [("a1", "knows", "x"), ("a1", "owl:sameAs", "a1")]
+
+
+def test_same_as_no_statements_is_passthrough(spark):
+    from golden_horse_spark.operators.sparql import resolve_same_as
+
+    rows = [("a", "p", "b"), ("a", "p", "b"), ("b", "q", "c")]
+    tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(map(tuple, resolve_same_as(tdf).collect()))
+    assert got == [("a", "p", "b"), ("b", "q", "c")]
