@@ -454,3 +454,62 @@ def curate_documents_stream(
         .withColumn("keep_mixture", km)
         .withColumn("keep", kq & km)
     )
+
+
+def streaming_entity_resolution(
+    edges_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> None:
+    """Streaming incremental entity resolution: each micro-batch of new
+    identity edges (mention↔entity, sameAs, dup pairs — anything CC
+    over) is folded into the persisted ``(node, component)`` assignment
+    with :func:`~golden_horse_spark.operators.canonicalize.
+    merge_components`. Because the incremental merge provably equals
+    from-scratch CC (quotient-graph contraction, min-label canonical —
+    tested batch-for-batch), the stream's state after N batches is
+    byte-identical to rerunning CC over everything seen — regardless of
+    how the edges were split into batches.
+
+    State lives as a parquet dir swapped atomically per batch
+    (write to ``<state_dir>.next`` → rename), NOT in the Spark state
+    store: the assignment is a corpus-scale table and per-key stateful
+    operators would shuffle all of it every batch, while merge_components
+    touches it with two lookup joins and runs CC rounds only on the
+    batch-sized contracted delta. foreachBatch + availableNow gives
+    exactly-once batch boundaries via the stream checkpoint; a batch
+    replayed after a crash re-merges the same edges, which is IDEMPOTENT
+    (merging already-merged edges changes nothing), so the rename seam
+    is safe.
+    """
+    import os
+    import shutil
+
+    from ..operators.canonicalize import connected_components, merge_components
+
+    spark = edges_stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(src, dst)
+        if batch_df.limit(1).count() == 0:
+            return
+        if os.path.exists(state_dir):
+            assignment = spark.read.parquet(state_dir)
+            out = merge_components(assignment, batch_df, src=src, dst=dst)
+        else:
+            out = connected_components(batch_df, src=src, dst=dst)
+        nxt = state_dir + ".next"
+        out.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(nxt, state_dir)
+
+    q = (
+        edges_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -594,3 +594,60 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path_factory):
         }
         assert got == want
         assert len(got) <= depth * width
+
+
+def test_streaming_entity_resolution_matches_full_cc(spark, tmp_path_factory):
+    """Two waves of edge files through streaming_entity_resolution; the
+    persisted assignment equals from-scratch CC over everything, and
+    the second run resumes from the stream checkpoint (wave-1 files are
+    not re-read — idempotent anyway, asserted by equality)."""
+    import random
+
+    from golden_horse_spark.operators.canonicalize import connected_components
+    from golden_horse_spark.streaming.stream import streaming_entity_resolution
+
+    base = tmp_path_factory.mktemp("ser")
+    in_dir, state, ckpt = base / "in", base / "state", base / "ckpt"
+    in_dir.mkdir()
+    rng = random.Random(3)
+    wave1 = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(30)]
+    wave2 = [(rng.randint(20, 70), rng.randint(20, 70)) for _ in range(30)]
+    wave1 = [(a, b) for a, b in wave1 if a != b]
+    wave2 = [(a, b) for a, b in wave2 if a != b]
+    schema = "src int, dst int"
+
+    def run_wave(edges):
+        spark.createDataFrame(edges, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        stream = (
+            spark.readStream.schema(schema).parquet(str(in_dir))
+        )
+        streaming_entity_resolution(
+            stream, str(state), str(ckpt)
+        )
+
+    run_wave(wave1)
+    mid = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    exp_mid = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame(wave1, schema)
+        ).collect()
+    }
+    assert mid == exp_mid
+    run_wave(wave2)
+    got = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    exp = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame(wave1 + wave2, schema)
+        ).collect()
+    }
+    assert got == exp
