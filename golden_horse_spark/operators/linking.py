@@ -699,3 +699,47 @@ def fs_em_weights(
         "field string, a_match long, n_match long, a_nonmatch long, "
         "n_nonmatch long, w_agree double, w_disagree double",
     )
+
+
+def sorted_neighborhood_candidates(
+    records: DataFrame,
+    key_col: str,
+    id_col: str = "id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD 1995):
+    sort records by a fuzzy blocking key, slide a window of size
+    ``window``, emit every pair co-resident in some window — i.e. all
+    pairs within ``window − 1`` positions of each other in sort order.
+    Output (id_a, id_b, key_a, key_b), id_a/id_b ordered by sort
+    position. Deterministic: ties in the key break on ``id_col``.
+
+    Physical shape: ONE global sort (rank = row_number over a range-
+    partitioned order — Spark plans the window with a single exchange)
+    + an explode of the ``window − 1`` offsets + one equi-join of the
+    ranked table with itself on ``rank + off`` — candidate volume is
+    exactly n·(window−1), linear in the corpus, never quadratic. The
+    classic multi-pass variant is just a union of calls with different
+    ``key_col``s.
+    """
+    from pyspark.sql import Window as W
+
+    if window < 2:
+        raise ValueError("sorted_neighborhood_candidates: window must be ≥ 2")
+    ranked = records.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_key")
+    ).withColumn(
+        "_rk",
+        F.row_number().over(W.orderBy(F.col("_key"), F.col("_id"))),
+    )
+    left = ranked.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"), "_rk"
+    ).withColumn("_off", F.explode(F.array(*[F.lit(i) for i in range(1, window)])))
+    right = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"),
+        F.col("_rk").alias("_rk_b"),
+    )
+    return (
+        left.join(right, left["_rk"] + left["_off"] == right["_rk_b"])
+        .select("id_a", "id_b", "key_a", "key_b")
+    )

@@ -802,3 +802,33 @@ def test_merge_components_disjoint_and_selfloop_delta(spark):
         for r in merge_components(cc0, delta).collect()
     }
     assert got == {(1, 1), (2, 1), (50, 50), (51, 50), (7, 7)}
+
+
+def test_sorted_neighborhood_vs_python(spark):
+    from golden_horse_spark.operators.linking import (
+        sorted_neighborhood_candidates,
+    )
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "adams"), (4, "smithe"),
+        (5, "adamson"), (6, "zeta"), (7, "adams"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    for w in (2, 3, 4):
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_candidates(
+                df, "name", window=w
+            ).collect()
+        )
+        order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+        exp = sorted(
+            (order[i], order[j])
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w, len(order)))
+        )
+        assert got == exp, w
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        sorted_neighborhood_candidates(df, "name", window=1)
