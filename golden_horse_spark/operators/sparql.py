@@ -243,6 +243,8 @@ def sparql_select(
     optional=(),
     not_exists=(),
     minus=(),
+    values=None,
+    bind=None,
     select=None,
     distinct: bool = True,
     allow_cartesian: bool = False,
@@ -266,7 +268,16 @@ def sparql_select(
     constructs coincide (the common case); a MINUS group sharing NO
     variable removes nothing (per spec) while NOT EXISTS would be a
     correlated filter — that divergent case raises
-    NotImplementedError rather than silently picking one. ``select``:
+    NotImplementedError rather than silently picking one. ``values``:
+    inline data (W3C sparql11-query §10.2) as ``(("?v", …), [row, …])``
+    — joined into the solution set on the shared variables (broadcast:
+    VALUES blocks are literal and tiny by construction; with NO shared
+    variable it is the spec's cartesian extension). ``bind``: dict
+    ``{"?new": sql_expr}`` (§10.1 BIND/extend) — each expression is a
+    Spark SQL string over the variable names (no ``?``), applied after
+    OPTIONAL so it can see optional bindings, before FILTER.
+    Evaluation order: BGP → VALUES → OPTIONAL → BIND → NOT EXISTS /
+    MINUS → FILTER → projection → DISTINCT. ``select``:
     ordered output variables (default: all, sorted). ``distinct``:
     SPARQL SELECT DISTINCT (default True — set membership, the
     algebra's default for comparing against SQL twins).
@@ -289,6 +300,21 @@ def sparql_select(
     ]
     out = _join_group(scans, allow_cartesian)
     bgp_vars = set(out.columns)
+    if values is not None:
+        vvars, vrows = values
+        names = [_vname(v) if _is_var(v) else v for v in vvars]
+        if not names or not vrows:
+            raise ValueError("sparql_select: VALUES needs vars and rows")
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) if isinstance(r, (tuple, list)) else (r,) for r in vrows],
+            ", ".join(f"{n} string" for n in names),
+        )
+        shared = sorted(set(names) & bgp_vars)
+        if shared:
+            out = out.join(F.broadcast(vdf), on=shared, how="inner")
+        else:
+            out = out.crossJoin(F.broadcast(vdf))
+        bgp_vars |= set(names)
     for group in optional:
         g_scans = [
             (
@@ -305,6 +331,16 @@ def sparql_select(
             )
         out = out.join(g, on=shared, how="left")
         bgp_vars |= set(g.columns)
+    if bind:
+        for var, expr in bind.items():
+            v = _vname(var) if _is_var(var) else var
+            if v in bgp_vars:
+                raise ValueError(
+                    f"sparql_select: BIND target ?{v} is already bound "
+                    "(SPARQL §10.1 forbids rebinding)"
+                )
+            out = out.withColumn(v, F.expr(expr))
+            bgp_vars.add(v)
     for kind, groups in (("not_exists", not_exists), ("minus", minus)):
         for group in groups:
             g_scans = [
@@ -370,6 +406,102 @@ def sparql_union(
     cols = select if select is not None else all_vars
     out = out.select(*[_vname(c) if _is_var(c) else c for c in cols])
     return out.distinct() if distinct else out
+
+
+def group_concat(var: str, sep: str = " ") -> str:
+    """SPARQL ``GROUP_CONCAT`` as a Spark SQL aggregate expression —
+    DETERMINISTIC by construction: the spec leaves concatenation order
+    undefined (engine/partitioning-dependent), so this sorts the
+    collected values first. ``collect_list`` is bounded by the group's
+    value count — same contract as SPARQL itself (a group's
+    concatenation is one output string; don't GROUP_CONCAT a
+    corpus-sized group)."""
+    v = _vname(var) if _is_var(var) else var
+    sq = sep.replace("'", "\\'")
+    return f"concat_ws('{sq}', sort_array(collect_list({v})))"
+
+
+def sample_of(var: str) -> str:
+    """SPARQL ``SAMPLE`` as a Spark SQL aggregate expression. The spec
+    allows ANY member; ``min`` is the deterministic choice (stable
+    across runs, partitionings, and engines — the property every oracle
+    and every resumable pipeline here relies on)."""
+    v = _vname(var) if _is_var(var) else var
+    return f"min({v})"
+
+
+def sparql_agg(
+    triples: DataFrame,
+    patterns,
+    aggregates: dict,
+    *,
+    group_by=(),
+    having: str | None = None,
+    order_by=(),
+    limit: int | None = None,
+    offset: int = 0,
+    **kwargs,
+) -> DataFrame:
+    """SPARQL 1.1 GROUP BY / aggregates / HAVING (§11) + the solution
+    modifiers ORDER BY / LIMIT / OFFSET (§15) over a BGP.
+
+    ``patterns`` and any keyword accepted by :func:`sparql_select`
+    (``optional``, ``values``, ``bind``, ``where``, …) define the group
+    graph pattern; aggregation runs over the solution MULTISET
+    (§18.5 — never the distinct set, so the group pattern is evaluated
+    with ``distinct=False``). ``aggregates`` maps output column →
+    Spark SQL aggregate expression over the variable names (no ``?``),
+    e.g. ``{"n": "count(*)", "langs": group_concat("?lang", ",")}`` —
+    COUNT/SUM/MIN/MAX/AVG are spelled directly; GROUP_CONCAT and
+    SAMPLE via the deterministic helpers above. ``group_by``: grouping
+    variables (empty = one global group, like SPARQL). ``having``: SQL
+    boolean over grouping vars + aggregate outputs. ``order_by``:
+    columns, ``-col`` for DESC — ties NOT broken implicitly, pass a
+    unique tiebreak column for deterministic LIMIT results.
+
+    Scale shape: ONE hash aggregate with map-side partial combine
+    (Catalyst's partial+final split — the same plan a hand-written
+    groupBy gets); ``order_by``+``limit`` with ``offset=0`` compiles to
+    TakeOrdered (a per-partition top-k then a driver merge — no global
+    sort ever materializes). ``offset>0`` requires ``order_by`` and
+    pays ONE single-partition row_number window over the aggregated
+    (group-count-sized, not corpus-sized) result — OFFSET is a
+    presentation-layer modifier; don't page through a billion groups
+    with it.
+    """
+    if not aggregates:
+        raise ValueError("sparql_agg: empty aggregates dict")
+    if offset and not order_by:
+        raise ValueError(
+            "sparql_agg: OFFSET without ORDER BY is non-deterministic"
+        )
+    sol = sparql_select(triples, patterns, distinct=False, **kwargs)
+    gvars = [_vname(v) if _is_var(v) else v for v in group_by]
+    aggs = [F.expr(e).alias(n) for n, e in aggregates.items()]
+    out = sol.groupBy(*gvars).agg(*aggs) if gvars else sol.agg(*aggs)
+    if having is not None:
+        out = out.where(F.expr(having))
+    order_cols = [
+        F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+        for c in order_by
+    ]
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > offset)
+        )
+        if limit is not None:
+            out = out.where(F.col("_rn") <= offset + limit)
+        out = out.drop("_rn")
+    else:
+        if order_cols:
+            out = out.orderBy(*order_cols)
+        if limit is not None:
+            out = out.limit(limit)
+    return out
 
 
 def sparql_construct(

@@ -606,3 +606,180 @@ def test_same_as_no_statements_is_passthrough(spark):
     tdf = spark.createDataFrame(rows, "subj string, pred string, obj string")
     got = sorted(map(tuple, resolve_same_as(tdf).collect()))
     assert got == [("a", "p", "b"), ("b", "q", "c")]
+
+
+# ---------- VALUES / BIND / aggregates (§10, §11, §15) ----------
+
+
+def test_values_restricts_on_shared_var(tdf):
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            values=(("?c",), [("acme",)]),
+            select=["?p", "?c"],
+        )
+    )
+    base = _expected(TRIPLES, [("?p", "worksAt", "?c")], ["p", "c"])
+    assert got == [t for t in base if t[1] == "acme"]
+    assert got  # non-trivial
+
+
+def test_values_disjoint_is_cartesian_extension(tdf):
+    # VALUES introducing a brand-new variable: spec §10.2 extends every
+    # solution with each inline row.
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "acme")],
+            values=(("?tag",), [("x",), ("y",)]),
+            select=["?p", "?tag"],
+        )
+    )
+    ppl = sorted(
+        {s for s, pr, o in TRIPLES if pr == "worksAt" and o == "acme"}
+    )
+    assert got == sorted((p, t) for p in ppl for t in ("x", "y"))
+
+
+def test_bind_extends_and_filter_sees_it(tdf):
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            bind={"?ln": "length(p)"},
+            where="ln >= 5",
+            select=["?p", "?ln"],
+        )
+    )
+    base = _expected(TRIPLES, [("?p", "worksAt", "?c")], ["p"])
+    exp = sorted((p, len(p)) for (p,) in base if len(p) >= 5)
+    assert got == exp
+    assert got
+
+
+def test_bind_rebinding_raises(tdf):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already bound"):
+        sparql_select(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            bind={"?p": "upper(c)"},
+            select=["?p"],
+        )
+
+
+def _agg_expected(patterns, group_vars, select_vars=None):
+    """Brute-force §11: group the solution MULTISET, count members."""
+    from collections import Counter
+
+    sols = _bgp(TRIPLES, patterns)
+    cnt = Counter(tuple(s[v] for v in group_vars) for s in sols)
+    return sorted((*k, n) for k, n in cnt.items())
+
+
+def test_agg_count_is_multiset_not_set(tdf):
+    from golden_horse_spark.operators.sparql import sparql_agg
+
+    # two knows-paths land in globex, one in acme; DISTINCT projection
+    # would collapse both groups to 1 — the multiset count must not.
+    pats = [("?a", "knows", "?b"), ("?b", "worksAt", "?c")]
+    got = _rows(
+        sparql_agg(tdf, pats, {"n": "count(*)"}, group_by=["?c"])
+    )
+    assert got == _agg_expected(pats, ["c"])
+    assert dict(got)["globex"] == 2  # the multiset-sensitive group
+
+
+def test_agg_global_group_and_avg(tdf):
+    from golden_horse_spark.operators.sparql import sparql_agg
+
+    row = sparql_agg(
+        tdf,
+        [("?p", "worksAt", "?c")],
+        {"n": "count(*)", "avg_len": "avg(length(p))"},
+    ).collect()[0]
+    ppl = [s for s, pr, o in TRIPLES if pr == "worksAt"]
+    assert row["n"] == len(ppl)
+    assert abs(row["avg_len"] - sum(map(len, ppl)) / len(ppl)) < 1e-12
+
+
+def test_agg_group_concat_and_sample_deterministic(tdf):
+    from golden_horse_spark.operators.sparql import (
+        group_concat,
+        sample_of,
+        sparql_agg,
+    )
+
+    got = {
+        r["c"]: (r["members"], r["one"])
+        for r in sparql_agg(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            {"members": group_concat("?p", ","), "one": sample_of("?p")},
+            group_by=["?c"],
+        ).collect()
+    }
+    assert got["acme"] == ("alice,bob", "alice")
+    assert got["globex"] == ("carol,erin", "carol")
+
+
+def test_agg_having_order_limit_offset(tdf):
+    from golden_horse_spark.operators.sparql import sparql_agg
+
+    pats = [("?a", "knows", "?b")]
+    # per-source out-degree: alice 2, bob 1, carol 1, dave 1
+    full = sparql_agg(
+        tdf, pats, {"n": "count(*)"}, group_by=["?a"],
+        order_by=["-n", "a"],
+    ).collect()
+    assert [(r["a"], r["n"]) for r in full] == [
+        ("alice", 2), ("bob", 1), ("carol", 1), ("dave", 1)
+    ]
+    top = sparql_agg(
+        tdf, pats, {"n": "count(*)"}, group_by=["?a"],
+        order_by=["-n", "a"], limit=2,
+    ).collect()
+    assert [(r["a"], r["n"]) for r in top] == [("alice", 2), ("bob", 1)]
+    paged = sparql_agg(
+        tdf, pats, {"n": "count(*)"}, group_by=["?a"],
+        order_by=["-n", "a"], limit=2, offset=1,
+    ).collect()
+    assert [(r["a"], r["n"]) for r in paged] == [("bob", 1), ("carol", 1)]
+    having = sparql_agg(
+        tdf, pats, {"n": "count(*)"}, group_by=["?a"], having="n >= 2",
+    ).collect()
+    assert [(r["a"], r["n"]) for r in having] == [("alice", 2)]
+
+
+def test_agg_offset_without_order_raises(tdf):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.sparql import sparql_agg
+
+    with _pt.raises(ValueError, match="OFFSET"):
+        sparql_agg(
+            tdf, [("?a", "knows", "?b")], {"n": "count(*)"},
+            group_by=["?a"], offset=1,
+        )
+
+
+def test_agg_composes_with_values_and_bind(tdf):
+    from golden_horse_spark.operators.sparql import sparql_agg
+
+    got = _rows(
+        sparql_agg(
+            tdf,
+            [("?p", "worksAt", "?c")],
+            {"total": "sum(ln)"},
+            group_by=["?c"],
+            values=(("?c",), [("acme",), ("globex",)]),
+            bind={"?ln": "length(p)"},
+        )
+    )
+    exp = {}
+    for s, pr, o in TRIPLES:
+        if pr == "worksAt":
+            exp[o] = exp.get(o, 0) + len(s)
+    assert got == sorted(exp.items())
