@@ -1195,6 +1195,279 @@ def modularity(
     return float(row["q"])
 
 
+def _sever(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (local checkpoint) and rebuild it from the
+    checkpointed JVM RDD via the public ``createDataFrame(RDD[Row],
+    schema)`` API — a COMPLETE logical-plan break, stats included.
+
+    Why ``localCheckpoint`` alone is not enough here: Spark 4's
+    ``LogicalRDD.fromDataset`` keeps a stats/constraints REWRITE of the
+    origin plan (``rewriteStatsAndConstraints``), evaluated through the
+    origin's children — so a loop that chains checkpoints (louvain's
+    sweeps: the new label table references the previous one ~4 times)
+    makes each checkpoint's stats estimation re-walk rewritten copies
+    of the whole history: cost ≈ branching^rounds. Observed: louvain
+    level 3 hung for minutes inside ``localCheckpoint`` in
+    ``SizeInBytesOnlyStatsPlanVisitor`` on a 14-node graph. The RDD
+    round-trip (JVM-side row conversion only — no Python crossing, one
+    extra map over the node-sized table) yields a LogicalRDD with
+    default stats and NO origin reference, restoring O(plan) cost per
+    round. PageRank/LPA tolerate the rewrite because their round plans
+    reference the previous state once or twice over few fixed rounds;
+    any operator chaining ≥3 references per round for many rounds needs
+    this severing."""
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.createDataFrame(
+        ck._jdf.javaRDD(), ck._jdf.schema()
+    )
+    return DataFrame(jdf, spark)
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    resolution: float = 1.0,
+    max_levels: int = 4,
+    max_sweeps: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Louvain community detection (Blondel et al. 2008) over the
+    undirected graph of ``edges`` → ``(node, label)``; ``label`` is the
+    smallest member node id of the final community (the same canonical
+    choice as :func:`label_propagation` / connected components).
+
+    Semantics — a SYNCHRONOUS, DERANDOMIZED variant, pinned so reruns
+    and engine replays are bit-identical (the classic sequential
+    algorithm is visit-order-dependent, useless for oracles):
+
+    * **Local-moving phase**: every node starts as its own community;
+      each sweep, the nodes of one md5-parity class (alternating —
+      ``md5(node) % 2 == sweep % 2``) SIMULTANEOUSLY evaluate the
+      standard modularity gain of joining each neighboring community
+      ``c``: maximize ``2m·k_i→c − resolution·k_i·Σ_tot(c∖i)`` (the
+      ΔQ numerator — Σ_tot of the node's CURRENT community is evaluated
+      without the node itself, per Blondel §2). Ties prefer staying,
+      then the smallest community id. Parity alternation is the
+      synchronous-oscillation damper: the classic failure mode (two
+      adjacent nodes swap into each other's community forever, each
+      seeing the other's stale label) needs both to move in one sweep.
+      Sweeps stop early when a sweep moves nothing, else after
+      ``max_sweeps``.
+    * **Contraction phase**: communities collapse to supernodes, edge
+      weights sum, intra-community mass becomes self-loops (counted
+      TWICE in the supernode's strength, the standard convention); the
+      moving phase reruns on the contracted graph, up to ``max_levels``
+      or until a level moves nothing.
+
+    Weights accumulate in DECIMAL(27,9) — exact and order-independent —
+    and the gain comparison converts each EXACT sum to double once per
+    candidate (scalar ops on identical inputs are identical on every
+    run), so the argmax, the tie-breaks, and therefore the whole
+    partition are partitioning-invariant. Parallel input edges sum
+    their weights; self-loops contribute 2w to strength (python-louvain
+    convention); negative weights raise.
+
+    Scale shape per sweep: the pinned symmetric arc table joins the
+    label table (ONE co-partitioned join — pagerank's shuffle), one
+    (node, cand_community) map-side-combined aggregate, one per-node
+    argmax via ``min(struct(...))``, one label-sized strength roll-up —
+    no driver state beyond one move-count scalar per sweep and the 2m
+    scalar per level. Contraction shrinks the graph geometrically, so
+    level 0 dominates: total cost ≈ max_sweeps pagerank rounds. The
+    community-sized tables (Σ_tot) are label-cardinality, never
+    corpus-cardinality.
+    """
+    if max_levels < 1 or max_sweeps < 1:
+        raise ValueError("louvain: max_levels and max_sweeps must be ≥ 1")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _dec = "decimal(27,9)"
+    w0 = (
+        F.col(weight_col).cast(_dec)
+        if weight_col is not None
+        else F.lit(1).cast(_dec)
+    )
+    if weight_col is not None:
+        n_neg = edges.where(F.col(weight_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"louvain: weight_col={weight_col!r} has {n_neg} negative "
+                "weights — modularity optimization needs non-negative weights"
+            )
+    lvl = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            w0.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast(_dec).alias("w"))
+        .repartition(p, "a")
+    )
+    lvl = _sever(lvl)
+    if lvl.limit(1).count() == 0:
+        raise ValueError("louvain: empty edge set")
+
+    def _parity(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2
+        )
+
+    mapping = None  # (orig, comm) composed through levels
+    for _level in range(max_levels):
+        half = lvl.where(F.col("a") != F.col("b"))
+        sym = (
+            half.select(F.col("a").alias("s"), F.col("b").alias("d"), "w")
+            .union(
+                half.select(F.col("b").alias("s"), F.col("a").alias("d"), "w")
+            )
+            .repartition(p, "s")
+            .localCheckpoint()
+        )
+        selfw = lvl.where(F.col("a") == F.col("b")).select(
+            F.col("a").alias("node"), F.col("w").alias("ws")
+        )
+        deg = sym.groupBy("s").agg(F.sum("w").cast(_dec).alias("kd"))
+        strength = (
+            lvl.select(F.col("a").alias("node"))
+            .union(lvl.select(F.col("b").alias("node")))
+            .distinct()
+            .join(deg.withColumnRenamed("s", "node"), "node", "left")
+            .join(selfw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("kd"), F.lit(0).cast(_dec))
+                    + F.lit(2) * F.coalesce(F.col("ws"), F.lit(0).cast(_dec))
+                ).cast(_dec).alias("k"),
+            )
+            .repartition(p, "node")
+            .localCheckpoint()
+        )
+        two_m = float(strength.agg(F.sum("k")).first()[0])
+        if two_m <= 0:
+            break
+        labels = strength.select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=False)
+        level_moves = 0
+        zero_streak = 0
+        for sweep in range(max_sweeps):
+            mover = _parity(F.col("node")) == F.lit(sweep % 2)
+            arcs = sym.where(_parity(F.col("s")) == F.lit(sweep % 2)).join(
+                labels.select(
+                    F.col("node").alias("d"), F.col("label").alias("cd")
+                ),
+                "d",
+            ).select(F.col("s").alias("node"), "cd", "w")
+            stay = labels.where(mover).select(
+                "node", F.col("label").alias("cd"),
+                F.lit(0).cast(_dec).alias("w"),
+            )
+            cand = (
+                arcs.union(stay)
+                .groupBy("node", "cd")
+                .agg(F.sum("w").cast(_dec).alias("kin"))
+            )
+            tot = (
+                labels.join(strength, "node")
+                .groupBy("label")
+                .agg(F.sum("k").cast(_dec).alias("tot"))
+            )
+            scored = (
+                cand.join(tot.withColumnRenamed("label", "cd"), "cd")
+                .join(strength, "node")
+                .join(labels, "node")
+                .select(
+                    "node",
+                    "cd",
+                    "label",
+                    (
+                        F.lit(two_m) * F.col("kin").cast("double")
+                        - F.lit(resolution)
+                        * F.col("k").cast("double")
+                        * F.when(
+                            F.col("cd") == F.col("label"),
+                            (F.col("tot") - F.col("k")).cast("double"),
+                        ).otherwise(F.col("tot").cast("double"))
+                    ).alias("score"),
+                )
+            )
+            picked = (
+                scored.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.when(F.col("cd") == F.col("label"), 0)
+                            .otherwise(1)
+                            .alias("pref"),
+                            F.col("cd").alias("cd"),
+                        )
+                    ).alias("top"),
+                    F.min("label").alias("cur"),
+                )
+                .select(
+                    "node", F.col("top.cd").alias("label"), "cur"
+                )
+            )
+            picked = picked.localCheckpoint()
+            moved = picked.where(F.col("label") != F.col("cur")).count()
+            labels = _sever(
+                labels.where(~mover)
+                .select("node", "label")
+                .union(picked.select("node", "label"))
+            )
+            level_moves += moved
+            # converged only when BOTH parity classes quiesce on the
+            # same state: one zero-move sweep leaves the other parity's
+            # last decisions un-reevaluated, so require two in a row
+            zero_streak = zero_streak + 1 if moved == 0 else 0
+            if zero_streak == 2:
+                break
+        # compose the node→community mapping through this level
+        lab = labels.select(
+            F.col("node").alias("_n"), F.col("label").alias("_l")
+        )
+        if mapping is None:
+            mapping = lab.select(
+                F.col("_n").alias("orig"), F.col("_l").alias("comm")
+            )
+        else:
+            mapping = mapping.join(
+                lab, mapping.comm == lab._n
+            ).select("orig", F.col("_l").alias("comm"))
+        mapping = mapping.localCheckpoint()
+        if level_moves == 0:
+            break
+        # contraction: communities become supernodes, weights sum,
+        # intra-community mass becomes self-loops
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+        lvl = (
+            lvl.join(la, "a")
+            .join(lb, "b")
+            .select(
+                F.least(F.col("ca"), F.col("cb")).alias("a"),
+                F.greatest(F.col("ca"), F.col("cb")).alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast(_dec).alias("w"))
+            .repartition(p, "a")
+        )
+        lvl = _sever(lvl)
+    # canonical community id = min original member node id
+    canon = mapping.groupBy("comm").agg(F.min("orig").alias("label"))
+    return mapping.join(canon, "comm").select(
+        F.col("orig").alias("node"), "label"
+    )
+
+
 
 # --------------------------------------------------------------- HyperBall
 #

@@ -2511,3 +2511,221 @@ def test_transe_guard(spark):
     )
     with pytest.raises(ValueError, match="tail|head"):
         transe_rank_eval(df, df, df, corrupt="both")
+
+
+# ------------------------------------------------------------------ louvain
+
+
+def _louvain_py(edges, weights=None, resolution=1.0, max_levels=4,
+                max_sweeps=6):
+    """Independent reference of louvain()'s PINNED semantics: md5-parity
+    synchronous sweeps, exact integer sums, the same double-gain
+    expression in the same operand order, stay-then-min-id tie-breaks,
+    min-member canonical labels."""
+    import hashlib
+    from collections import defaultdict
+
+    def parity(node):
+        return int(hashlib.md5(str(node).encode()).hexdigest()[:4], 16) % 2
+
+    lvl = defaultdict(int)
+    for i, (u, v) in enumerate(edges):
+        w = 1 if weights is None else weights[i]
+        lvl[(min(u, v), max(u, v))] += w
+    mapping = None
+    for _level in range(max_levels):
+        nodes = set()
+        adj = defaultdict(lambda: defaultdict(int))
+        selfw = defaultdict(int)
+        for (a, b), w in lvl.items():
+            nodes.add(a)
+            nodes.add(b)
+            if a == b:
+                selfw[a] += w
+            else:
+                adj[a][b] += w
+                adj[b][a] += w
+        k = {n: sum(adj[n].values()) + 2 * selfw[n] for n in nodes}
+        two_m = float(sum(k.values()))
+        if two_m <= 0:
+            break
+        labels = {n: n for n in nodes}
+        level_moves = 0
+        zero_streak = 0
+        for sweep in range(max_sweeps):
+            movers = [n for n in nodes if parity(n) == sweep % 2]
+            tot = defaultdict(int)
+            for n in nodes:
+                tot[labels[n]] += k[n]
+            new_labels = dict(labels)
+            moved = 0
+            for n in movers:
+                kin = defaultdict(int)
+                kin[labels[n]] += 0
+                for d, w in adj[n].items():
+                    kin[labels[d]] += w
+                best = None
+                for cd, kin_c in kin.items():
+                    t = tot[cd] - k[n] if cd == labels[n] else tot[cd]
+                    score = two_m * float(kin_c) - (
+                        resolution * float(k[n])
+                    ) * float(t)
+                    key = (-score, 0 if cd == labels[n] else 1, cd)
+                    if best is None or key < best[0]:
+                        best = (key, cd)
+                if best[1] != labels[n]:
+                    moved += 1
+                new_labels[n] = best[1]
+            labels = new_labels
+            level_moves += moved
+            zero_streak = zero_streak + 1 if moved == 0 else 0
+            if zero_streak == 2:
+                break
+        mapping = (
+            dict(labels)
+            if mapping is None
+            else {o: labels[c] for o, c in mapping.items()}
+        )
+        if level_moves == 0:
+            break
+        nxt = defaultdict(int)
+        for (a, b), w in lvl.items():
+            ca, cb = labels[a], labels[b]
+            nxt[(min(ca, cb), max(ca, cb))] += w
+        lvl = nxt
+    groups = defaultdict(list)
+    for o, c in mapping.items():
+        groups[c].append(o)
+    out = {}
+    for ms in groups.values():
+        m = min(ms)
+        for o in ms:
+            out[o] = m
+    return out
+
+
+def test_louvain_two_cliques_bridge(spark):
+    from golden_horse_spark.operators.graph import louvain
+
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = k1 + k2 + [(3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["label"] for r in louvain(df).collect()}
+    assert got == _louvain_py(edges)
+    # planted structure: the two cliques are two communities
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(4, 8)}) == 1
+    assert got[0] != got[4]
+
+
+def test_louvain_ring_of_triangles(spark):
+    from golden_horse_spark.operators.graph import louvain
+
+    tris = [(3 * i + a, 3 * i + b) for i in range(4)
+            for a, b in ((0, 1), (0, 2), (1, 2))]
+    bridges = [(2, 3), (5, 6), (8, 9), (11, 0)]
+    edges = tris + bridges
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["label"] for r in louvain(df).collect()}
+    assert got == _louvain_py(edges)
+    # contraction should not have merged everything into one community
+    assert len(set(got.values())) > 1
+
+
+def test_louvain_matches_python_reference_random(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import louvain
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(30)
+            }
+        )
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r["node"]: r["label"] for r in louvain(df).collect()}
+        assert got == _louvain_py(edges), seed
+
+
+def test_louvain_weighted_and_parallel_edges(spark):
+    from golden_horse_spark.operators.graph import louvain
+
+    # barbell whose bridge is heavy enough to matter only with weights:
+    # weighted run must agree with the weighted reference, and a
+    # duplicated (parallel) edge must sum like a doubled weight
+    edges = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (3, 4, 5), (4, 5, 5),
+             (3, 5, 5), (2, 3, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got = {
+        r["node"]: r["label"]
+        for r in louvain(df, weight_col="w").collect()
+    }
+    assert got == _louvain_py(
+        [(a, b) for a, b, _ in edges], [w for _, _, w in edges]
+    )
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    dup = edges + [(2, 3, 1)]
+    dd = spark.createDataFrame(dup, "src int, dst int, w int")
+    got_dup = {
+        r["node"]: r["label"] for r in louvain(dd, weight_col="w").collect()
+    }
+    assert got_dup == _louvain_py(
+        [(a, b) for a, b, _ in dup], [w for _, _, w in dup]
+    )
+
+
+def test_louvain_partitioning_invariance(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import louvain
+
+    rng = random.Random(7)
+    edges = sorted(
+        {(rng.randrange(12), rng.randrange(12)) for _ in range(26)}
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    a = {r["node"]: r["label"] for r in louvain(df).collect()}
+    b = {
+        r["node"]: r["label"]
+        for r in louvain(df.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_louvain_improves_modularity_over_singletons(spark):
+    from golden_horse_spark.operators.graph import louvain, modularity
+
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a + 5, b + 5) for a, b in k1]
+    edges = k1 + k2 + [(4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    part = louvain(df)
+    q = modularity(df, part)
+    assert q > 0.3  # real structure found (singletons score < 0)
+
+
+def test_louvain_guards(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.graph import louvain
+
+    with _pt.raises(ValueError, match="negative"):
+        louvain(
+            spark.createDataFrame(
+                [(0, 1, -2)], "src int, dst int, w int"
+            ),
+            weight_col="w",
+        ).collect()
+    with _pt.raises(ValueError, match="empty"):
+        louvain(
+            spark.createDataFrame([], "src int, dst int")
+        )

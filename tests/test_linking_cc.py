@@ -832,3 +832,194 @@ def test_sorted_neighborhood_vs_python(spark):
 
     with _pt.raises(ValueError, match="window"):
         sorted_neighborhood_candidates(df, "name", window=1)
+
+
+# ------------------------------------------------------------ meta-blocking
+
+
+def _meta_py(assignments, scheme="wnp", max_block_size=1000):
+    """Reference meta-blocking: CBS weights + integer-exact pruning."""
+    from collections import defaultdict
+
+    blocks = defaultdict(set)
+    for bk, rid in assignments:
+        blocks[bk].add(rid)
+    pair_w = defaultdict(int)
+    for members in blocks.values():
+        if len(members) > max_block_size:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pair_w[(ms[i], ms[j])] += 1
+    if scheme == "wep":
+        s = sum(pair_w.values())
+        c = len(pair_w)
+        return {
+            p: (w, w * c >= s) for p, w in pair_w.items()
+        }
+    node_s = defaultdict(int)
+    node_c = defaultdict(int)
+    for (a, b), w in pair_w.items():
+        node_s[a] += w
+        node_c[a] += 1
+        node_s[b] += w
+        node_c[b] += 1
+    return {
+        (a, b): (
+            w,
+            w * node_c[a] >= node_s[a] or w * node_c[b] >= node_s[b],
+        )
+        for (a, b), w in pair_w.items()
+    }
+
+
+def _meta_rows(df):
+    return {
+        (r["id_a"], r["id_b"]): (r["weight"], r["kept"])
+        for r in df.collect()
+    }
+
+
+def test_meta_blocking_wnp_matches_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.linking import meta_blocking
+
+    rng = random.Random(11)
+    assignments = sorted(
+        {
+            (f"b{rng.randrange(12)}", rng.randrange(30))
+            for _ in range(150)
+        }
+    )
+    df = spark.createDataFrame(
+        assignments, "block_key string, record_id int"
+    )
+    got = _meta_rows(meta_blocking(df))
+    want = _meta_py(assignments)
+    assert got == want
+    kept = {p for p, (_, k) in got.items() if k}
+    assert 0 < len(kept) < len(got)  # pruning actually pruned something
+
+
+def test_meta_blocking_wep_matches_reference(spark):
+    import random
+
+    from golden_horse_spark.operators.linking import meta_blocking
+
+    rng = random.Random(5)
+    assignments = sorted(
+        {
+            (f"b{rng.randrange(10)}", rng.randrange(25))
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(
+        assignments, "block_key string, record_id int"
+    )
+    got = _meta_rows(meta_blocking(df, scheme="wep"))
+    assert got == _meta_py(assignments, scheme="wep")
+
+
+def test_meta_blocking_purging_drops_big_blocks(spark):
+    from golden_horse_spark.operators.linking import meta_blocking
+
+    # block 'big' has 5 members (> max 4) — contributes nothing; block
+    # 'ok' has 3 members — 3 pairs of weight 1, all kept (every edge
+    # meets its endpoints' average when all weights are equal)
+    rows = [("big", i) for i in range(100, 105)] + [
+        ("ok", 1), ("ok", 2), ("ok", 3)
+    ]
+    df = spark.createDataFrame(rows, "block_key string, record_id int")
+    got = _meta_rows(meta_blocking(df, max_block_size=4))
+    assert got == {(1, 2): (1, True), (1, 3): (1, True), (2, 3): (1, True)}
+    assert _meta_py(rows, max_block_size=4) == got
+
+
+def test_meta_blocking_shared_blocks_outweigh_singles(spark):
+    from golden_horse_spark.operators.linking import meta_blocking
+
+    # records 1,2 share three blocks; 1,3 share one → WNP keeps (1,2)
+    # and prunes (1,3) from 1's perspective, but 3's own average keeps it
+    rows = [
+        ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1), ("c", 2),
+        ("d", 1), ("d", 3),
+    ]
+    df = spark.createDataFrame(rows, "block_key string, record_id int")
+    got = _meta_rows(meta_blocking(df))
+    assert got[(1, 2)] == (3, True)
+    # (1,3): weight 1 < avg(1)=2 but == avg(3)=1 → kept by 3's side
+    assert got[(1, 3)] == (1, True)
+    assert got == _meta_py(rows)
+
+
+def test_meta_blocking_unknown_scheme_raises(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.linking import meta_blocking
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "block_key string, record_id int"
+    )
+    with _pt.raises(ValueError, match="scheme"):
+        meta_blocking(df, scheme="cnp")
+
+
+# ------------------------------------------------------------ jaro-winkler
+
+
+def test_jaro_winkler_spec_anchors():
+    from golden_horse_spark.operators.linking import _jaro_winkler_py
+
+    # Winkler's published examples
+    assert abs(_jaro_winkler_py("MARTHA", "MARHTA") - 0.9611111111) < 1e-9
+    assert abs(_jaro_winkler_py("DWAYNE", "DUANE") - 0.84) < 1e-9
+    assert abs(_jaro_winkler_py("DIXON", "DICKSONX") - 0.8133333333) < 1e-9
+    # boost threshold: jaro ≤ 0.7 gets NO prefix bonus
+    assert abs(_jaro_winkler_py("abcdef", "abczzz") - 2.0 / 3.0) < 1e-9
+    assert _jaro_winkler_py("abc", "abc") == 1.0
+    assert _jaro_winkler_py("", "abc") == 0.0
+    assert _jaro_winkler_py("ab", "ba") == 0.0  # window 0: no matches
+
+
+def test_jaro_winkler_fuzz_equals_duckdb():
+    import random
+
+    import duckdb
+
+    from golden_horse_spark.operators.linking import _jaro_winkler_py
+
+    rng = random.Random(3)
+    alpha = "abcde"
+    con = duckdb.connect()
+    for _ in range(400):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9)))
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = _jaro_winkler_py(a, b)
+        assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+def test_jaro_winkler_col_on_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.linking import (
+        _jaro_winkler_py,
+        jaro_winkler_col,
+    )
+
+    pairs = [("martha", "marhta"), ("jonathan", "jonthan"),
+             ("smith", "smyth"), (None, "x"), ("y", None)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in df.withColumn("jw", jaro_winkler_col(F.col("a"), F.col("b"))).collect()
+    }
+    for a, b in pairs:
+        if a is None or b is None:
+            assert got[(a, b)] is None
+        else:
+            assert abs(got[(a, b)] - _jaro_winkler_py(a, b)) < 1e-12
