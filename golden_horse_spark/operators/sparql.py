@@ -62,17 +62,149 @@ def _vname(term: str) -> str:
 
 @dataclass(frozen=True)
 class OneOrMore:
-    """Property path ``pred+`` (one or more arcs)."""
+    """Property path ``path+`` (one or more arcs). ``pred`` may be a
+    predicate name or any nested path expression (Inv/Seq/Alt/…)."""
 
-    pred: str
+    pred: object
 
 
 @dataclass(frozen=True)
 class ZeroOrMore:
-    """Property path ``pred*`` (zero or more arcs; zero-length
-    endpoints restricted to the predicate's node universe)."""
+    """Property path ``path*`` (zero or more arcs; zero-length
+    endpoints restricted to the path's node universe)."""
 
-    pred: str
+    pred: object
+
+
+@dataclass(frozen=True)
+class Inv:
+    """Inverse path ``^p`` (sparql11-query §9.1): traverse ``p``
+    object→subject. ``path`` may be nested."""
+
+    path: object
+
+
+class Seq:
+    """Sequence path ``p1/p2/…``: the relational composition of the
+    member paths — ONE equi-join per step (dst of step i = src of step
+    i+1), each member evaluated as its own pushed-filter arc set."""
+
+    def __init__(self, *paths):
+        if len(paths) < 2:
+            raise ValueError("Seq needs at least two member paths")
+        self.paths = paths
+
+
+class Alt:
+    """Alternation path ``p1|p2|…``: the UNION of the member arc sets
+    (distinct — a path is a set of endpoint pairs)."""
+
+    def __init__(self, *paths):
+        if len(paths) < 2:
+            raise ValueError("Alt needs at least two member paths")
+        self.paths = paths
+
+
+def _path_arcs(triples, path, subj, pred, obj, max_hops: int = 10) -> DataFrame:
+    """Evaluate a path expression to its arc set ``(src, dst)``.
+    Plain predicates are pushed filters on the one triples table;
+    Inv swaps endpoints; Seq chains equi-joins; Alt unions; nested
+    ``+``/``*`` recurse through the bounded semi-naive closure. Every
+    combinator is a plain relational operator, so Catalyst/AQE plan
+    the whole path as one join tree."""
+    if isinstance(path, str):
+        return (
+            triples.where(F.col(pred) == F.lit(path))
+            .select(F.col(subj).alias("src"), F.col(obj).alias("dst"))
+            .distinct()
+        )
+    if isinstance(path, Inv):
+        inner = _path_arcs(triples, path.path, subj, pred, obj, max_hops)
+        return inner.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if isinstance(path, Seq):
+        acc = _path_arcs(triples, path.paths[0], subj, pred, obj, max_hops)
+        for nxt in path.paths[1:]:
+            step = _path_arcs(triples, nxt, subj, pred, obj, max_hops)
+            acc = (
+                acc.alias("l")
+                .join(step.alias("r"), F.col("l.dst") == F.col("r.src"))
+                .select(
+                    F.col("l.src").alias("src"), F.col("r.dst").alias("dst")
+                )
+            )
+        return acc.distinct()
+    if isinstance(path, Alt):
+        out = None
+        for m in path.paths:
+            arcs = _path_arcs(triples, m, subj, pred, obj, max_hops)
+            out = arcs if out is None else out.unionByName(arcs)
+        return out.distinct()
+    if isinstance(path, (OneOrMore, ZeroOrMore)):
+        arcs = _path_arcs(triples, path.pred, subj, pred, obj, max_hops)
+        return _closure_pairs(
+            arcs, None, isinstance(path, ZeroOrMore), max_hops
+        )
+    raise ValueError(f"unsupported path expression: {path!r}")
+
+
+def _closure_pairs(
+    arcs: DataFrame, sources, zero: bool, max_hops: int
+) -> DataFrame:
+    """Arbitrary-length path pairs ``(src, dst)`` over an arc set —
+    SPARQL ``p+`` / ``p*`` (sparql11-query §9.1 ALP), spec-faithful on
+    cycles AND self-loops: ``(x, x)`` is a ``p+`` solution whenever x
+    lies on a cycle, which a plain BFS ``dist >= 1`` filter misses
+    (the shortest closure distance from x back to x is 0, and
+    ``reachability`` drops self-loop arcs by design). Formulation:
+    ``p+`` = (dist>=0 closure over loop-free arcs) equi-JOINED with
+    one more arc from the ORIGINAL arc set — a length-k walk followed
+    by one arc is exactly the length>=1 path set. ``p*`` adds the
+    identity rows of the path's node universe (restricted to
+    ``sources`` when single-source). One extra co-partitioned
+    equi-join over the closure; no new shuffle class, and the
+    single-source cone optimization is preserved."""
+    from .graph import reachability
+
+    loopless = arcs.where(F.col("src") != F.col("dst"))
+    universe = (
+        arcs.select("src")
+        .union(arcs.select(F.col("dst").alias("src")))
+        .distinct()
+    )
+    if sources is not None:
+        universe = universe.where(F.col("src").isin(list(sources)))
+    ident = universe.select(
+        F.col("src").alias("root"), F.col("src").alias("node")
+    )
+    if loopless.limit(1).count() == 0:
+        closure0 = ident
+    else:
+        closure0 = (
+            reachability(
+                loopless,
+                sources=sources,
+                directed=True,
+                max_hops=max(0, max_hops - 1),
+            )
+            .select("root", "node")
+            .unionByName(ident)
+            .distinct()
+        )
+    pairs = (
+        closure0.alias("c")
+        .join(arcs.alias("e"), F.col("c.node") == F.col("e.src"))
+        .select(F.col("c.root").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+    if zero:
+        pairs = pairs.unionByName(
+            ident.select(
+                F.col("root").alias("src"), F.col("node").alias("dst")
+            )
+        ).distinct()
+    return pairs
 
 
 def _pattern_vars(pat) -> set:
@@ -95,7 +227,7 @@ def _scan_pattern(
     variable names (constants become pushed filters; a pattern with no
     variables becomes a 0/1-row gate with a single ``_gate`` column)."""
     s, p, o = pat
-    if isinstance(p, (OneOrMore, ZeroOrMore)):
+    if isinstance(p, (OneOrMore, ZeroOrMore, Inv, Seq, Alt)):
         return _scan_path(triples, pat, subj, pred, obj, max_path_hops)
     df = triples.select(
         F.col(subj).alias("_s"), F.col(pred).alias("_p"), F.col(obj).alias("_o")
@@ -137,41 +269,23 @@ def _scan_path(
     one end is a constant (single-source — the frontier never grows
     past that root's cone) or from every node otherwise.
     """
-    from .graph import reachability
-
     s, p, o = pat
-    arcs = (
-        triples.where(F.col(pred) == F.lit(p.pred))
-        .select(F.col(subj).alias("src"), F.col(obj).alias("dst"))
-        .distinct()
-    )
-    sources = None
-    if not _is_var(s):
-        sources = [s]
-    min_dist = 0 if isinstance(p, ZeroOrMore) else 1
-    if sources is None and arcs.limit(1).count() == 0:
-        # no arcs of this predicate: the closure (and its universe
-        # for p*) is empty — reachability would raise on zero roots
-        pairs = arcs.select(
+    if isinstance(p, (OneOrMore, ZeroOrMore)):
+        # closure path: arcs of the (possibly nested) inner path, then
+        # the cycle-faithful closure pairs — single-source when the
+        # subject is a constant (the frontier never grows past that
+        # root's cone)
+        arcs = _path_arcs(triples, p.pred, subj, pred, obj, max_path_hops)
+        sources = [s] if not _is_var(s) else None
+        pairs = _closure_pairs(
+            arcs, sources, isinstance(p, ZeroOrMore), max_path_hops
+        ).select(F.col("src").alias("_s"), F.col("dst").alias("_o"))
+    else:
+        # non-closure path expression (Inv / Seq / Alt): its arc set IS
+        # the pattern's solution pairs
+        pairs = _path_arcs(triples, p, subj, pred, obj, max_path_hops).select(
             F.col("src").alias("_s"), F.col("dst").alias("_o")
         )
-    else:
-        closure = reachability(
-            arcs, sources=sources, directed=True, max_hops=max_path_hops
-        )
-        pairs = closure.where(F.col("dist") >= min_dist).select(
-            F.col("root").alias("_s"), F.col("node").alias("_o")
-        )
-    if isinstance(p, ZeroOrMore) and sources is None:
-        # reachability emits dist-0 rows only for out-arc'd roots; add
-        # the sink-only nodes' identity rows for spec-faithful p* over
-        # the predicate's universe.
-        sinks = (
-            arcs.select(F.col("dst").alias("_s"))
-            .exceptAll(arcs.select(F.col("src").alias("_s")))
-            .distinct()
-        )
-        pairs = pairs.unionByName(sinks.withColumn("_o", F.col("_s")))
     for col, term in (("_s", s), ("_o", o)):
         if not _is_var(term):
             pairs = pairs.where(F.col(col) == F.lit(term))
@@ -406,6 +520,29 @@ def sparql_union(
     cols = select if select is not None else all_vars
     out = out.select(*[_vname(c) if _is_var(c) else c for c in cols])
     return out.distinct() if distinct else out
+
+
+def sparql_ask(triples: DataFrame, patterns, **kwargs) -> bool:
+    """SPARQL ASK (sparql11-query §16.3): does at least one solution
+    exist? Evaluates the group pattern with an early-exit ``limit(1)``
+    — one row fetched, never a full materialization. Accepts every
+    ``sparql_select`` option. Fully-ground pattern lists (the pure
+    existence check SELECT refuses) are supported: each ground pattern
+    becomes a 0/1-row gate and ASK is true iff every gate is non-empty.
+    """
+    all_ground = not any(_pattern_vars(p) for p in patterns)
+    if all_ground:
+        for p in patterns:
+            g = _scan_pattern(
+                triples, p,
+                kwargs.get("subj", "subj"), kwargs.get("pred", "pred"),
+                kwargs.get("obj", "obj"), kwargs.get("max_path_hops", 10),
+            )
+            if g.limit(1).count() == 0:
+                return False
+        return True
+    out = sparql_select(triples, patterns, distinct=False, **kwargs)
+    return out.limit(1).count() > 0
 
 
 def group_concat(var: str, sep: str = " ") -> str:

@@ -783,3 +783,129 @@ def test_agg_composes_with_values_and_bind(tdf):
         if pr == "worksAt":
             exp[o] = exp.get(o, 0) + len(s)
     assert got == sorted(exp.items())
+
+
+# ---------- path algebra: Inv / Seq / Alt / nested closures / ASK ----------
+
+
+def _arcs_py(triples, path):
+    """Brute-force path-to-arc-set evaluator mirroring §9.1 semantics."""
+    from golden_horse_spark.operators.sparql import (
+        Alt,
+        Inv,
+        OneOrMore,
+        Seq,
+        ZeroOrMore,
+    )
+
+    if isinstance(path, str):
+        return {(s, o) for s, p, o in triples if p == path}
+    if isinstance(path, Inv):
+        return {(o, s) for s, o in _arcs_py(triples, path.path)}
+    if isinstance(path, Seq):
+        acc = _arcs_py(triples, path.paths[0])
+        for nxt in path.paths[1:]:
+            step = _arcs_py(triples, nxt)
+            acc = {(a, d) for a, b in acc for c, d in step if b == c}
+        return acc
+    if isinstance(path, Alt):
+        out = set()
+        for m in path.paths:
+            out |= _arcs_py(triples, m)
+        return out
+    if isinstance(path, (OneOrMore, ZeroOrMore)):
+        base = _arcs_py(triples, path.pred)
+        closure = set(base)
+        while True:
+            nxt = closure | {
+                (a, d) for a, b in closure for c, d in base if b == c
+            }
+            if nxt == closure:
+                break
+            closure = nxt
+        if isinstance(path, ZeroOrMore):
+            universe = {a for a, b in base} | {b for a, b in base}
+            closure |= {(u, u) for u in universe}
+        return closure
+    raise AssertionError(path)
+
+
+def _path_expected(path, select_first=True):
+    return sorted(_arcs_py(TRIPLES, path))
+
+
+def test_inverse_path(tdf):
+    from golden_horse_spark.operators.sparql import Inv
+
+    got = _rows(
+        sparql_select(tdf, [("?c", Inv("worksAt"), "?p")], select=["?c", "?p"])
+    )
+    assert got == _path_expected(Inv("worksAt"))
+    assert got
+
+
+def test_sequence_path(tdf):
+    from golden_horse_spark.operators.sparql import Seq
+
+    # person -> employer -> city
+    p = Seq("worksAt", "locatedIn")
+    got = _rows(sparql_select(tdf, [("?p", p, "?city")], select=["?p", "?city"]))
+    assert got == _path_expected(p)
+    assert got
+
+
+def test_alternation_and_nested_seq_alt(tdf):
+    from golden_horse_spark.operators.sparql import Alt, Seq
+
+    p = Alt("knows", Seq("worksAt", "locatedIn"))
+    got = _rows(sparql_select(tdf, [("?a", p, "?b")], select=["?a", "?b"]))
+    assert got == _path_expected(p)
+
+
+def test_closure_over_alternation(tdf):
+    from golden_horse_spark.operators.sparql import Alt, OneOrMore
+
+    # (knows|likes)+ — nested path inside the closure
+    p = OneOrMore(Alt("knows", "likes"))
+    got = _rows(sparql_select(tdf, [("?a", p, "?b")], select=["?a", "?b"]))
+    assert got == _path_expected(p)
+
+
+def test_inverse_seq_join_with_pattern(tdf):
+    from golden_horse_spark.operators.sparql import Inv, Seq
+
+    # colleagues: ?a worksAt c, ?b worksAt c (via worksAt/^worksAt)
+    p = Seq("worksAt", Inv("worksAt"))
+    got = _rows(
+        sparql_select(
+            tdf,
+            [("?a", p, "?b"), ("?a", "knows", "?x")],
+            where="a != b",
+            select=["?a", "?b"],
+        )
+    )
+    coll = _arcs_py(TRIPLES, p)
+    knows = {s for s, pr, o in TRIPLES if pr == "knows"}
+    assert got == sorted({(a, b) for a, b in coll if a != b and a in knows})
+
+
+def test_path_bound_endpoints(tdf):
+    from golden_horse_spark.operators.sparql import Seq
+
+    p = Seq("worksAt", "locatedIn")
+    got = _rows(sparql_select(tdf, [("?p", p, "berlin")], select=["?p"]))
+    assert got == sorted(
+        {(a,) for a, b in _arcs_py(TRIPLES, p) if b == "berlin"}
+    )
+
+
+def test_ask(tdf):
+    from golden_horse_spark.operators.sparql import Seq, sparql_ask
+
+    assert sparql_ask(tdf, [("?p", "worksAt", "acme")])
+    assert not sparql_ask(tdf, [("?p", "worksAt", "initech")])
+    # fully-ground ASK (SELECT raises on this form)
+    assert sparql_ask(tdf, [("alice", "knows", "bob")])
+    assert not sparql_ask(tdf, [("bob", "knows", "alice")])
+    # path ASK
+    assert sparql_ask(tdf, [("alice", Seq("worksAt", "locatedIn"), "berlin")])
