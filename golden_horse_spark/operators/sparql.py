@@ -9,9 +9,14 @@ surface here is defined by the W3C specs, not the reference:
 * ``sparql_select``  — SPARQL 1.1 BGP + FILTER + OPTIONAL + DISTINCT
   (W3C REC sparql11-query §5, §6, §17), evaluated as a selectivity-
   ordered chain of hash joins over variable columns.
-* ``OneOrMore`` / ``ZeroOrMore`` — property paths ``p+`` / ``p*``
-  (§9.1), backed by the semi-naive datalog closure in
-  :func:`~golden_horse_spark.operators.graph.reachability`.
+* ``OneOrMore`` / ``ZeroOrMore`` / ``ZeroOrOne`` / ``Inv`` / ``Seq`` /
+  ``Alt`` / ``NegatedSet`` — the full §9.1 property-path algebra
+  (``p+ p* p? ^p p/q p|q !(p|…)``), arbitrarily nested; closures are
+  backed by the semi-naive datalog closure in
+  :func:`~golden_horse_spark.operators.graph.reachability` and are
+  cycle/self-loop-faithful (``p+`` contains ``(x, x)`` for x on a
+  cycle). ``sparql_ask`` / ``sparql_describe`` give the §16.3/§16.4
+  query forms.
 * ``rdfs_closure`` — the ρdf entailment subset of RDFS (Muñoz,
   Pérez & Gutierrez, "Minimal deductive systems for RDF", ESWC 2007):
   subClassOf/subPropertyOf transitivity, subPropertyOf instance
@@ -105,6 +110,33 @@ class Alt:
         self.paths = paths
 
 
+@dataclass(frozen=True)
+class ZeroOrOne:
+    """Property path ``path?`` (sparql11-query §9.1 ZeroOrOnePath):
+    the path's arc set plus the zero-length identity rows — restricted,
+    like ``p*``, to the path's node universe (module-docstring
+    deviation)."""
+
+    pred: object
+
+
+class NegatedSet:
+    """Negated property set ``!(p1|p2|…)`` (§9.1 NegatedPropertySet):
+    arcs of every triple whose predicate is NOT one of the members —
+    ONE scan of the triples table with a pushed ``NOT IN`` filter.
+    Forward predicate members only; the spec's inverse members
+    (``!(^p)``) are not supported and raise."""
+
+    def __init__(self, *preds):
+        if not preds:
+            raise ValueError("NegatedSet needs at least one predicate")
+        if not all(isinstance(p, str) for p in preds):
+            raise ValueError(
+                "NegatedSet members must be forward predicate names"
+            )
+        self.preds = preds
+
+
 def _path_arcs(triples, path, subj, pred, obj, max_hops: int = 10) -> DataFrame:
     """Evaluate a path expression to its arc set ``(src, dst)``.
     Plain predicates are pushed filters on the one triples table;
@@ -141,6 +173,21 @@ def _path_arcs(triples, path, subj, pred, obj, max_hops: int = 10) -> DataFrame:
             arcs = _path_arcs(triples, m, subj, pred, obj, max_hops)
             out = arcs if out is None else out.unionByName(arcs)
         return out.distinct()
+    if isinstance(path, NegatedSet):
+        return (
+            triples.where(~F.col(pred).isin(list(path.preds)))
+            .select(F.col(subj).alias("src"), F.col(obj).alias("dst"))
+            .distinct()
+        )
+    if isinstance(path, ZeroOrOne):
+        arcs = _path_arcs(triples, path.pred, subj, pred, obj, max_hops)
+        ident = (
+            arcs.select("src")
+            .union(arcs.select(F.col("dst").alias("src")))
+            .distinct()
+            .withColumn("dst", F.col("src"))
+        )
+        return arcs.unionByName(ident).distinct()
     if isinstance(path, (OneOrMore, ZeroOrMore)):
         arcs = _path_arcs(triples, path.pred, subj, pred, obj, max_hops)
         return _closure_pairs(
@@ -227,7 +274,8 @@ def _scan_pattern(
     variable names (constants become pushed filters; a pattern with no
     variables becomes a 0/1-row gate with a single ``_gate`` column)."""
     s, p, o = pat
-    if isinstance(p, (OneOrMore, ZeroOrMore, Inv, Seq, Alt)):
+    if isinstance(p, (OneOrMore, ZeroOrMore, ZeroOrOne, Inv, Seq, Alt,
+                      NegatedSet)):
         return _scan_path(triples, pat, subj, pred, obj, max_path_hops)
     df = triples.select(
         F.col(subj).alias("_s"), F.col(pred).alias("_p"), F.col(obj).alias("_o")
@@ -543,6 +591,62 @@ def sparql_ask(triples: DataFrame, patterns, **kwargs) -> bool:
         return True
     out = sparql_select(triples, patterns, distinct=False, **kwargs)
     return out.limit(1).count() > 0
+
+
+def sparql_describe(
+    triples: DataFrame,
+    terms,
+    patterns=None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    incoming: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """SPARQL DESCRIBE (sparql11-query §16.4): every triple mentioning
+    the described resources. The spec leaves the description form
+    implementation-defined; this emits the symmetric one-hop
+    description — all outgoing triples of each term plus (with
+    ``incoming=True``) all triples pointing AT it — the form Jena/
+    Virtuoso default to for bnode-free graphs.
+
+    ``terms`` is a list of constants, a one-column DataFrame, or a
+    single ``?var`` name combined with ``patterns`` (the
+    ``DESCRIBE ?x WHERE {…}`` form: the group pattern runs through
+    ``sparql_select`` and the variable's bindings become the resource
+    set). The resource set is deduped and broadcast — two broadcast
+    semi-joins against the triples table, zero shuffles of the big
+    side."""
+    from pyspark.sql.functions import broadcast
+
+    if isinstance(terms, str) and _is_var(terms):
+        if patterns is None:
+            raise ValueError(
+                "DESCRIBE ?var needs a WHERE group (patterns=…)"
+            )
+        res = sparql_select(
+            triples, patterns, select=[terms], distinct=True,
+            subj=subj, pred=pred, obj=obj, **kwargs
+        ).toDF("_r")
+    elif isinstance(terms, DataFrame):
+        res = terms.select(F.col(terms.columns[0]).alias("_r")).distinct()
+    else:
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            raise ValueError("DESCRIBE: empty resource set")
+        res = triples.sparkSession.createDataFrame(
+            [(t,) for t in terms], f"_r {triples.schema[subj].dataType.simpleString()}"
+        )
+    out = triples.join(
+        broadcast(res), triples[subj] == res["_r"], "left_semi"
+    )
+    if incoming:
+        out = out.unionByName(
+            triples.join(
+                broadcast(res), triples[obj] == res["_r"], "left_semi"
+            )
+        )
+    return out.distinct()
 
 
 def group_concat(var: str, sep: str = " ") -> str:

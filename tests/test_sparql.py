@@ -793,13 +793,21 @@ def _arcs_py(triples, path):
     from golden_horse_spark.operators.sparql import (
         Alt,
         Inv,
+        NegatedSet,
         OneOrMore,
         Seq,
         ZeroOrMore,
+        ZeroOrOne,
     )
 
     if isinstance(path, str):
         return {(s, o) for s, p, o in triples if p == path}
+    if isinstance(path, NegatedSet):
+        return {(s, o) for s, p, o in triples if p not in path.preds}
+    if isinstance(path, ZeroOrOne):
+        base = _arcs_py(triples, path.pred)
+        universe = {a for a, b in base} | {b for a, b in base}
+        return base | {(u, u) for u in universe}
     if isinstance(path, Inv):
         return {(o, s) for s, o in _arcs_py(triples, path.path)}
     if isinstance(path, Seq):
@@ -909,3 +917,65 @@ def test_ask(tdf):
     assert not sparql_ask(tdf, [("bob", "knows", "alice")])
     # path ASK
     assert sparql_ask(tdf, [("alice", Seq("worksAt", "locatedIn"), "berlin")])
+
+
+def test_zero_or_one(tdf):
+    from golden_horse_spark.operators.sparql import Seq, ZeroOrOne
+
+    p = ZeroOrOne("knows")
+    got = _rows(sparql_select(tdf, [("?a", p, "?b")], select=["?a", "?b"]))
+    assert got == _path_expected(p)
+    # nested: worksAt/locatedIn? — employer, and its city when known
+    p2 = Seq("worksAt", ZeroOrOne("locatedIn"))
+    got2 = _rows(sparql_select(tdf, [("?a", p2, "?b")], select=["?a", "?b"]))
+    assert got2 == _path_expected(p2)
+    assert ("alice", "acme") in got2 and ("alice", "berlin") in got2
+
+
+def test_negated_property_set(tdf):
+    from golden_horse_spark.operators.sparql import NegatedSet, OneOrMore
+
+    p = NegatedSet("knows", "likes")
+    got = _rows(sparql_select(tdf, [("?a", p, "?b")], select=["?a", "?b"]))
+    assert got == _path_expected(p)
+    assert all(
+        (a, b) not in _arcs_py(TRIPLES, "knows") for a, b in got
+    )
+    # closure over a negated set: !(knows|likes)+ walks worksAt→locatedIn
+    pc = OneOrMore(NegatedSet("knows", "likes"))
+    gotc = _rows(sparql_select(tdf, [("?a", pc, "?b")], select=["?a", "?b"]))
+    assert gotc == _path_expected(pc)
+    assert ("alice", "berlin") in gotc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        NegatedSet()
+
+
+def test_describe(tdf):
+    from golden_horse_spark.operators.sparql import sparql_describe
+
+    got = sorted(
+        tuple(r) for r in sparql_describe(tdf, ["acme"]).collect()
+    )
+    exp = sorted(
+        {t for t in TRIPLES if t[0] == "acme" or t[2] == "acme"}
+    )
+    assert got == exp
+    # outgoing-only form
+    got_out = sorted(
+        tuple(r)
+        for r in sparql_describe(tdf, ["acme"], incoming=False).collect()
+    )
+    assert got_out == sorted({t for t in TRIPLES if t[0] == "acme"})
+    # DESCRIBE ?x WHERE { ?x worksAt globex }
+    got_var = sorted(
+        tuple(r)
+        for r in sparql_describe(
+            tdf, "?x", patterns=[("?x", "worksAt", "globex")]
+        ).collect()
+    )
+    who = {s for s, p, o in TRIPLES if p == "worksAt" and o == "globex"}
+    assert got_var == sorted(
+        {t for t in TRIPLES if t[0] in who or t[2] in who}
+    )
