@@ -1195,6 +1195,96 @@ def modularity(
     return float(row["q"])
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    normalize: str | None = "l1",
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kleinberg's HITS hubs-and-authorities (JACM 1999) over a
+    DIRECTED arc set → ``(node, hub, authority)``: authority(v) =
+    Σ hub(u) over in-arcs (u, v), hub(u) = Σ authority(v) over
+    out-arcs, iterated ``n_iter`` times from the all-ones hub vector
+    (the reference KG has no link-analysis stage; this ranks entities
+    of the materialized triples graph the same way pagerank does,
+    but with the hub/authority asymmetry that citation-shaped KGs
+    want).
+
+    ``normalize='l1'`` (default) rescales both vectors to sum 1 each
+    round — the production form, numerically stable at any scale; the
+    rescale joins a broadcast 1-row total, never a driver collect.
+    Normalization only changes SCALE (each update is linear), so
+    ``normalize=None`` runs the raw recurrence in exact LONG
+    arithmetic: the scores are then integer path counts —
+    authority_k(v) = #(alternating out/in walks of length 2k ending
+    at v) — which is what a cross-engine value-exact oracle can
+    replay join-for-join. Bounded by (d_max²)^k: keep ``n_iter``
+    small in this mode (the q_graph_profile row uses 2).
+
+    Scale shape: the deduped arc table is pinned TWICE, hash-
+    partitioned on the hub side and on the authority side, so each
+    half-round is ONE co-partitioned join + ONE aggregation exchange
+    — 2 shuffles per iteration; state is strictly (node, score) rows
+    and every round is severed with a lazy checkpoint (linear
+    chain, k=1 references — outside the Spark 4 stats-rewrite blowup
+    documented at :func:`_sever`)."""
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
+    if normalize not in ("l1", None):
+        raise ValueError("hits: normalize must be 'l1' or None")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    arcs_s = e.repartition(p, "s").localCheckpoint()
+    arcs_d = arcs_s.repartition(p, "d").localCheckpoint()
+    nodes = (
+        arcs_s.select(F.col("s").alias("node"))
+        .union(arcs_s.select(F.col("d").alias("node")))
+        .distinct()
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    num = "double" if normalize == "l1" else "long"
+    one = F.lit(1.0) if normalize == "l1" else F.lit(1).cast("long")
+    hub = nodes.select("node", one.alias("score"))
+    auth = None
+    for _ in range(n_iter):
+        auth = (
+            arcs_s.join(hub, arcs_s["s"] == hub["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("score").cast(num).alias("score"))
+        )
+        if normalize == "l1":
+            tot = auth.agg(F.sum("score").alias("_t"))
+            auth = auth.crossJoin(F.broadcast(tot)).select(
+                "node", (F.col("score") / F.col("_t")).alias("score")
+            )
+        auth = auth.localCheckpoint(eager=False)
+        hub = (
+            arcs_d.join(auth, arcs_d["d"] == auth["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("score").cast(num).alias("score"))
+        )
+        if normalize == "l1":
+            tot = hub.agg(F.sum("score").alias("_t"))
+            hub = hub.crossJoin(F.broadcast(tot)).select(
+                "node", (F.col("score") / F.col("_t")).alias("score")
+            )
+        hub = hub.localCheckpoint(eager=False)
+    zero = F.lit(0.0) if normalize == "l1" else F.lit(0).cast("long")
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("score", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", zero).alias("hub"),
+            F.coalesce("authority", zero).alias("authority"),
+        )
+    )
+
+
 def _sever(df: DataFrame) -> DataFrame:
     """Materialize ``df`` (local checkpoint) and rebuild it from the
     checkpointed JVM RDD via the public ``createDataFrame(RDD[Row],

@@ -2729,3 +2729,87 @@ def test_louvain_guards(spark):
         louvain(
             spark.createDataFrame([], "src int, dst int")
         )
+
+
+# ---------- HITS hubs and authorities ----------
+
+
+def _numpy_hits(edges, n_nodes, n_iter, l1=True):
+    """Dense reference: a = A^T h, h = A a, optional L1 rescale each
+    half-round — mirrors hits()'s update order exactly."""
+    A = np.zeros((n_nodes, n_nodes))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(n_nodes)
+    a = np.zeros(n_nodes)
+    for _ in range(n_iter):
+        a = A.T @ h
+        if l1:
+            a = a / a.sum()
+        h = A @ a
+        if l1:
+            h = h / h.sum()
+    return h, a
+
+
+def test_hits_exact_integer_counts(spark):
+    from golden_horse_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=3, normalize=None).collect()
+    }
+    h, a = _numpy_hits(edges, 4, 3, l1=False)
+    assert set(got) == set(range(4))
+    for v in range(4):
+        assert got[v] == (int(h[v]), int(a[v])), (v, got[v], h[v], a[v])
+
+
+def test_hits_l1_matches_numpy(spark):
+    from golden_horse_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3),
+             (4, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=8).collect()
+    }
+    h, a = _numpy_hits(edges, 5, 8)
+    for v in range(5):
+        assert abs(got[v][0] - h[v]) < 1e-9
+        assert abs(got[v][1] - a[v]) < 1e-9
+    # L1 normalized: both vectors sum to 1
+    assert abs(sum(x for x, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(y for _, y in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_authority_vs_hub_asymmetry(spark):
+    from golden_horse_spark.operators.graph import hits
+
+    # star: everyone points at node 9 → 9 is THE authority with zero
+    # hub score; the spokes are hubs with zero authority
+    edges = [(i, 9) for i in range(4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=4).collect()
+    }
+    assert got[9] == (0.0, 1.0)
+    for i in range(4):
+        assert got[i][1] == 0.0
+        assert abs(got[i][0] - 0.25) < 1e-12
+
+
+def test_hits_guards(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with _pt.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)
+    with _pt.raises(ValueError, match="normalize"):
+        hits(df, normalize="l2")
