@@ -433,3 +433,131 @@ def test_compact_changelog_latest_wins_and_tombstones(spark):
         ("c", 31, "U", 5.0),
         ("d", 41, "I", 6.0),
     }
+
+
+# ---------- Allen interval algebra join ----------
+
+
+def _allen_py(l, r, max_gap=None):
+    """Brute-force Allen classifier over closed [s, e] intervals."""
+    ls, le, rs, re = l[1], l[2], r[1], r[2]
+    if max_gap is None:
+        if not (ls <= re and rs <= le):
+            return None
+    else:
+        if rs - le > max_gap or ls - re > max_gap:
+            return None
+    if ls == rs and le == re:
+        return "equals"
+    if le < rs:
+        return "before"
+    if re < ls:
+        return "after"
+    if le == rs:
+        return "meets"
+    if re == ls:
+        return "met_by"
+    if ls == rs:
+        return "starts" if le < re else "started_by"
+    if le == re:
+        return "finishes" if ls > rs else "finished_by"
+    if ls > rs and le < re:
+        return "during"
+    if ls < rs and le > re:
+        return "contains"
+    return "overlaps" if ls < rs else "overlapped_by"
+
+
+_LIV = [
+    # (lid, s, e) — engineered to hit every relation vs _RIV
+    (0, 100, 200), (1, 300, 400), (2, 500, 600), (3, 700, 800),
+    (4, 100, 150), (5, 120, 180), (6, 100, 130), (7, 170, 200),
+    (8, 1000, 5000), (9, 2000, 2100),
+]
+_RIV = [
+    (100, 100, 200), (101, 200, 300), (102, 50, 90), (103, 650, 660),
+    (104, 100, 180), (105, 90, 210), (106, 110, 190), (107, 130, 200),
+    (108, 2000, 2100), (109, 960, 5100),
+]
+
+
+def test_allen_join_all_relations(spark):
+    from golden_horse_spark.operators.temporal import allen_join
+
+    ldf = spark.createDataFrame(
+        [("k",) + t for t in _LIV], "g string, lid int, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [("k",) + t for t in _RIV], "g string, rid int, rs long, re long"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["relation"]
+        for r in allen_join(
+            ldf, rdf, on="g", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bin_width=100.0,
+        ).collect()
+    }
+    want = {}
+    for l in _LIV:
+        for r in _RIV:
+            rel = _allen_py(l, r)
+            if rel is not None:
+                want[(l[0], r[0])] = rel
+    assert got == want
+    # the fixture really exercises the full algebra (minus disjoint)
+    assert set(want.values()) >= {
+        "equals", "meets", "met_by", "starts", "started_by", "finishes",
+        "finished_by", "during", "contains", "overlaps", "overlapped_by",
+    }
+
+
+def test_allen_join_max_gap(spark):
+    from golden_horse_spark.operators.temporal import allen_join
+
+    ldf = spark.createDataFrame(
+        [("k",) + t for t in _LIV], "g string, lid int, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [("k",) + t for t in _RIV], "g string, rid int, rs long, re long"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["relation"]
+        for r in allen_join(
+            ldf, rdf, on="g", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", max_gap=120.0, bin_width=75.0,
+        ).collect()
+    }
+    want = {}
+    for l in _LIV:
+        for r in _RIV:
+            rel = _allen_py(l, r, max_gap=120)
+            if rel is not None:
+                want[(l[0], r[0])] = rel
+    assert got == want
+    assert "before" in want.values() and "after" in want.values()
+
+
+def test_allen_join_key_isolation_and_guard(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.temporal import allen_join
+
+    ldf = spark.createDataFrame(
+        [("a", 0, 0, 10), ("b", 1, 0, 10)],
+        "g string, lid int, ls long, le long",
+    )
+    rdf = spark.createDataFrame(
+        [("a", 100, 5, 15)], "g string, rid int, rs long, re long"
+    )
+    rows = allen_join(
+        ldf, rdf, on="g", l_start="ls", l_end="le",
+        r_start="rs", r_end="re",
+    ).collect()
+    assert [(r["lid"], r["rid"], r["relation"]) for r in rows] == [
+        (0, 100, "overlaps")
+    ]
+    with _pt.raises(ValueError, match="max_gap"):
+        allen_join(
+            ldf, rdf, on="g", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", max_gap=-1,
+        )
