@@ -3062,6 +3062,7 @@ def transe_rank_eval(
     rel_emb: DataFrame,
     known: DataFrame | None = None,
     corrupt: str = "tail",
+    model: str = "transe",
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
@@ -3083,6 +3084,15 @@ def transe_rank_eval(
     the self-candidate can never be strictly better, so no self
     special-case is needed).
 
+    ``model='distmult'`` swaps the scoring function for DistMult's
+    trilinear product (Yang et al. ICLR 2015): score(h, r, t) =
+    Σᵢ hᵢ·rᵢ·tᵢ, HIGHER is better — a strictly-better candidate has a
+    strictly greater score. The physical plan is identical: the
+    per-test target vector becomes the elementwise product of the
+    fixed-side and relation embeddings (the trilinear form factors as
+    dot(target, candidate), for head corruption too — the product is
+    symmetric in h and t), so only the fold expression changes.
+
     Physical plan, all JVM expressions (zip_with + aggregate — no UDF):
     the test side (joined to its h/r/true-candidate vectors) is
     BROADCAST against the entity table — eval sets are small by
@@ -3094,6 +3104,8 @@ def transe_rank_eval(
     """
     if corrupt not in ("tail", "head"):
         raise ValueError("transe_rank_eval: corrupt must be tail|head")
+    if model not in ("transe", "distmult"):
+        raise ValueError("transe_rank_eval: model must be transe|distmult")
     fixed, ranked = (subj, obj) if corrupt == "tail" else (obj, subj)
     if known is None:
         known = test
@@ -3101,9 +3113,32 @@ def transe_rank_eval(
         F.col(node_col).alias("_cand"), F.col(vec_col).alias("_cvec")
     )
     sgn = F.lit(1.0) if corrupt == "tail" else F.lit(-1.0)
-    # translation vector: h + r for tail corruption; for head ranking
-    # we rank candidates c by ‖c + r − t‖² = ‖(t − r) − c‖², i.e. the
-    # same zip_with shape against target (t − r).
+    if model == "distmult":
+        # trilinear target: fixed ∘ relation; score = dot(target, cand)
+        target_c = F.zip_with("_fvec", "_rvec", lambda x, y: x * y)
+
+        def _measure(vec):
+            return F.aggregate(
+                F.zip_with("_target", vec, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        better_cmp = ">"
+    else:
+        # translation vector: h + r for tail corruption; for head
+        # ranking we rank candidates c by ‖c + r − t‖² = ‖(t − r) − c‖²,
+        # i.e. the same zip_with shape against target (t − r).
+        target_c = F.zip_with("_fvec", "_rvec", lambda x, y: x + sgn * y)
+
+        def _measure(vec):
+            return F.aggregate(
+                F.zip_with("_target", vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        better_cmp = "<"
     t0 = (
         test.select(subj, pred, obj)
         .join(
@@ -3124,35 +3159,18 @@ def transe_rank_eval(
             ),
             ranked,
         )
-        .withColumn(
-            "_target",
-            F.zip_with("_fvec", "_rvec", lambda x, y: x + sgn * y),
-        )
-        .withColumn(
-            "_d2true",
-            F.aggregate(
-                F.zip_with(
-                    "_target", "_tvec", lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
+        .withColumn("_target", target_c)
+        .withColumn("_d2true", _measure("_tvec"))
         .select(subj, pred, obj, "_target", "_d2true")
     )
     scores = (
         ent.join(F.broadcast(t0), how="cross")
-        .withColumn(
-            "_d2",
-            F.aggregate(
-                F.zip_with(
-                    "_target", "_cvec", lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        .withColumn("_d2", _measure("_cvec"))
+        .where(
+            F.col("_d2") < F.col("_d2true")
+            if better_cmp == "<"
+            else F.col("_d2") > F.col("_d2true")
         )
-        .where(F.col("_d2") < F.col("_d2true"))
         .select(subj, pred, obj, "_cand")
     )
     # filtered protocol: drop candidates forming a KNOWN true triple

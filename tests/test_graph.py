@@ -2813,3 +2813,69 @@ def test_hits_guards(spark):
         hits(df, n_iter=0)
     with _pt.raises(ValueError, match="normalize"):
         hits(df, normalize="l2")
+
+
+def _distmult_brute(test, ent, rel, known, corrupt="tail"):
+    """Brute-force filtered DistMult ranks (Yang'15 trilinear score,
+    higher = better)."""
+    known = set(known)
+    out = {}
+    for (h, r, t) in test:
+        def sc(c):
+            if corrupt == "tail":
+                return sum(a * b * cc for a, b, cc in
+                           zip(ent[h], rel[r], ent[c]))
+            return sum(cc * b * a for cc, b, a in
+                       zip(ent[c], rel[r], ent[t]))
+        true_c = t if corrupt == "tail" else h
+        base = sc(true_c)
+        n = 0
+        for c in ent:
+            if sc(c) <= base:
+                continue
+            cand_triple = (h, r, c) if corrupt == "tail" else (c, r, t)
+            if cand_triple in known:
+                continue
+            n += 1
+        out[(h, r, t)] = n + 1
+    return out
+
+
+def test_distmult_rank_eval_vs_brute_force(spark):
+    import random
+
+    from golden_horse_spark.operators.graph import transe_rank_eval
+
+    rng = random.Random(11)
+    ents = [f"e{i}" for i in range(12)]
+    rels = ["r0", "r1"]
+    ent = {e: [float(rng.randint(-5, 5)) for _ in range(4)] for e in ents}
+    rel = {r: [float(rng.randint(-3, 3)) for _ in range(4)] for r in rels}
+    all_triples = [
+        (rng.choice(ents), rng.choice(rels), rng.choice(ents))
+        for _ in range(30)
+    ]
+    known = sorted(set(all_triples))
+    test = known[:8]
+    edf = spark.createDataFrame(
+        [(k, v) for k, v in ent.items()], "node string, vec array<double>"
+    )
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rel.items()], "node string, vec array<double>"
+    )
+    tdf = spark.createDataFrame(test, "subj string, pred string, obj string")
+    kdf = spark.createDataFrame(known, "subj string, pred string, obj string")
+    for corrupt in ("tail", "head"):
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["rank"]
+            for r in transe_rank_eval(
+                tdf, edf, rdf, known=kdf, corrupt=corrupt,
+                model="distmult",
+            ).collect()
+        }
+        exp = _distmult_brute(test, ent, rel, known, corrupt=corrupt)
+        assert got == exp, corrupt
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="model"):
+        transe_rank_eval(tdf, edf, rdf, model="rotate")
