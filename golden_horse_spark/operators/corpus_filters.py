@@ -409,3 +409,73 @@ def repetition_filter(
     for name, lim in th.items():
         keep = keep & (F.col(name) <= F.lit(float(lim)))
     return docs.join(stats, doc_id, "left").withColumn("keep", keep)
+
+
+C4_POLICY_PHRASES = ("lorem ipsum", "{")
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_blocklist: tuple = ("javascript",),
+    page_blocklist: tuple = C4_POLICY_PHRASES,
+) -> DataFrame:
+    """C4's line-level cleaning pass (Raffel et al. JMLR 2020 §2.2 —
+    the public recipe behind the C4 corpus, reproduced by RefinedWeb /
+    Dolma / FineWeb): keep only lines that end in a terminal
+    punctuation mark, have at least ``min_words_per_line`` words, and
+    do not contain a line-blocklist token (C4 uses "javascript");
+    then drop whole pages with fewer than ``min_sentences`` sentences
+    after cleaning or containing a page-blocklist phrase (C4: "lorem
+    ipsum", "{"). C4's fourth rule — 3-sentence-span dedup across the
+    corpus — is the cross-doc job :func:`~golden_horse_spark.operators.
+    dedup.duplicated_span_stats` already covers; this operator is the
+    per-page half.
+
+    Pure JVM expression tree (split → higher-order ``filter`` →
+    ``array_join``): zero shuffles, zero Python — the whole pass
+    pipelines inside whole-stage codegen over the documents scan, so
+    at 100 TB it is I/O-bound map work.
+
+    Output: input columns + ``clean_text`` (kept lines re-joined with
+    newlines), ``n_lines`` / ``n_lines_kept``, ``n_sentences``
+    (terminal-punctuation segments with ≥1 word character, the C4
+    sentence proxy), and ``keep`` (the page-level verdict).
+
+    Determinism contract: every rule is a regex/length predicate on
+    the line itself — no RNG, no ordering dependence — so the result
+    is a pure function of the text and the oracle twin replays it
+    with the same list-lambda predicates.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(x):
+        t = F.trim(x)
+        ok = t.rlike('[.!?"]$') & (
+            F.size(F.split(t, r"\s+")) >= F.lit(min_words_per_line)
+        )
+        for tok in line_blocklist:
+            ok = ok & ~F.lower(x).contains(tok.lower())
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.filter(
+            F.split(clean, r"[.!?]"),
+            lambda s: F.trim(s).rlike(r"\w"),
+        )
+    )
+    page_ok = n_sent >= F.lit(min_sentences)
+    for ph in page_blocklist:
+        page_ok = page_ok & ~F.lower(F.col(text_col)).contains(ph.lower())
+    return (
+        docs.withColumn("clean_text", clean)
+        .withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_sentences", n_sent)
+        .withColumn("keep", page_ok)
+    )

@@ -250,3 +250,74 @@ def test_repetition_filter_custom_thresholds(spark, docs_df):
         ).collect()
     }
     assert rows["d_dupline"] and not rows["d_allrep"]
+
+
+# ---------- C4 line-level cleaning ----------
+
+
+def _c4_py(text, min_words=3, min_sent=5):
+    import re
+
+    kept = []
+    for ln in text.split("\n"):
+        t = ln.strip()
+        if not re.search(r'[.!?"]$', t):
+            continue
+        if len(re.split(r"\s+", t)) < min_words:
+            continue
+        if "javascript" in ln.lower():
+            continue
+        kept.append(ln)
+    clean = "\n".join(kept)
+    sents = [s for s in re.split(r"[.!?]", clean) if re.search(r"\w", s)]
+    keep = (
+        len(sents) >= min_sent
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    return clean, len(text.split("\n")), len(kept), len(sents), keep
+
+
+def test_c4_clean_matches_reference(spark):
+    from golden_horse_spark.operators.corpus_filters import c4_clean
+
+    fixtures = [
+        "Good solid first sentence here.\nok.\nno punct line\n"
+        "Line two is fine too!\nWhy not a question line?\n"
+        "javascript should vanish here.\nFourth proper sentence now.\n"
+        "Fifth and final sentence done.",
+        "Lorem Ipsum dolor sit amet consectetur.\nMore text follows here.",
+        "Code page with brace {\nA perfectly fine sentence though.",
+        "One good sentence only here.",
+        'Quoted line ends properly."\nSecond quoted thought lands well.\n'
+        "Third idea arrives intact.\nFourth notion completes nicely.\n"
+        "Fifth statement wraps it up.",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(fixtures)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_lines"], r["n_lines_kept"],
+            r["n_sentences"], r["keep"],
+        )
+        for r in c4_clean(docs).collect()
+    }
+    for i, t in enumerate(fixtures):
+        assert got[str(i)] == _c4_py(t), (i, got[str(i)], _c4_py(t))
+    # the fixture set exercises both verdicts
+    assert {v[4] for v in got.values()} == {True, False}
+
+
+def test_c4_clean_thresholds(spark):
+    from golden_horse_spark.operators.corpus_filters import c4_clean
+
+    text = "Alpha beta gamma done.\nDelta epsilon zeta good."
+    docs = spark.createDataFrame([("x", text)], "doc_id string, text string")
+    strict = c4_clean(docs, min_sentences=3).collect()[0]
+    loose = c4_clean(docs, min_sentences=2).collect()[0]
+    assert not strict["keep"] and loose["keep"]
+    few = c4_clean(docs, min_words_per_line=5).collect()[0]
+    assert few["n_lines_kept"] == 0
