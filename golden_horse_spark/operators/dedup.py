@@ -466,6 +466,125 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """EXACT word-k-gram Jaccard similarity join via prefix filtering
+    (Chaudhuri et al. ICDE 2006; Bayardo et al. WWW 2007 All-Pairs /
+    PPJoin family) — the lossless alternative to
+    :func:`ngram_jaccard_pairs`'s ``df_cap``: the cap bounds hot-shingle
+    fan-out by DROPPING stop-shingles from the universe (changes the
+    measure); the prefix filter keeps the measure exact and still never
+    joins on hot tokens, because the canonical rarest-first ordering
+    puts them LAST and the prefix keeps only each set's first
+    ``|x| − ⌈t·|x|⌉ + 1`` tokens. Theorem (prefix filtering): if
+    J(x, y) ≥ t, the two prefixes share ≥1 token — so the equi-join on
+    prefix tokens is a complete candidate generator, and the exact
+    verify loses nothing.
+
+    Scale shape: shingle df + a VOCABULARY-sized rank sort (rarest
+    first, shingle tiebreak — same bounded-sort class as the alias
+    dictionary builders), one co-keyed rank join back, per-doc sorted
+    rank arrays, prefix explode (≈ (1−t)·|x| + 1 rows per doc) →
+    equi-join on the rank with the length filter ``t·|x| ≤ |y| ≤
+    |x|/t`` applied IN the join, distinct, then one verify join
+    against the per-doc arrays (``array_intersect`` on sorted ranks).
+    Threshold arithmetic is integer ppm (``T = round(t·10⁶)``,
+    ``⌈t·n⌉ = (T·n + 10⁶ − 1) div 10⁶``) — float ``ceil(0.8·5)`` is 5
+    in IEEE doubles and would silently SHORTEN the prefix (recall
+    loss); the oracle mirrors the same integer forms.
+
+    Output: ``(doc_a, doc_b, jaccard)`` with jaccard ≥ t, round(…, 6),
+    identical pair set and values to ``ngram_jaccard_pairs(df_cap=
+    None)``."""
+    if not (0 < min_jaccard <= 1):
+        raise ValueError("prefix_jaccard_pairs: min_jaccard must be in (0, 1]")
+    T = int(round(min_jaccard * 1_000_000))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(shingles_expr(text_col, k)))
+        ).alias("s"),
+    )
+    rank = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .select(
+            "s",
+            F.row_number()
+            .over(Window.orderBy("_df", "s"))
+            .alias("_rk"),
+        )
+    )
+    toks = (
+        sh.join(rank, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("_rk")).alias("_toks"),
+            F.count("*").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1 in exact ppm integer arithmetic
+    plen = (
+        F.col("n")
+        - F.expr(f"(n * {T}L + 999999) div 1000000")
+        + F.lit(1)
+    ).cast("int")
+    pref = toks.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("_toks", F.lit(1), plen)).alias("_rk"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._rk") == F.col("b._rk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 1_000_000 >= F.col("a.n") * T)
+            & (F.col("a.n") * 1_000_000 >= F.col("b.n") * T),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_toks").alias("_tka"),
+        F.col("n").alias("na"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_toks").alias("_tkb"),
+        F.col("n").alias("nb"),
+    )
+    common = F.size(F.array_intersect("_tka", "_tkb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("_common", common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common")
+                / (F.col("na") + F.col("nb") - F.col("_common")),
+                6,
+            ),
+        )
+        .where(
+            (F.col("_common") * 1_000_000)
+            >= (F.col("na") + F.col("nb") - F.col("_common")) * T
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 

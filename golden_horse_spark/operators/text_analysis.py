@@ -553,6 +553,41 @@ def mixture_keep(
     return _md5_byte(text, "mix") < expr
 
 
+def temperature_rates(
+    docs: DataFrame,
+    domain_col: str = "source",
+    temperature: float = 1.0,
+) -> dict:
+    """Temperature-scaled multinomial mixture rates (Conneau et al.
+    ACL 2020 §3.1, the XLM-R / mT5 low-resource-upsampling recipe):
+    with corpus shares p_d ∝ n_d, the target mixture is q_d ∝
+    p_d^(1/T) — T > 1 flattens the domain distribution toward uniform,
+    T = 1 is proportional (no-op), T → ∞ is uniform. Realized as a
+    KEEP-rate table for :func:`mixture_keep` (downsampling-only, no
+    replication): rate_d ∝ q_d / p_d = p_d^(1/T − 1), rescaled so the
+    most-upweighted (smallest) domain keeps everything — the exact
+    keep probabilities that make the SURVIVING corpus distribute as q.
+
+    One map-side-combined groupBy over the corpus; the returned dict
+    is domain-count-sized (collected — bounded by the source
+    vocabulary, same class as the alias dictionaries). Deterministic:
+    pure arithmetic on exact counts."""
+    if temperature <= 0:
+        raise ValueError("temperature_rates: temperature must be > 0")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(domain_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    ex = 1.0 / float(temperature) - 1.0
+    raw = {d: float(n) ** ex for d, n in counts.items()}
+    top = max(raw.values())
+    return {d: v / top for d, v in raw.items()}
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 2048,

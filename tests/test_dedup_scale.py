@@ -953,3 +953,99 @@ def test_embedding_near_dup_null_and_ragged_vectors(spark):
         ).collect()
     )
     assert got == [(0, 1)]
+
+
+# ---------- prefix-filtering exact Jaccard join (PPJoin family) ----------
+
+
+def _jaccard_brute(texts, k, t):
+    """Exact-rational brute force over all pairs (Fraction threshold —
+    mirrors prefix_jaccard_pairs' integer-ppm comparison)."""
+    from fractions import Fraction
+
+    sets = {}
+    for d, txt in texts:
+        w = txt.split()
+        sets[d] = {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+    T = Fraction(round(t * 1_000_000), 1_000_000)
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            u = len(sa | sb)
+            if Fraction(c, u) >= T:
+                out[(a, b)] = round(c / u, 6)
+    return out
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    from golden_horse_spark.operators.dedup import prefix_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different words in this one document here now"),
+        (4, base + " with a short tail"),
+        (5, "the quick brown fox jumps over the lazy cat again and again"),
+        (6, "short doc"),  # < k tokens -> empty shingle set
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for t in (0.8, 0.5, 0.3):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_jaccard_pairs(
+                docs, k=3, min_jaccard=t
+            ).collect()
+        }
+        assert got == _jaccard_brute(texts, 3, t), t
+
+
+def test_prefix_jaccard_equals_uncapped_posting_join(spark):
+    import random
+
+    from golden_horse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 20))))
+        for i in range(40)
+    ]
+    # planted dup / near-dup mass so the 0.5 threshold has survivors
+    texts += [(100 + i, texts[i][1]) for i in range(6)]
+    texts += [
+        (200 + i, texts[i][1] + " w0 w1")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pj = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, k=2, min_jaccard=0.5).collect()
+    }
+    nj = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=2, min_jaccard=0.5, df_cap=None
+        ).collect()
+    }
+    assert pj == nj
+    assert pj  # non-trivial
+
+
+def test_prefix_jaccard_guard(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="min_jaccard"):
+        prefix_jaccard_pairs(docs, min_jaccard=0.0)

@@ -448,3 +448,50 @@ def test_dsir_weights_vs_python_reference(spark):
 
     with pytest.raises(ValueError):
         dsir_weights(docs, target, n_buckets=0)
+
+
+def test_temperature_rates(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.text_analysis import (
+        mixture_keep,
+        temperature_rates,
+    )
+
+    rows = (
+        [(f"big doc {i}", "big") for i in range(800)]
+        + [(f"mid doc {i}", "mid") for i in range(160)]
+        + [(f"small doc {i}", "small") for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "text string, source string")
+    # T=1: proportional sampling is a no-op — every domain keeps all
+    r1 = temperature_rates(docs, temperature=1.0)
+    assert r1 == {"big": 1.0, "mid": 1.0, "small": 1.0}
+    # T>1: smallest domain keeps everything, larger keep less,
+    # monotone in size; exact closed form n^(1/T-1)/min_n^(1/T-1)
+    t = 2.0
+    rt = temperature_rates(docs, temperature=t)
+    assert rt["small"] == 1.0
+    assert rt["small"] > rt["mid"] > rt["big"] > 0
+    for d, n in (("big", 800), ("mid", 160), ("small", 40)):
+        assert abs(rt[d] - (n ** -0.5) / (40 ** -0.5)) < 1e-12
+    # surviving corpus distributes as q ∝ n^(1/T) (exact expectation)
+    exp_kept = {d: n * rt[d] for d, n in (("big", 800), ("mid", 160), ("small", 40))}
+    qs = {d: n ** (1 / t) for d, n in (("big", 800), ("mid", 160), ("small", 40))}
+    for d in qs:
+        assert abs(
+            exp_kept[d] / sum(exp_kept.values()) - qs[d] / sum(qs.values())
+        ) < 1e-12
+    # composes with mixture_keep (256-bucket quantization tolerance)
+    kept = (
+        docs.where(mixture_keep(F.col("text"), F.col("source"), rt))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in kept}
+    assert got["small"] == 40
+    assert abs(got["big"] - 800 * rt["big"]) < 800 * 0.1
+    with _pt.raises(ValueError, match="temperature"):
+        temperature_rates(docs, temperature=0)
