@@ -67,6 +67,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    LongType,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -1440,3 +1441,95 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in frames_schema.fields])
 
     return media.where(F.col("kind") == "video").mapInPandas(run, frames_schema)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 bools (row-major, MSB first) → signed int64 (Spark long)."""
+    u = 0
+    for b in bits.ravel():
+        u = (u << 1) | int(bool(b))
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """Difference hash (Krawetz 2013 'Kind of Like That'): resize to
+    8×9 grayscale, bit = left-to-right gradient sign — robust to
+    uniform brightness/contrast shifts because only ORDER matters."""
+    g = bilinear_resize(img, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """Average hash: resize to 8×8, bit = pixel above the mean."""
+    g = bilinear_resize(img, 8, 8)
+    return _pack_bits64(g > g.mean())
+
+
+def perceptual_hash(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """64-bit perceptual image hashes (dHash gradient / aHash mean —
+    the classic near-duplicate-image fingerprints): decode → 8×9 (or
+    8×8) bilinear downsample → sign bits packed MSB-first into one
+    LONG. Arrow-batched ``mapInPandas`` over image rows only (the
+    decode is per-row pure python by necessity; the downstream pair
+    join is pure JVM). Deterministic: same payload ⇒ same hash on any
+    partitioning/engine, so the values are golden-pinnable."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError("perceptual_hash: method must be dhash|ahash")
+    fn = _dhash64 if method == "dhash" else _ahash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload, w, h in pdf[
+                ["media_ref", "kind", "payload", "width", "height"]
+            ].itertuples(index=False, name=None):
+                img = _decode_image(bytes(payload), int(w), int(h))
+                rows.append(
+                    {"media_ref": ref, "kind": kind, "phash": fn(img)}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def media_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    method: str = "dhash",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hashes fed through the
+    banded-hamming join of
+    :func:`~golden_horse_spark.operators.dedup.simhash_near_pairs`
+    (pigeonhole d+1 bands → equi-join → exact ``bit_count`` verify) —
+    the media leg of the dedup family composes with the text leg's
+    machinery instead of duplicating it. One Python decode pass, then
+    pure JVM; returns ``(ref_a, ref_b, hamming)``. ``hashes``
+    short-circuits the decode (same reuse contract as
+    ``minhash_dup_pairs(signatures=…)``)."""
+    from .dedup import simhash_near_pairs
+
+    ph = hashes if hashes is not None else perceptual_hash(media, method)
+    sigs = ph.select(
+        F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(
+        media, max_hamming=max_hamming, signatures=sigs
+    ).select(
+        F.col("doc_a").alias("ref_a"),
+        F.col("doc_b").alias("ref_b"),
+        "hamming",
+    )

@@ -697,3 +697,134 @@ def test_video_frames_are_real_mjpeg(spark):
             gf = got[(v["media_ref"], ts)]
             assert abs(gf[0] - want[0]) < 1e-6
             assert abs(gf[1] - want[1]) < 1e-6
+
+
+# ---------- perceptual hashing + media near-dup pairs ----------
+
+
+def _grad_img(h, w, tilt=0.0):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x + tilt * y) / (w + tilt * h)).astype(np.float64)
+
+
+def test_perceptual_hash_python_reference_and_determinism(spark):
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _ahash64,
+        _dhash64,
+        _pack_bits64,
+        bilinear_resize,
+        encode_ppm,
+        perceptual_hash,
+    )
+
+    # packing: MSB-first, signed wrap
+    bits = np.zeros(64, dtype=bool)
+    bits[0] = True
+    assert _pack_bits64(bits) == -(1 << 63)
+    bits[:] = False
+    bits[63] = True
+    assert _pack_bits64(bits) == 1
+    # spark vs direct python on constructed PPM payloads
+    imgs = {
+        "g1": _grad_img(16, 20),
+        "g2": _grad_img(16, 20, tilt=0.05),  # near-dup of g1
+        "rev": 1.0 - _grad_img(16, 20),      # reversed gradient: far
+    }
+    rows = [
+        (
+            ref,
+            "image",
+            encode_ppm(
+                np.repeat(
+                    (img * 255).round().astype("uint8")[:, :, None], 3, axis=2
+                )
+            ),
+            20,
+            16,
+            0,
+        )
+        for ref, img in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    for method, fn in (("dhash", _dhash64), ("ahash", _ahash64)):
+        got = {
+            r["media_ref"]: r["phash"]
+            for r in perceptual_hash(media, method).collect()
+        }
+        from golden_horse_spark.operators.multimodal import _decode_image
+
+        for ref, (_, _, payload, w, h, _) in zip(imgs, rows):
+            img = _decode_image(bytes(rows[list(imgs).index(ref)][2]), 20, 16)
+            assert got[ref] == fn(img), (method, ref)
+    # dhash invariance to brightness shift (order preserved)
+    bright = {
+        "g1": _grad_img(16, 20) * 0.5 + 0.25,
+    }
+    assert _dhash64(bright["g1"]) == _dhash64(imgs["g1"])
+
+
+def test_media_dup_pairs_banded_join(spark):
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _dhash64,
+        _decode_image,
+        encode_ppm,
+        media_dup_pairs,
+    )
+
+    imgs = {
+        "a": _grad_img(16, 20),
+        "b": _grad_img(16, 20, tilt=0.03),
+        "c": 1.0 - _grad_img(16, 20),
+        "d": _grad_img(16, 20),  # exact content dup of a
+    }
+    rows = [
+        (
+            ref,
+            "image",
+            encode_ppm(
+                np.repeat(
+                    (img * 255).round().astype("uint8")[:, :, None], 3, axis=2
+                )
+            ),
+            20,
+            16,
+            0,
+        )
+        for ref, img in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    # brute-force expected pairs at the same threshold
+    dec = {
+        ref: _decode_image(bytes(r[2]), 20, 16)
+        for ref, r in zip(imgs, rows)
+    }
+    hs = {ref: _dhash64(img) for ref, img in dec.items()}
+    t = 6
+    exp = {}
+    ids = sorted(hs)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            d = bin((hs[x] ^ hs[y]) & ((1 << 64) - 1)).count("1")
+            if d <= t:
+                exp[(x, y)] = d
+    got = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in media_dup_pairs(media, max_hamming=t).collect()
+    }
+    assert got == exp
+    assert ("a", "d") in got and got[("a", "d")] == 0
+    assert all(("c" not in p) for p in got)
