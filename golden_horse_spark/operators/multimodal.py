@@ -1533,3 +1533,117 @@ def media_dup_pairs(
         F.col("doc_b").alias("ref_b"),
         "hamming",
     )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("kind", StringType()),
+        StructField("landmarks", ArrayType(LongType())),
+    ]
+)
+
+
+def _audio_landmarks(
+    wave: np.ndarray,
+    frame: int = 256,
+    hop: int = 128,
+    n_peaks: int = 3,
+    fan_out: int = 3,
+) -> list:
+    """Constellation landmark hashes (Wang, ISMIR 2003 — the Shazam
+    scheme): Hann-windowed rFFT magnitude per frame, top ``n_peaks``
+    bins (ties broken toward the LOWER bin via argsort stability over
+    -magnitude), then each anchor peak pairs with the peaks of the
+    next ``fan_out`` frames as h = f1·2²⁰ + f2·2⁸ + dt. Peak BIN
+    indices are amplitude-invariant (scaling the wave scales every
+    magnitude equally), which is what makes the landmark set a
+    content fingerprint rather than a loudness one."""
+    if len(wave) < frame:
+        return []
+    win = np.hanning(frame)
+    peaks = []
+    for start in range(0, len(wave) - frame + 1, hop):
+        mag = np.abs(np.fft.rfft(wave[start:start + frame] * win))
+        # stable top-k by (-magnitude, bin): lowest bin wins ties
+        order = np.argsort(-mag, kind="stable")[:n_peaks]
+        peaks.append(sorted(int(b) for b in order))
+    out = set()
+    for t, ps in enumerate(peaks):
+        for f1 in ps:
+            for dt in range(1, fan_out + 1):
+                if t + dt >= len(peaks):
+                    break
+                for f2 in peaks[t + dt]:
+                    out.add((f1 << 20) | (f2 << 8) | dt)
+    return sorted(out)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame: int = 256,
+    hop: int = 128,
+    n_peaks: int = 3,
+    fan_out: int = 3,
+) -> DataFrame:
+    """Arrow-batched audio landmark fingerprints over ``kind='audio'``
+    rows (all three real WAV codec paths decode first). Output:
+    ``(media_ref, kind, landmarks array<long>)`` — a deterministic
+    pure function of the payload (stable argsort tiebreak), so
+    checksums over the landmark set are golden-pinnable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload, dur in pdf[
+                ["media_ref", "kind", "payload", "duration_ms"]
+            ].itertuples(index=False, name=None):
+                wave = _decode_audio(bytes(payload), int(dur))
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "kind": kind,
+                        "landmarks": _audio_landmarks(
+                            wave, frame, hop, n_peaks, fan_out
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_dup_pairs(
+    media: DataFrame,
+    min_common: int = 5,
+    fingerprints: DataFrame | None = None,
+    **fp_kwargs,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by shared constellation landmarks:
+    explode each clip's landmark set into an inverted index, ONE
+    self-equi-join on the landmark hash, count shared landmarks per
+    pair, keep pairs with ≥ ``min_common`` — the same postings-join
+    shape as ``ngram_jaccard_pairs``, with the landmark hash space
+    (~2²⁸) keeping buckets near-singleton. One Python decode pass,
+    then pure JVM. ``fingerprints`` reuses a precomputed table."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else audio_fingerprint(media, **fp_kwargs)
+    )
+    ex = fp.select("media_ref", F.explode("landmarks").alias("lm"))
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(r, "lm")
+        .where(F.col("l.media_ref") < F.col("r.media_ref"))
+        .groupBy(
+            F.col("l.media_ref").alias("ref_a"),
+            F.col("r.media_ref").alias("ref_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

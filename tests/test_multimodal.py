@@ -828,3 +828,82 @@ def test_media_dup_pairs_banded_join(spark):
     assert got == exp
     assert ("a", "d") in got and got[("a", "d")] == 0
     assert all(("c" not in p) for p in got)
+
+
+# ---------- audio constellation fingerprints ----------
+
+
+def _tone(freqs, n=4096, sr=8000, amp=0.4):
+    import numpy as np
+
+    t = np.arange(n) / sr
+    w = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    return (amp * w / len(freqs)).astype(np.float64)
+
+
+def test_audio_fingerprint_matches_python_and_props(spark):
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        _audio_landmarks,
+        _decode_audio,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    clips = {
+        "t1": _tone([440, 1200]),
+        "t1b": _tone([440, 1200], amp=0.2),  # same content, quieter
+        "t2": _tone([600, 2000]),
+    }
+    rows = [
+        (ref, "audio", encode_wav(w), 0, 0, 512)
+        for ref, w in clips.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    got = {
+        r["media_ref"]: list(r["landmarks"])
+        for r in audio_fingerprint(media).collect()
+    }
+    for ref, (_, _, payload, _, _, dur) in zip(clips, rows):
+        wave = _decode_audio(bytes(payload), dur)
+        assert got[ref] == _audio_landmarks(wave), ref
+    # amplitude invariance: peak BINS don't move when the clip is
+    # quieter (PCM16 quantization may flip a rare tie — allow ~identical)
+    a, b = set(got["t1"]), set(got["t1b"])
+    assert len(a & b) / max(len(a | b), 1) > 0.8
+    # different tones share (almost) nothing
+    c = set(got["t2"])
+    assert len(a & c) / max(len(a | c), 1) < 0.2
+
+
+def test_audio_dup_pairs_postings_join(spark):
+    from golden_horse_spark.operators.multimodal import (
+        audio_dup_pairs,
+        encode_wav,
+    )
+
+    clips = {
+        "x": _tone([500, 1500]),
+        "y": _tone([500, 1500], amp=0.15),  # dup of x
+        "z": _tone([900, 2600]),            # different
+    }
+    rows = [
+        (ref, "audio", encode_wav(w), 0, 0, 512)
+        for ref, w in clips.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["n_common"]
+        for r in audio_dup_pairs(media, min_common=5).collect()
+    }
+    assert ("x", "y") in pairs and pairs[("x", "y")] >= 5
+    assert all("z" not in p for p in pairs)
