@@ -1647,3 +1647,90 @@ def audio_dup_pairs(
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+VIDEO_HASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-sampled-frame dHash fingerprints over ``kind='video'`` rows:
+    the frame at each sampled timestamp (real Motion-JPEG decode for
+    AVI payloads, the deterministic stub for unknown containers —
+    same dispatch as :func:`sample_video_frames`) is perceptually
+    hashed with :func:`_dhash64`. Output ``(media_ref, ts_ms,
+    phash)`` — the clip's fingerprint is its frame-hash SET."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, w, h, dur in pdf[
+                ["media_ref", "payload", "width", "height", "duration_ms"]
+            ].itertuples(index=False, name=None):
+                raw = bytes(payload)
+                frames = fps = None
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    frames, fps = parse_avi_mjpeg(raw)
+                for ts in range(0, max(int(dur), 1), every_ms):
+                    if frames is not None:
+                        f = frames[min(ts * fps // 1000, len(frames) - 1)]
+                        img = (
+                            0.299 * f[..., 0]
+                            + 0.587 * f[..., 1]
+                            + 0.114 * f[..., 2]
+                        ).astype(np.float64) / 255.0
+                    else:
+                        img = _decode_image(
+                            raw + ts.to_bytes(4, "little"), int(w), int(h)
+                        )
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "ts_ms": ts,
+                            "phash": _dhash64(img),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_HASH_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, VIDEO_HASH_SCHEMA
+    )
+
+
+def video_dup_pairs(
+    media: DataFrame,
+    min_common: int = 2,
+    every_ms: int = 1000,
+    frame_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by shared sampled-frame dHashes —
+    the postings-join shape again: distinct (clip, frame-hash) rows
+    form the inverted index, ONE self-equi-join on the hash, per-pair
+    shared-frame count ≥ ``min_common``. Exact-frame matching (the
+    re-encode/re-container dedup case); for perturbed frames compose
+    :func:`media_dup_pairs`' banded-hamming join over the frame rows
+    instead."""
+    fh = (
+        frame_hashes
+        if frame_hashes is not None
+        else video_frame_hashes(media, every_ms)
+    )
+    ex = fh.select("media_ref", "phash").distinct()
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(r, "phash")
+        .where(F.col("l.media_ref") < F.col("r.media_ref"))
+        .groupBy(
+            F.col("l.media_ref").alias("ref_a"),
+            F.col("r.media_ref").alias("ref_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -907,3 +907,56 @@ def test_audio_dup_pairs_postings_join(spark):
     }
     assert ("x", "y") in pairs and pairs[("x", "y")] >= 5
     assert all("z" not in p for p in pairs)
+
+
+def test_video_dup_pairs_shared_frames(spark):
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    def frames(seed, n=4):
+        out = []
+        for i in range(n):
+            # structured pseudorandom content: distinct frames get
+            # distinct dHashes (a pure gradient would hash all-ones)
+            rng = np.random.RandomState(seed * 10 + i)
+            g = rng.rand(16, 20)
+            out.append(
+                np.repeat(
+                    (g * 255).round().astype("uint8")[:, :, None], 3, axis=2
+                )
+            )
+        return out
+
+    fa = frames(0)
+    rows = [
+        ("va", "video", encode_avi_mjpeg(fa, fps=1), 20, 16, 4000),
+        # same first three frames, different last: shares 3 hashes
+        ("vb", "video", encode_avi_mjpeg(fa[:3] + frames(7)[:1], fps=1),
+         20, 16, 4000),
+        ("vc", "video", encode_avi_mjpeg(frames(11), fps=1), 20, 16, 4000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    fh = video_frame_hashes(media, every_ms=1000)
+    got = {
+        (r["ref_a"], r["ref_b"]): r["n_common"]
+        for r in video_dup_pairs(
+            media, min_common=2, frame_hashes=fh
+        ).collect()
+    }
+    assert ("va", "vb") in got and got[("va", "vb")] >= 2
+    # frame hashes are per-frame deterministic: 4 sampled rows per clip
+    counts = (
+        fh.groupBy("media_ref").count().collect()
+    )
+    assert {r["media_ref"]: r["count"] for r in counts} == {
+        "va": 4, "vb": 4, "vc": 4
+    }
