@@ -244,3 +244,73 @@ def merge_components(
         .select("node", F.coalesce("_new", "node").alias("component"))
     )
     return merged.unionByName(new_assigned)
+
+
+def pairwise_er(
+    labels: DataFrame,
+    pred_col: str = "pred_label",
+    gold_col: str = "gold_label",
+) -> DataFrame:
+    """Pairwise entity-resolution evaluation (the pair-counting family
+    — Rand 1971 / the standard record-linkage pair P/R/F1, Menestrina
+    et al. VLDB 2010's pairwise measure): a pair of items is a true
+    positive iff BOTH clusterings co-cluster it, so
+
+        TP = Σ_{c,g} C(n_cg, 2)   pred_pairs = Σ_c C(|C_c|, 2)
+        gold_pairs = Σ_g C(|G_g|, 2)
+        P = TP/pred_pairs   R = TP/gold_pairs
+
+    Complements :func:`bcubed`: pairwise is the metric linkage papers
+    report, B³ the one coreference papers report — and they disagree
+    exactly on over-merging penalties, which is why ER QA wants both.
+
+    Plan shape (bcubed's discipline): ONE (pred, gold) contingency
+    groupBy with map-side combine; cluster sizes re-aggregate THAT
+    table (items are scanned once); three global sums. Every count is
+    an exact LONG — order/partitioning/engine-invariant, directly
+    pinnable — and the P/R/F1 floats are computed once from the exact
+    integers in the final 1-row projection."""
+    cells = (
+        labels.groupBy(
+            F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = lambda c: F.sum(F.expr(f"({c} * ({c} - 1)) div 2")).cast("long")  # noqa: E731
+    tp = cells.agg(
+        c2("n").alias("tp"), F.sum("n").cast("long").alias("n_items")
+    )
+    pp = (
+        cells.groupBy("_p").agg(F.sum("n").alias("sz"))
+        .agg(c2("sz").alias("pred_pairs"))
+    )
+    gp = (
+        cells.groupBy("_g").agg(F.sum("n").alias("sz"))
+        .agg(c2("sz").alias("gold_pairs"))
+    )
+    prec = F.when(
+        F.col("pred_pairs") > 0, F.col("tp") / F.col("pred_pairs")
+    ).otherwise(F.lit(1.0))
+    rec = F.when(
+        F.col("gold_pairs") > 0, F.col("tp") / F.col("gold_pairs")
+    ).otherwise(F.lit(1.0))
+    return (
+        tp.crossJoin(pp)
+        .crossJoin(gp)
+        .select(
+            "n_items",
+            "tp",
+            "pred_pairs",
+            "gold_pairs",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            F.when(
+                (F.col("pred_pairs") > 0) | (F.col("gold_pairs") > 0),
+                2.0 * F.col("tp")
+                / (F.col("pred_pairs") + F.col("gold_pairs")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("f1"),
+        )
+    )

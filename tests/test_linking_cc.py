@@ -1023,3 +1023,70 @@ def test_jaro_winkler_col_on_candidates(spark):
             assert got[(a, b)] is None
         else:
             assert abs(got[(a, b)] - _jaro_winkler_py(a, b)) < 1e-12
+
+
+# ---------- pairwise ER evaluation ----------
+
+
+def _pairwise_py(items):
+    from itertools import combinations
+
+    tp = pp = gp = 0
+    for (p1, g1), (p2, g2) in combinations(items, 2):
+        pp += p1 == p2
+        gp += g1 == g2
+        tp += (p1 == p2) and (g1 == g2)
+    prec = tp / pp if pp else 1.0
+    rec = tp / gp if gp else 1.0
+    f1 = 2 * tp / (pp + gp) if (pp or gp) else 1.0
+    return tp, pp, gp, prec, rec, f1
+
+
+def test_pairwise_er_matches_definition(spark):
+    import random
+
+    from golden_horse_spark.operators.canonicalize import pairwise_er
+
+    rng = random.Random(5)
+    items = [
+        (rng.randint(0, 4), rng.randint(0, 3)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, p, g) for i, (p, g) in enumerate(items)],
+        "node long, pred_label int, gold_label int",
+    )
+    row = pairwise_er(df).collect()[0]
+    tp, pp, gp, prec, rec, f1 = _pairwise_py(items)
+    assert (row["tp"], row["pred_pairs"], row["gold_pairs"]) == (tp, pp, gp)
+    assert row["n_items"] == 60
+    assert abs(row["precision"] - prec) < 1e-12
+    assert abs(row["recall"] - rec) < 1e-12
+    assert abs(row["f1"] - f1) < 1e-12
+
+
+def test_pairwise_er_extremes(spark):
+    from golden_horse_spark.operators.canonicalize import pairwise_er
+
+    # perfect clustering
+    df = spark.createDataFrame(
+        [(i, i % 3, i % 3) for i in range(12)],
+        "node long, pred_label int, gold_label int",
+    )
+    r = pairwise_er(df).collect()[0]
+    assert r["precision"] == r["recall"] == r["f1"] == 1.0
+    # all-singletons prediction vs one gold cluster: P=1 (vacuous), R=0
+    df2 = spark.createDataFrame(
+        [(i, i, 0) for i in range(6)],
+        "node long, pred_label int, gold_label int",
+    )
+    r2 = pairwise_er(df2).collect()[0]
+    assert r2["pred_pairs"] == 0 and r2["precision"] == 1.0
+    assert r2["recall"] == 0.0 and r2["gold_pairs"] == 15
+    # over-merge everything: R=1, P = gold_pairs / C(n,2)
+    df3 = spark.createDataFrame(
+        [(i, 0, i % 2) for i in range(6)],
+        "node long, pred_label int, gold_label int",
+    )
+    r3 = pairwise_er(df3).collect()[0]
+    assert r3["recall"] == 1.0
+    assert abs(r3["precision"] - r3["gold_pairs"] / 15) < 1e-12
