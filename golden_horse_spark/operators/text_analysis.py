@@ -588,6 +588,42 @@ def temperature_rates(
     return {d: v / top for d, v in raw.items()}
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT deterministic stratified sample: exactly ``min(n, |stratum|)``
+    rows per stratum — the balanced-eval-set / per-domain-cap sampler
+    training pipelines want where ``sampleBy``'s Bernoulli draw gives
+    only an expected count. Rows rank within their stratum by
+    ``md5(salt|id)`` (id tiebreak) and the first ``n`` survive — a pure
+    function of the data (no RNG state), stable across runs,
+    partitionings and engines, and independent of the ``hash_split`` /
+    ``mixture_keep`` bytes (different salt ⇒ independent md5 orders).
+
+    Cost: ONE hash exchange on the stratum + a per-stratum sort
+    (the same shape as any window op); skew bounded by the largest
+    stratum. For strata too large to sort, rank-free capping via
+    ``quantile_thresholds`` on the md5 value is the approximate
+    100 TB path — this operator is the exact one."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("stratified_sample: n must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 2048,

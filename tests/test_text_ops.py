@@ -495,3 +495,50 @@ def test_temperature_rates(spark):
     assert abs(got["big"] - 800 * rt["big"]) < 800 * 0.1
     with _pt.raises(ValueError, match="temperature"):
         temperature_rates(docs, temperature=0)
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    import hashlib
+
+    import pytest as _pt
+
+    from golden_horse_spark.operators.text_analysis import stratified_sample
+
+    rows = (
+        [(i, "a") for i in range(50)]
+        + [(100 + i, "b") for i in range(7)]
+        + [(200 + i, "c") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = stratified_sample(df, "source", 5, salt="s1").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # exactly min(n, |stratum|) per stratum
+    assert {k: len(v) for k, v in by_src.items()} == {"a": 5, "b": 5, "c": 3}
+    # python replay of the md5 ranking
+    def pick(ids, n, salt):
+        ranked = sorted(
+            ids,
+            key=lambda i: (
+                hashlib.md5(f"{salt}|{i}".encode()).hexdigest(), i
+            ),
+        )
+        return set(ranked[:n])
+
+    assert by_src["a"] == pick(range(50), 5, "s1")
+    assert by_src["b"] == pick(range(100, 107), 5, "s1")
+    # deterministic across invocations; different salt ⇒ different draw
+    again = {
+        (r["doc_id"], r["source"])
+        for r in stratified_sample(df, "source", 5, salt="s1").collect()
+    }
+    assert again == {(r["doc_id"], r["source"]) for r in got}
+    other = {
+        r["doc_id"]
+        for r in stratified_sample(df, "source", 5, salt="s2").collect()
+        if r["source"] == "a"
+    }
+    assert other != by_src["a"]
+    with _pt.raises(ValueError, match="n must"):
+        stratified_sample(df, "source", 0)
