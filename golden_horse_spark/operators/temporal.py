@@ -490,3 +490,58 @@ def allen_join(
         .otherwise(F.lit("overlapped_by"))
     )
     return pairs.where(qualify).withColumn("relation", rel)
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis (the product-analytics classic): how
+    many users complete each prefix of ``steps`` IN ORDER —
+    first-touch semantics: a user's step-i time is the EARLIEST event
+    of type ``steps[i]`` STRICTLY after their step-(i−1) time, so
+    out-of-order events never count and repeated events resolve to
+    the first qualifying one.
+
+    Returns one row per step: ``(step 1-based, event_type, n_users)``
+    — n_users is monotone non-increasing by construction.
+
+    Scale shape: k−1 co-partitioned joins on the user key (each step
+    joins ONLY that step's filtered events against the survivors'
+    (user, t) frame — one hash exchange per step, no window over the
+    full event stream, no per-user event collection); the per-step
+    count is a map-side-combined global aggregate. Skew bounded by a
+    single user's events of one type."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=False)  # each survivor frame computes once
+    )
+    out = None
+    for i, st in enumerate(steps, start=1):
+        if i > 1:
+            cur = (
+                events.where(F.col(type_col) == st)
+                .select(
+                    F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+                )
+                .join(cur, "_u")
+                .where(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+                .localCheckpoint(eager=False)
+            )
+        row = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(st).alias("event_type"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -561,3 +561,40 @@ def test_allen_join_key_isolation_and_guard(spark):
             ldf, rdf, on="g", l_start="ls", l_end="le",
             r_start="rs", r_end="re", max_gap=-1,
         )
+
+
+# ---------- funnel analysis ----------
+
+
+def test_funnel_first_touch_ordering(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes signup -> view -> buy in order
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "buy"),
+        # u2: view BEFORE signup doesn't count; no view after -> stops at signup
+        (2, 10, "view"), (2, 20, "signup"),
+        # u3: signup, view, but buy is BEFORE the view -> stops at view
+        (3, 5, "signup"), (3, 8, "buy"), (3, 9, "view"),
+        # u4: repeated events — first qualifying occurrence used
+        (4, 1, "signup"), (4, 2, "signup"), (4, 3, "view"),
+        (4, 4, "view"), (4, 5, "buy"),
+        # u5: never signs up
+        (5, 1, "view"), (5, 2, "buy"),
+        # u6: same-ts tie is NOT strictly after -> view doesn't count
+        (6, 7, "signup"), (6, 7, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel(ev, ["signup", "view", "buy"]).collect()
+    }
+    assert got == {
+        1: ("signup", 5),   # u1 u2 u3 u4 u6
+        2: ("view", 3),     # u1 u3 u4
+        3: ("buy", 2),      # u1 u4
+    }
+    with _pt.raises(ValueError, match="step"):
+        funnel(ev, [])
