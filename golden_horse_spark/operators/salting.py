@@ -111,3 +111,83 @@ def salted_join(
     )
     out = big_s.join(small_s, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def gini(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini concentration index of a non-negative value column — the
+    key-skew DIAGNOSTIC that decides whether a join/agg needs salting
+    (G→0: uniform keys; G→1: one hot key owns the mass). Uses the
+    rank formulation over ascending values:
+
+        G = (2·Σ i·x_i) / (n·Σ x_i) − (n + 1)/n
+
+    Intended input is an already-aggregated key-count table
+    (vocabulary-sized — same bounded-sort class as the alias
+    dictionaries), NOT raw rows: the one global-sort window is over
+    |keys| rows. Returns one row with exact-long pins (``n``,
+    ``total``, ``s1`` = Σ i·x_i — integer when the input is integer,
+    so an oracle can replay the index to the last bit) plus the float
+    ``gini`` computed once from the exact sums."""
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(value_col).alias("_x"),
+        F.row_number().over(
+            Window.orderBy(F.col(value_col).asc())
+        ).alias("_i"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).cast("long").alias("s1"),
+    ).select(
+        "n",
+        "total",
+        "s1",
+        F.when(
+            (F.col("n") > 0) & (F.col("total") > 0),
+            2.0 * F.col("s1") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gini"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags by Median Absolute Deviation —
+    the curation-QA check (flag documents whose quality/length/score
+    deviates from their domain's typical value; median/MAD survive
+    the heavy tails that wreck mean/stddev z-scores). Plain MAD, no
+    1.4826 normal-consistency factor (thresholds are empirical here;
+    documented so twins stay exact).
+
+    Per group: med = exact interpolated median, mad = median(|x −
+    med|), outlier ⇔ |x − med| > k·mad (ties at the threshold are
+    inliers; mad = 0 degenerates to flagging any deviation). Two
+    grouped exact-percentile aggregates + two co-keyed joins back —
+    group count bounded rows in between, never a global sort of the
+    raw table."""
+    gc = list(group_cols)
+    med = df.groupBy(*gc).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    j1 = df.join(med, gc) if gc else df.crossJoin(med)
+    dev = j1.withColumn("_adev", F.abs(F.col(value_col) - F.col("_med")))
+    mad = dev.groupBy(*gc).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    j2 = dev.join(mad, gc) if gc else dev.crossJoin(mad)
+    return j2.select(
+        *df.columns,
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        (F.col("_adev") > F.lit(float(k)) * F.col("_mad")).alias(
+            "is_outlier"
+        ),
+    )

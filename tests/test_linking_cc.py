@@ -1090,3 +1090,55 @@ def test_pairwise_er_extremes(spark):
     r3 = pairwise_er(df3).collect()[0]
     assert r3["recall"] == 1.0
     assert abs(r3["precision"] - r3["gold_pairs"] / 15) < 1e-12
+
+
+# ---------- skew / data-quality statistics ----------
+
+
+def test_gini_known_values(spark):
+    from golden_horse_spark.operators.salting import gini
+
+    # all-equal -> 0
+    eq = spark.createDataFrame([(10,)] * 5, "c long")
+    r = gini(eq, "c").collect()[0]
+    assert abs(r["gini"]) < 1e-12 and r["total"] == 50
+    # one key owns everything -> (n-1)/n
+    hot = spark.createDataFrame([(0,), (0,), (0,), (100,)], "c long")
+    r2 = gini(hot, "c").collect()[0]
+    assert abs(r2["gini"] - 3 / 4) < 1e-12
+    # python replay on an arbitrary vector (rank formula)
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    r3 = gini(df, "c").collect()[0]
+    xs = sorted(vals)
+    n, tot = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (r3["n"], r3["total"], r3["s1"]) == (n, tot, s1)
+    assert abs(r3["gini"] - (2 * s1 / (n * tot) - (n + 1) / n)) < 1e-12
+
+
+def test_mad_outliers_per_group(spark):
+    from golden_horse_spark.operators.salting import mad_outliers
+
+    rows = (
+        [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 50]]
+        + [("b", float(v)) for v in [100, 102, 98, 101]]
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["g"], r["x"]): (r["med"], r["mad"], r["is_outlier"])
+        for r in mad_outliers(df, "x", ["g"], k=3.0).collect()
+    }
+    # group a: med 10, deviations [0,1,1,0,2,0,40] -> mad 1; only 50 flags
+    assert out[("a", 50.0)][2] is True
+    assert all(
+        not flag
+        for (g, x), (_, _, flag) in out.items()
+        if g == "a" and x != 50.0
+    )
+    assert out[("a", 10.0)][0] == 10.0 and out[("a", 10.0)][1] == 1.0
+    # group b is tight: nothing flags (mad from interpolated median)
+    assert all(not flag for (g, _), (_, _, flag) in out.items() if g == "b")
+    # global mode (no groups)
+    glob = mad_outliers(df, "x", k=3.0).collect()
+    assert len(glob) == len(rows)
