@@ -3211,3 +3211,47 @@ def ranking_metrics(ranks: DataFrame, ks=(1, 3, 10)) -> DataFrame:
             F.avg((F.col("rank") <= k).cast("double")).alias(f"hits_{k}")
         )
     return ranks.agg(*aggs)
+
+
+def condensation(
+    edges: DataFrame,
+    components: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Condensation of a directed graph: contract every SCC to one
+    node and keep the distinct between-component arcs — the result is
+    a DAG by construction (any cycle through two components would
+    merge them), which is what makes it useful: cycle-free dependency
+    orders, topological layering, and the bow-tie/reachability
+    analyses that only make sense on a DAG.
+
+    ``components`` accepts a precomputed ``(node, component)``
+    assignment (the :func:`strongly_connected_components` output
+    contract) to skip the SCC run. Plan: two co-keyed label-lookup
+    joins on the arc endpoints + one distinct — the arc table is
+    touched once; self-arcs inside a component drop out with the
+    ``!=`` filter. Output: ``(src, dst)`` over component labels
+    (minimum member id, inherited from the SCC convention)."""
+    comp = (
+        components
+        if components is not None
+        else strongly_connected_components(
+            edges, src=src, dst=dst, num_partitions=num_partitions
+        )
+    )
+    cs = comp.select(
+        F.col("node").alias("_ns"), F.col("component").alias("_cs")
+    )
+    cd = comp.select(
+        F.col("node").alias("_nd"), F.col("component").alias("_cd")
+    )
+    return (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(cs, F.col("_s") == F.col("_ns"))
+        .join(cd, F.col("_d") == F.col("_nd"))
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .distinct()
+    )

@@ -2879,3 +2879,38 @@ def test_distmult_rank_eval_vs_brute_force(spark):
 
     with _pt.raises(ValueError, match="model"):
         transe_rank_eval(tdf, edf, rdf, model="rotate")
+
+
+def test_condensation_is_dag_and_correct(spark):
+    from golden_horse_spark.operators.graph import (
+        condensation,
+        strongly_connected_components,
+    )
+
+    # two 3-cycles bridged by one arc, plus a tail
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+             (5, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    comp = strongly_connected_components(df)
+    got = {
+        (r["src"], r["dst"]) for r in condensation(df, comp).collect()
+    }
+    # components: {0,1,2}->0, {3,4,5}->3, {6}->6
+    assert got == {(0, 3), (3, 6)}
+    # DAG check: brute-force cycle detection on the condensation
+    adj = {}
+    for a, b in got:
+        adj.setdefault(a, []).append(b)
+
+    def cyclic(a, seen):
+        if a in seen:
+            return True
+        for b in adj.get(a, []):
+            if cyclic(b, seen | {a}):
+                return True
+        return False
+
+    assert not any(cyclic(a, set()) for a in adj)
+    # precomputed-components path == recompute path
+    again = {(r["src"], r["dst"]) for r in condensation(df).collect()}
+    assert again == got
