@@ -3255,3 +3255,80 @@ def condensation(
         .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
         .distinct()
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha=0.1,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Katz centrality (Katz, Psychometrika 1953): x = Σ_k α^k (Aᵀ)^k 1
+    — attenuated counts of ALL incoming walks, the centrality between
+    plain in-degree (k=1) and eigenvector centrality (α → 1/λ_max);
+    unlike PageRank there is no degree normalization, so prolific
+    linkers transfer full weight. Iterated ``n_iter`` times as
+    x ← α·Aᵀx + 1 from x₀ = 1; diverges if α ≥ 1/λ_max — callers own
+    α, the classic guard is α < 1/√(max degree).
+
+    ``alpha`` as a float runs in doubles. As a ``(num, den)`` INTEGER
+    tuple it runs the scaled recurrence y_t = num·Aᵀy_{t−1} + den^t
+    (y_t = den^t·x_t) in EXACT LONG arithmetic — ``katz_num`` is then
+    an engine/partitioning-exact pin and ``katz`` = y/den^k the float
+    view; magnitudes grow like (num·d_max)^k, so keep n_iter small in
+    this mode (the oracle row uses 2).
+
+    Scale shape: pagerank's — arcs deduped and pinned on the source
+    key, one co-partitioned join + one aggregation exchange per
+    round, node-row state, lazy-checkpoint severed (k=1 chain)."""
+    if n_iter < 1:
+        raise ValueError("katz_centrality: n_iter must be >= 1")
+    exact = isinstance(alpha, (tuple, list))
+    if exact:
+        num, den = int(alpha[0]), int(alpha[1])
+        if num <= 0 or den <= 0:
+            raise ValueError("katz_centrality: exact alpha needs num, den > 0")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition(p, "s")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    one = F.lit(1).cast("long") if exact else F.lit(1.0)
+    x = nodes.select("node", one.alias("x"))
+    for t in range(1, n_iter + 1):
+        contrib = (
+            e.join(x, e["s"] == x["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("x").alias("_c"))
+        )
+        if exact:
+            step = F.lit(num) * F.coalesce("_c", F.lit(0)) + F.lit(
+                den
+            ).cast("long") ** t
+            step = step.cast("long")
+        else:
+            step = F.lit(float(alpha)) * F.coalesce("_c", F.lit(0.0)) + 1.0
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select("node", step.alias("x"))
+            .localCheckpoint(eager=False)
+        )
+    if exact:
+        return x.select(
+            "node",
+            F.col("x").alias("katz_num"),
+            (F.col("x") / F.lit(float(den ** n_iter))).alias("katz"),
+        )
+    return x.select("node", F.col("x").alias("katz"))

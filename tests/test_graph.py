@@ -2914,3 +2914,47 @@ def test_condensation_is_dag_and_correct(spark):
     # precomputed-components path == recompute path
     again = {(r["src"], r["dst"]) for r in condensation(df).collect()}
     assert again == got
+
+
+def _numpy_katz(edges, n_nodes, alpha, n_iter):
+    A = np.zeros((n_nodes, n_nodes))
+    for s, d in edges:
+        A[s, d] = 1.0
+    x = np.ones(n_nodes)
+    for _ in range(n_iter):
+        x = alpha * (A.T @ x) + 1.0
+    return x
+
+
+def test_katz_matches_numpy_and_exact_mode(spark):
+    from fractions import Fraction
+
+    from golden_horse_spark.operators.graph import katz_centrality
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(df, alpha=0.1, n_iter=6).collect()
+    }
+    want = _numpy_katz(edges, 4, 0.1, 6)
+    for v in range(4):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # exact rational mode: y_t = num*A^T y + den^t replays the fraction
+    ex = {
+        r["node"]: (r["katz_num"], r["katz"])
+        for r in katz_centrality(df, alpha=(1, 4), n_iter=3).collect()
+    }
+    wf = _numpy_katz(edges, 4, 0.25, 3)
+    for v in range(4):
+        # katz_num / 4^3 must equal the float recurrence exactly
+        assert Fraction(ex[v][0], 64) == Fraction(wf[v]).limit_denominator(
+            10**9
+        ), v
+        assert abs(ex[v][1] - wf[v]) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_iter"):
+        katz_centrality(df, n_iter=0)
+    with _pt.raises(ValueError, match="num"):
+        katz_centrality(df, alpha=(0, 4))
