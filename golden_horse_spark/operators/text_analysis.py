@@ -748,3 +748,81 @@ def quantile_thresholds(
     return docs.groupBy(partition_col).agg(
         F.percentile_approx(score, 1.0 - frac, 10000).alias("thr")
     )
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch Reading Ease (Flesch 1948) as a curation SIGNAL:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with the standard relational proxies — words = whitespace tokens,
+    sentences = terminal-punctuation segments containing a word
+    character (min 1), syllables = vowel-group count
+    (``[aeiouy]+``, case-folded). The syllable heuristic is a proxy
+    BY DESIGN (true syllabification needs a dictionary) — what a
+    ranking signal needs is determinism and cross-engine
+    replayability, and every term here is a regexp count. Empty text
+    → 0.0; round(…, 4) for pinnable values."""
+    w = token_count(text)
+    syl = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), 0)
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(text, r"[.!?]"), lambda s: F.trim(s).rlike(r"\w")
+            )
+        ),
+        F.lit(1),
+    )
+    return F.when(
+        w > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (w / sents)
+            - F.lit(84.6) * (syl / w),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def lexical_stats(
+    docs: DataFrame, text_col: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals: token/type/hapax counts
+    and the type-token ratio — the cheap vocabulary-richness family
+    (boilerplate and template spam sit at extreme TTRs; hapax-heavy
+    docs are OCR noise or genuinely rich text). ONE explode + a
+    two-level aggregate (the ``repetition_stats`` shape — the hapax
+    count re-aggregates the per-(doc, token) table, the corpus is
+    scanned once); docs with no tokens come back zero-filled.
+    Output: ``(doc_id, n_tokens, n_types, n_hapax, ttr)`` with ttr =
+    round(types/tokens, 6)."""
+    tok = docs.select(
+        doc_id,
+        F.explode(tokens_col(F.col(text_col))).alias("_w"),
+    ).where(F.length("_w") > 0)
+    per = (
+        tok.groupBy(doc_id, "_w")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(doc_id)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum((F.col("_c") == 1).cast("long")).alias("n_hapax"),
+        )
+    )
+    return (
+        docs.select(doc_id)
+        .join(per, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(F.col("n_types") / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ttr"),
+        )
+    )

@@ -542,3 +542,69 @@ def test_stratified_sample_exact_and_deterministic(spark):
     assert other != by_src["a"]
     with _pt.raises(ValueError, match="n must"):
         stratified_sample(df, "source", 0)
+
+
+def test_flesch_reading_ease_formula(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.text_analysis import (
+        flesch_reading_ease,
+    )
+
+    texts = [
+        (0, "The cat sat. The cat ran away quickly!"),
+        (1, ""),
+        (2, "word word word"),  # no terminal punct -> 1 sentence
+        (3, "Incomprehensibility notwithstanding, quantification persists."),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fre"]
+        for r in docs.select(
+            "doc_id", flesch_reading_ease(F.col("text")).alias("fre")
+        ).collect()
+    }
+
+    def ref(t):
+        words = [w for w in t.split() if w]
+        if not words:
+            return 0.0
+        sents = [
+            s for s in re.split(r"[.!?]", t) if re.search(r"\w", s)
+        ] or [t]
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        return round(
+            206.835
+            - 1.015 * (len(words) / len(sents))
+            - 84.6 * (syl / len(words)),
+            4,
+        )
+
+    for i, t in texts:
+        assert abs(got[i] - ref(t)) < 1e-9, (i, got[i], ref(t))
+    # complex words score lower than simple ones
+    assert got[3] < got[0]
+
+
+def test_lexical_stats(spark):
+    from golden_horse_spark.operators.text_analysis import lexical_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a c b a"),   # 6 tokens, 3 types, 1 hapax (c)
+            (1, ""),
+            (2, "x y z"),         # all hapax
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr"]
+        )
+        for r in lexical_stats(docs).collect()
+    }
+    assert got[0] == (6, 3, 1, 0.5)
+    assert got[1] == (0, 0, 0, 0.0)
+    assert got[2] == (3, 3, 3, 1.0)
