@@ -1734,3 +1734,50 @@ def video_dup_pairs(
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def media_dedup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    method: str = "dhash",
+    min_common_audio: int = 5,
+    min_common_video: int = 2,
+) -> DataFrame:
+    """End-to-end MEDIA dedup — the :func:`~golden_horse_spark.
+    operators.dedup.fuzzy_dedup` recipe applied to every modality in
+    one pass: image pairs from dHash banded-hamming, audio pairs from
+    shared constellation landmarks, video pairs from shared sampled-
+    frame hashes; the union feeds ONE connected-components run (pair-
+    graph-sized, not corpus-sized — the shared ``_keep_min_
+    representative`` tail) and each duplicate group keeps its
+    lexicographically-first ``media_ref``. Rows of kinds without a
+    pair generator pass through as singleton keeps.
+
+    Output: ``(media_ref, kind, group, keep)`` — ``group`` is the
+    component representative (min ref). Deterministic end to end:
+    every pair source is a pure function of the payloads."""
+    from .dedup import _keep_min_representative
+
+    img = media_dup_pairs(media, max_hamming=max_hamming, method=method)
+    aud = audio_dup_pairs(media, min_common=min_common_audio)
+    vid = video_dup_pairs(media, min_common=min_common_video)
+    pairs = (
+        img.select(F.col("ref_a").alias("id_a"), F.col("ref_b").alias("id_b"))
+        .unionByName(
+            aud.select(
+                F.col("ref_a").alias("id_a"), F.col("ref_b").alias("id_b")
+            )
+        )
+        .unionByName(
+            vid.select(
+                F.col("ref_a").alias("id_a"), F.col("ref_b").alias("id_b")
+            )
+        )
+    )
+    ids = media.select("media_ref", "kind")
+    kept = _keep_min_representative(
+        ids.select("media_ref"), pairs, "media_ref"
+    )
+    return ids.join(kept, "media_ref").select(
+        "media_ref", "kind", F.col("component").alias("group"), "keep"
+    )

@@ -960,3 +960,47 @@ def test_video_dup_pairs_shared_frames(spark):
     assert {r["media_ref"]: r["count"] for r in counts} == {
         "va": 4, "vb": 4, "vc": 4
     }
+
+
+def test_media_dedup_end_to_end(spark):
+    import numpy as np
+
+    from golden_horse_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+        media_dedup,
+    )
+
+    g = _grad_img(16, 20)
+    rng_img = np.random.RandomState(3).rand(16, 20)
+
+    def ppm(img):
+        return encode_ppm(
+            np.repeat((img * 255).round().astype("uint8")[:, :, None], 3,
+                      axis=2)
+        )
+
+    rows = [
+        # image dup cluster {ia, ib}
+        ("ia", "image", ppm(rng_img), 20, 16, 0),
+        ("ib", "image", ppm(rng_img), 20, 16, 0),
+        ("ic", "image", ppm(1.0 - rng_img), 20, 16, 0),
+        # audio dup cluster {aa, ab}
+        ("aa", "audio", encode_wav(_tone([500, 1500])), 0, 0, 512),
+        ("ab", "audio", encode_wav(_tone([500, 1500], amp=0.15)), 0, 0, 512),
+        ("ac", "audio", encode_wav(_tone([900, 2600])), 0, 0, 512),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    got = {
+        r["media_ref"]: (r["group"], r["keep"])
+        for r in media_dedup(media).collect()
+    }
+    assert got["ia"] == ("ia", True) and got["ib"] == ("ia", False)
+    assert got["aa"] == ("aa", True) and got["ab"] == ("aa", False)
+    # non-duplicates are singleton keeps
+    assert got["ic"] == ("ic", True) and got["ac"] == ("ac", True)
+    assert len(got) == 6
