@@ -178,3 +178,81 @@ def to_ntriples(
         parts += [F.lit(" "), iri_col(F.col(graph_col), base, "graph")]
     line = F.concat(*parts, F.lit(" ."))
     return triples.withColumn("line", line)
+
+
+def kg_profile(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    top_predicates: int = 20,
+) -> DataFrame:
+    """One-call KG health report over a materialized triples table —
+    the numbers a KG owner checks after every pipeline run, as tagged
+    ``(stat, k, v)`` rows:
+
+    * ``count`` rows — n_triples / n_subjects / n_predicates /
+      n_objects / n_entities (subj ∪ obj),
+    * ``pred`` rows — the ``top_predicates`` largest predicates by
+      triple count (k = predicate name; deterministic count-then-name
+      ordering),
+    * ``outdeg_gini`` — Gini concentration of subject out-degrees
+      (:func:`~golden_horse_spark.operators.salting.gini` over the
+      degree table), v = round(gini · 10⁶): the skew verdict that
+      says whether the resolution/join stages need salting.
+
+    Cost: ONE pass for the global counts (map-side combined
+    aggregate), one (pred) groupBy reusing map-side combine, one
+    degree groupBy + the vocabulary-sized gini window — nothing
+    corpus-sized is sorted or collected."""
+    from .salting import gini as _gini
+
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    counts = triples.agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct(s).alias("n_subjects"),
+        F.countDistinct(p).alias("n_predicates"),
+        F.countDistinct(o).alias("n_objects"),
+    )
+    n_entities = (
+        triples.select(s.alias("e"))
+        .union(triples.select(o.alias("e")))
+        .distinct()
+        .agg(F.count("*").alias("n"))
+    )
+    rows = counts.crossJoin(n_entities).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("k"),
+                        F.col(colname).cast("long").alias("v"),
+                    )
+                    for name, colname in (
+                        ("n_triples", "n_triples"),
+                        ("n_subjects", "n_subjects"),
+                        ("n_predicates", "n_predicates"),
+                        ("n_objects", "n_objects"),
+                        ("n_entities", "n"),
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select(
+        F.lit("count").alias("stat"), F.col("r.k").alias("k"),
+        F.col("r.v").alias("v"),
+    )
+    preds = (
+        triples.groupBy(p.alias("k"))
+        .agg(F.count("*").alias("v"))
+        .orderBy(F.col("v").desc(), "k")
+        .limit(top_predicates)
+        .select(F.lit("pred").alias("stat"), "k", F.col("v").cast("long"))
+    )
+    deg = triples.groupBy(s.alias("_n")).agg(F.count("*").alias("d"))
+    gz = _gini(deg, "d").select(
+        F.lit("outdeg_gini").alias("stat"),
+        F.lit("gini_ppm").alias("k"),
+        F.round(F.col("gini") * 1_000_000).cast("long").alias("v"),
+    )
+    return rows.unionByName(preds).unionByName(gz)

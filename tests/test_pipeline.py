@@ -255,3 +255,27 @@ def test_to_ntriples_escaping_and_shape(spark):
     assert quads["e one"].endswith(f"<{b}graph/g1> .")
     # every line stays single-line even with control chars in inputs
     assert all("\n" not in l and "\r" not in l for l in quads.values())
+
+
+def test_kg_profile_report(spark):
+    from golden_horse_spark.operators.triples import kg_profile
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "knows", "b"), ("a", "knows", "c"), ("a", "likes", "b"),
+            ("b", "knows", "c"), ("c", "based_in", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["stat"], r["k"]): r["v"] for r in kg_profile(tri).collect()
+    }
+    assert got[("count", "n_triples")] == 5
+    assert got[("count", "n_subjects")] == 3
+    assert got[("count", "n_predicates")] == 3
+    assert got[("count", "n_objects")] == 3
+    assert got[("count", "n_entities")] == 4  # a b c x
+    assert got[("pred", "knows")] == 3 and got[("pred", "likes")] == 1
+    # out-degrees: a=3, b=1, c=1 -> sorted [1,1,3]; G = 2*12/(3*5)-4/3
+    want = 2 * (1 * 1 + 2 * 1 + 3 * 3) / (3 * 5) - 4 / 3
+    assert abs(got[("outdeg_gini", "gini_ppm")] / 1e6 - want) < 1e-6
