@@ -979,3 +979,61 @@ def test_describe(tdf):
     assert got_var == sorted(
         {t for t in TRIPLES if t[0] in who or t[2] in who}
     )
+
+
+def test_closure_pairs_random_graphs_vs_python(spark):
+    """Randomized digraphs WITH self-loops and cycles: p+ / p* pair
+    sets must equal the brute-force transitive closure — the deep
+    check on the cycle-faithful closure-join formulation."""
+    import random
+
+    from golden_horse_spark.operators.sparql import OneOrMore, ZeroOrMore
+
+    rng = random.Random(17)
+    for trial in range(4):
+        n = rng.randint(4, 8)
+        arcs = {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(3, 14))
+        }
+        triples = [(f"n{a}", "p", f"n{b}") for a, b in arcs]
+        tdf_r = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        for path in (OneOrMore("p"), ZeroOrMore("p")):
+            got = _rows(
+                sparql_select(tdf_r, [("?a", path, "?b")],
+                              select=["?a", "?b"], max_path_hops=20)
+            )
+            want = sorted(_arcs_py(triples, path))
+            assert got == want, (trial, sorted(arcs), path)
+
+
+def test_single_source_closure_random_vs_python(spark):
+    """Bound-subject closures (the single-source cone optimization)
+    agree with the brute force on cyclic graphs too."""
+    import random
+
+    from golden_horse_spark.operators.sparql import OneOrMore, ZeroOrMore
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = rng.randint(4, 7)
+        arcs = {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(3, 12))
+        }
+        triples = [(f"n{a}", "p", f"n{b}") for a, b in arcs]
+        tdf_r = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        src = f"n{rng.randrange(n)}"
+        for path in (OneOrMore("p"), ZeroOrMore("p")):
+            got = _rows(
+                sparql_select(tdf_r, [(src, path, "?b")],
+                              select=["?b"], max_path_hops=20)
+            )
+            want = sorted(
+                {(b,) for a, b in _arcs_py(triples, path) if a == src}
+            )
+            assert got == want, (trial, src, sorted(arcs), path)

@@ -598,3 +598,46 @@ def test_funnel_first_touch_ordering(spark):
     }
     with _pt.raises(ValueError, match="step"):
         funnel(ev, [])
+
+
+def test_allen_join_randomized_vs_brute(spark):
+    import random
+
+    from golden_horse_spark.operators.temporal import allen_join
+
+    rng = random.Random(41)
+    for trial, (gap, bw) in enumerate(
+        [(None, 50.0), (200.0, 130.0), (75.0, 40.0)]
+    ):
+        liv = [
+            (i, s, s + rng.randint(0, 400))
+            for i, s in enumerate(
+                rng.randint(0, 1000) for _ in range(14)
+            )
+        ]
+        riv = [
+            (100 + i, s, s + rng.randint(0, 400))
+            for i, s in enumerate(
+                rng.randint(0, 1000) for _ in range(14)
+            )
+        ]
+        ldf = spark.createDataFrame(
+            [("k",) + t for t in liv], "g string, lid int, ls long, le long"
+        )
+        rdf = spark.createDataFrame(
+            [("k",) + t for t in riv], "g string, rid int, rs long, re long"
+        )
+        got = {
+            (r["lid"], r["rid"]): r["relation"]
+            for r in allen_join(
+                ldf, rdf, on="g", l_start="ls", l_end="le",
+                r_start="rs", r_end="re", max_gap=gap, bin_width=bw,
+            ).collect()
+        }
+        want = {}
+        for l in liv:
+            for r in riv:
+                rel = _allen_py(l, r, max_gap=gap)
+                if rel is not None:
+                    want[(l[0], r[0])] = rel
+        assert got == want, (trial, gap, bw)
