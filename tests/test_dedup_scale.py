@@ -1049,3 +1049,17 @@ def test_prefix_jaccard_guard(spark):
     docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     with _pt.raises(ValueError, match="min_jaccard"):
         prefix_jaccard_pairs(docs, min_jaccard=0.0)
+
+
+def test_prefix_jaccard_plan_is_equi_join(spark):
+    """The prefix-filter join must stay equi-join shaped: the length
+    filter rides the rank equi-join, never a theta join."""
+    from golden_horse_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+    )
+    out = prefix_jaccard_pairs(docs, k=2, min_jaccard=0.5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -641,3 +641,23 @@ def test_allen_join_randomized_vs_brute(spark):
                 if rel is not None:
                     want[(l[0], r[0])] = rel
         assert got == want, (trial, gap, bw)
+
+
+def test_allen_join_plan_is_equi_join(spark):
+    """allen_join must compile to an equi-join on (key, bin) — never
+    the nested-loop theta-join shape that dies at scale."""
+    from golden_horse_spark.operators.temporal import allen_join
+
+    ldf = spark.createDataFrame(
+        [("k", 0, 0, 10)], "g string, lid int, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [("k", 1, 5, 15)], "g string, rid int, rs long, re long"
+    )
+    out = allen_join(
+        ldf, rdf, on="g", l_start="ls", l_end="le",
+        r_start="rs", r_end="re", max_gap=100.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
