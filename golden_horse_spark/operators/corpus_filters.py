@@ -479,3 +479,41 @@ def c4_clean(
         .withColumn("n_sentences", n_sent)
         .withColumn("keep", page_ok)
     )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    score_col: str = "avg_logprob",
+    group_cols=(),
+    id_col: str = "doc_id",
+    edges=(1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    LREC 2020 §4.3): per group (typically language), rank documents by
+    LM fluency — higher ``score_col`` (avg log-prob) = lower
+    perplexity = more Wikipedia-like — and cut the ranking at
+    ``edges`` into ``head``/``middle``/``tail``. CCNet keeps head+
+    middle for most languages; the bucket is a ranking SIGNAL, not a
+    hard filter, which is why this returns a column instead of
+    dropping rows.
+
+    Deterministic total order (score DESC, id ASC) so the
+    ``percent_rank`` cut replays exactly cross-engine; one window =
+    one exchange + per-group sort, the same class as
+    ``quantile_keep``'s exact path (use that module's
+    ``quantile_thresholds`` broadcast-cutoff form at 100 TB)."""
+    from pyspark.sql import Window
+
+    e1, e2 = float(edges[0]), float(edges[1])
+    if not (0 < e1 < e2 < 1):
+        raise ValueError("ccnet_buckets: need 0 < edges[0] < edges[1] < 1")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    return scores.withColumn(
+        "lm_bucket",
+        F.when(pr < e1, F.lit("head"))
+        .when(pr < e2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )

@@ -321,3 +321,27 @@ def test_c4_clean_thresholds(spark):
     assert not strict["keep"] and loose["keep"]
     few = c4_clean(docs, min_words_per_line=5).collect()[0]
     assert few["n_lines_kept"] == 0
+
+
+def test_ccnet_buckets(spark):
+    import pytest as _pt
+
+    from golden_horse_spark.operators.corpus_filters import ccnet_buckets
+
+    rows = [
+        ("en", i, -1.0 * i) for i in range(9)  # doc 0 most fluent
+    ] + [("de", 100 + i, -2.0 * i) for i in range(3)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, avg_logprob double")
+    got = {
+        r["doc_id"]: r["lm_bucket"]
+        for r in ccnet_buckets(df, group_cols=["lang"]).collect()
+    }
+    # en: 9 docs, pr = i/8 -> head i in {0,1,2} (pr<1/3), middle {3,4,5}, tail {6,7,8}
+    for i in range(9):
+        pr = i / 8
+        want = "head" if pr < 1 / 3 else ("middle" if pr < 2 / 3 else "tail")
+        assert got[i] == want, (i, got[i], want)
+    # de: 3 docs, pr = 0, .5, 1
+    assert got[100] == "head" and got[101] == "middle" and got[102] == "tail"
+    with _pt.raises(ValueError, match="edges"):
+        ccnet_buckets(df, edges=(0.5, 0.4))
