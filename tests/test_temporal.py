@@ -661,3 +661,59 @@ def test_allen_join_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_exchange_budgets_are_facts(spark):
+    """The 'ONE hash exchange' claims in the operator docstrings are
+    pinned against the executed plan (plans/audit.n_exchanges): asof /
+    sessionize / coalesce_intervals schedule exactly one shuffle;
+    salted_agg exactly its two phases; stratified_sample and
+    pack_chunks one window exchange each."""
+    from golden_horse_spark.operators.salting import salted_agg
+    from golden_horse_spark.operators.temporal import (
+        asof_join,
+        coalesce_intervals,
+        sessionize,
+    )
+    from golden_horse_spark.operators.text_analysis import (
+        pack_chunks,
+        stratified_sample,
+    )
+    from golden_horse_spark.plans.audit import n_exchanges
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0)], "user_id long, ts long, value double"
+    )
+    cl = spark.createDataFrame(
+        [(1, 5, 9.0)], "user_id long, ts long, value double"
+    )
+    assert n_exchanges(
+        asof_join(ev, cl, on="user_id", value_cols=["value"])
+    )["shuffle"] == 1
+    assert n_exchanges(sessionize(ev, key="user_id", gap=30.0))[
+        "shuffle"
+    ] == 1
+    iv = spark.createDataFrame(
+        [(1, 0, 10)], "user_id long, valid_from long, valid_to long"
+    )
+    assert n_exchanges(coalesce_intervals(iv, key="user_id"))[
+        "shuffle"
+    ] == 1
+    li = spark.createDataFrame(
+        [("A", 1.0), ("B", 3.0)], "k string, v double"
+    )
+    assert n_exchanges(
+        salted_agg(li, ["k"], {"n": ("count", "v")}, salt_buckets=4)
+    )["shuffle"] == 2
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "doc_id long, source string"
+    )
+    assert n_exchanges(stratified_sample(docs, "source", 1))[
+        "shuffle"
+    ] == 1
+    d2 = spark.createDataFrame(
+        [(0, "a b c", "s")], "doc_id long, text string, split string"
+    )
+    assert n_exchanges(
+        pack_chunks(d2, budget=4, n_shards=2, partition_cols=("split",))
+    )["shuffle"] == 1
