@@ -73,6 +73,10 @@ class PipelineConfig:
     dedup_docs_num_hashes: int = 8
     dedup_docs_bands: int = 4
     dedup_docs_k: int = 3
+    # write a kg_profile health report (triples.kg_profile: counts,
+    # predicate histogram, out-degree Gini) beside the metrics table.
+    # Off by default: it is a read-only QA artifact, not lineage.
+    profile: bool = False
 
 
 class StageWriter:
@@ -260,7 +264,7 @@ def run_pipeline(
     )
     metrics.write.mode("overwrite").parquet(str(Path(cfg.output_dir) / "metrics"))
 
-    return {
+    out = {
         "documents": docs,
         "sentences": sentences,
         "mentions": mentions,
@@ -270,3 +274,14 @@ def run_pipeline(
         "triples": triples,
         "metrics": metrics,
     }
+    if cfg.profile:
+        from ..operators.triples import kg_profile
+
+        prof = kg_profile(triples)
+        prof.write.mode("overwrite").parquet(
+            str(Path(cfg.output_dir) / "kg_profile")
+        )
+        out["kg_profile"] = spark.read.parquet(
+            str(Path(cfg.output_dir) / "kg_profile")
+        )
+    return out

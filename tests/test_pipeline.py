@@ -279,3 +279,31 @@ def test_kg_profile_report(spark):
     # out-degrees: a=3, b=1, c=1 -> sorted [1,1,3]; G = 2*12/(3*5)-4/3
     want = 2 * (1 * 1 + 2 * 1 + 3 * 3) / (3 * 5) - 4 / 3
     assert abs(got[("outdeg_gini", "gini_ppm")] / 1e6 - want) < 1e-6
+
+
+def test_pipeline_profile_stage(spark, weights_path, tmp_path):
+    """cfg.profile=True writes the kg_profile QA report beside the
+    metrics table, consistent with the triples actually produced."""
+    docs = synthesize_documents(spark, 40, seed=13, partitions=2)
+    cfg = PipelineConfig(
+        output_dir=str(tmp_path / "kgp"),
+        weights_path=weights_path,
+        alias_limit=500,
+        extra_alias_surfaces=("张三", "李四", "北京", "上海", "刘德华",
+                              "清华大学", "中国", "国家博物馆", "王小明"),
+        triple_parts=2,
+        profile=True,
+    )
+    stages = run_pipeline(spark, docs, cfg)
+    assert "kg_profile" in stages
+    prof = {
+        (r["stat"], r["k"]): r["v"] for r in stages["kg_profile"].collect()
+    }
+    n_triples = stages["triples"].count()
+    assert prof[("count", "n_triples")] == n_triples
+    assert prof[("count", "n_predicates")] >= 1
+    assert ("outdeg_gini", "gini_ppm") in prof
+    # parquet artifact exists on disk next to metrics
+    import os
+
+    assert os.path.isdir(str(tmp_path / "kgp" / "kg_profile"))
