@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--fuzzy", action="store_true",
                     help="enable MinHash-LSH fuzzy candidate generation")
+    ap.add_argument("--profile", action="store_true",
+                    help="write the kg_profile QA report beside metrics")
     ap.add_argument("--dedup-docs", action="store_true",
                     help="fuzzy-dedup documents (keep one per duplicate "
                          "cluster) before extraction")
@@ -64,6 +66,7 @@ def main() -> None:
         triple_parts=args.triple_parts,
         resume=args.resume,
         dedup_docs=args.dedup_docs,
+        profile=args.profile,
     )
     t0 = time.time()
     stages = run_pipeline(spark, docs, cfg)
