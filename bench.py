@@ -726,6 +726,47 @@ def run_dedup_bench(spark, n_docs: int = 100_000) -> dict:
     }
 
 
+def run_media_bench(spark, n_docs: int = 2_000) -> dict:
+    """Multimodal dedup at thousands-of-payloads scale: synthesize the
+    interleaved corpus's media table (real P6/PNG/GIF/BMP/JPEG + WAV +
+    Motion-JPEG payloads), then time the full media_dedup pass (image
+    dHash banded-hamming + audio landmarks + video frame hashes → one
+    CC → keep decisions). The decode IS the cost — Arrow-batched
+    pure-python codecs — so this measures the mapInPandas scaling
+    shape, not a JVM shuffle."""
+    import gc
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from golden_horse_spark.operators.multimodal import (
+        media_dedup,
+        synthesize_media,
+    )
+    from golden_horse_spark.sources.documents import synthesize_documents
+
+    docs = synthesize_documents(spark, n_docs, seed=11)
+    media = synthesize_media(spark, docs).localCheckpoint()
+    n_media = media.count()
+    secs = []
+    kept = 0
+    for _ in range(3):
+        t0 = _t.time()
+        kept = media_dedup(media).where(F.col("keep")).count()
+        secs.append(round(_t.time() - t0, 2))
+        gc.collect()
+        _t.sleep(2)
+    sec = min(secs[1:])
+    return {
+        "n_docs": n_docs,
+        "n_media": n_media,
+        "media_dedup_sec": sec,
+        "media_dedup_sec_cold": secs[0],
+        "media_rows_per_sec": round(n_media / sec, 1),
+        "n_kept": kept,
+    }
+
+
 def run_sparql_bench(spark, n_triples: int = 5_000_000) -> dict:
     """SPARQL/ρdf/SHACL layer at 10^6-triple scale: a 3-level synthetic
     KG (users —bought→ items —in_cat→ cats —in_region→ regions, ids
@@ -862,6 +903,9 @@ def main() -> None:
     ap.add_argument("--dedup", action="store_true",
                     help="end-to-end fuzzy dedup 10^5-doc bench only")
     ap.add_argument("--dedup-docs", type=int, default=100_000)
+    ap.add_argument("--media", action="store_true",
+                    help="multimodal media_dedup bench (decode-bound)")
+    ap.add_argument("--media-docs", type=int, default=2_000)
     ap.add_argument("--sparql", action="store_true",
                     help="SPARQL/rdfs/SHACL 10^6-triple bench only")
     ap.add_argument("--sparql-triples", type=int, default=5_000_000)
@@ -901,6 +945,17 @@ def main() -> None:
         out = {"metric": "cc_graph_bench", "unit": "sec"}
         out.update(run_cc_bench(spark))
         out["value"] = out["cc_sec"]
+        print(json.dumps(out))
+        return
+
+    if args.media:
+        from golden_horse_spark.config import get_spark
+
+        spark = get_spark("bench-media", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"metric": "media_dedup_bench", "unit": "sec"}
+        out.update(run_media_bench(spark, args.media_docs))
+        out["value"] = out["media_dedup_sec"]
         print(json.dumps(out))
         return
 
