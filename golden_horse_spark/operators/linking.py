@@ -930,3 +930,68 @@ def jaro_winkler_col(a, b):
         return pd.Series(out, dtype="float64")
 
     return _jw(a, b)
+
+
+def monge_elkan(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+    sym: bool = True,
+) -> DataFrame:
+    """Monge–Elkan hybrid similarity (Monge & Elkan KDD 1996) over a
+    CANDIDATE pair table: tokenize both strings on whitespace, score
+    every token pair with Jaro–Winkler, and take the mean over a's
+    tokens of the best-matching b token —
+
+        ME(a, b) = (1/|a|) Σ_i max_j JW(a_i, b_j)
+
+    — the standard comparator for multi-token names where token order
+    and extra tokens vary ("IBM Corp" vs "Corp. of IBM"). ME is
+    asymmetric; ``sym=True`` (default) returns the mean of both
+    directions, the common symmetrized form.
+
+    Plan shape: the pair table (candidate list, AFTER blocking — never
+    a cross product) explodes to a·b token pairs bounded by the token
+    counts, one Arrow-batched JW pass scores them (the same
+    ``jaro_winkler_col`` kernel the verify stage uses), and two
+    grouped aggregates (max per (pair, a-token) then avg per pair)
+    fold it back — the row multiplication is |a|·|b| per candidate
+    pair, the price every Monge-Elkan implementation pays. Empty/
+    whitespace-only sides score NULL (no tokens to match — SQL
+    comparator convention). Every step is relational, so a DuckDB
+    twin replays it with its own jaro_winkler_similarity."""
+    keyed = pairs.withColumn("_pid", F.monotonically_increasing_id())
+
+    def _direction(left_col, right_col, out):
+        tok_a = keyed.select(
+            "_pid", F.posexplode(
+                F.filter(
+                    F.split(F.trim(F.col(left_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("_ia", "_ta"),
+        )
+        tok_b = keyed.select(
+            "_pid", F.explode(
+                F.filter(
+                    F.split(F.trim(F.col(right_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("_tb"),
+        )
+        scored = tok_a.join(tok_b, "_pid").withColumn(
+            "_jw", jaro_winkler_col(F.col("_ta"), F.col("_tb"))
+        )
+        best = scored.groupBy("_pid", "_ia").agg(F.max("_jw").alias("_m"))
+        return best.groupBy("_pid").agg(F.avg("_m").alias(out))
+
+    ab = _direction(col_a, col_b, "_me_ab")
+    if sym:
+        ba = _direction(col_b, col_a, "_me_ba")
+        me = ab.join(ba, "_pid").select(
+            "_pid",
+            ((F.col("_me_ab") + F.col("_me_ba")) / 2).alias("monge_elkan"),
+        )
+    else:
+        me = ab.select("_pid", F.col("_me_ab").alias("monge_elkan"))
+    return keyed.join(me, "_pid", "left").drop("_pid")

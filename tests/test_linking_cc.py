@@ -1142,3 +1142,53 @@ def test_mad_outliers_per_group(spark):
     # global mode (no groups)
     glob = mad_outliers(df, "x", k=3.0).collect()
     assert len(glob) == len(rows)
+
+
+# ---------- Monge-Elkan hybrid similarity ----------
+
+
+def test_monge_elkan_vs_python(spark):
+    from golden_horse_spark.operators.linking import (
+        _jaro_winkler_py,
+        monge_elkan,
+    )
+
+    def me_py(a, b):
+        ta = [t for t in a.split() if t]
+        tb = [t for t in b.split() if t]
+        if not ta or not tb:
+            return None
+        return sum(
+            max(_jaro_winkler_py(x, y) for y in tb) for x in ta
+        ) / len(ta)
+
+    cases = [
+        ("IBM Corp", "Corp of IBM"),
+        ("John A Smith", "Smith John"),
+        ("acme", "acme"),
+        ("alpha beta", "gamma delta"),
+        ("", "nonempty name"),
+    ]
+    pairs = spark.createDataFrame(cases, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["monge_elkan"]
+        for r in monge_elkan(pairs, "a", "b").collect()
+    }
+    for a, b in cases:
+        x, y = me_py(a, b), me_py(b, a)
+        want = None if x is None or y is None else (x + y) / 2
+        g = got[(a, b)]
+        if want is None:
+            assert g is None, (a, b, g)
+        else:
+            assert abs(g - want) < 1e-12, (a, b, g, want)
+    # identical strings score 1; disjoint tokens score < reordered ones
+    assert abs(got[("acme", "acme")] - 1.0) < 1e-12
+    assert got[("IBM Corp", "Corp of IBM")] > got[("alpha beta", "gamma delta")]
+    # asymmetric single direction differs from symmetrized on unequal sets
+    asym = {
+        (r["a"], r["b"]): r["monge_elkan"]
+        for r in monge_elkan(pairs, "a", "b", sym=False).collect()
+    }
+    a0, b0 = "IBM Corp", "Corp of IBM"
+    assert abs(asym[(a0, b0)] - me_py(a0, b0)) < 1e-12
