@@ -3332,3 +3332,41 @@ def katz_centrality(
             (F.col("x") / F.lit(float(den ** n_iter))).alias("katz"),
         )
     return x.select("node", F.col("x").alias("katz"))
+
+
+def bipartite_project(
+    edges: DataFrame,
+    over: str,
+    node: str,
+    max_over_degree: int | None = None,
+) -> DataFrame:
+    """One-mode projection of a bipartite incidence table: nodes are
+    the ``node`` column's values, and an undirected arc (a, b), a < b,
+    exists whenever both touch the same ``over`` value — the
+    co-occurrence graph builder behind every "co-X" analysis in this
+    package (parts co-ordered, terms co-occurring, entities
+    co-mentioned). Output: distinct ``(src, dst)`` with src < dst.
+
+    Scale shape: ONE self-equi-join on the ``over`` key + a distinct.
+    The quadratic hazard is a HOT over-node (an order containing 10⁴
+    parts emits ~10⁸ pairs); ``max_over_degree`` drops over-nodes
+    above the cap BEFORE the join — the same hub-cap reasoning as
+    ``common_neighbor_pairs``/``ngram_jaccard_pairs``' df_cap, and
+    like those it changes the result (documented: capped hubs
+    contribute no pairs), so it is opt-in."""
+    inc = edges.select(F.col(over).alias("_o"), F.col(node).alias("_n"))
+    if max_over_degree is not None:
+        ok = (
+            inc.groupBy("_o")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") <= max_over_degree)
+            .select("_o")
+        )
+        inc = inc.join(ok, "_o", "left_semi")
+    l, r = inc.alias("l"), inc.alias("r")
+    return (
+        l.join(r, "_o")
+        .where(F.col("l._n") < F.col("r._n"))
+        .select(F.col("l._n").alias("src"), F.col("r._n").alias("dst"))
+        .distinct()
+    )

@@ -2958,3 +2958,37 @@ def test_katz_matches_numpy_and_exact_mode(spark):
         katz_centrality(df, n_iter=0)
     with _pt.raises(ValueError, match="num"):
         katz_centrality(df, alpha=(0, 4))
+
+
+def test_bipartite_project_matches_manual_join(spark):
+    from golden_horse_spark.operators.graph import bipartite_project
+
+    inc = [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (3, "d"),
+           (4, "a"), (4, "b")]
+    df = spark.createDataFrame(inc, "basket long, item string")
+    got = {
+        (r["src"], r["dst"])
+        for r in bipartite_project(df, over="basket", node="item").collect()
+    }
+    want = set()
+    from collections import defaultdict
+
+    by = defaultdict(set)
+    for o, n in inc:
+        by[o].add(n)
+    for ns in by.values():
+        for a in ns:
+            for b in ns:
+                if a < b:
+                    want.add((a, b))
+    assert got == want and ("a", "b") in got and ("b", "c") in got
+    # hub cap: basket 1 (3 items) dropped at cap 2 — its unique pair
+    # (a, c) disappears, pairs shared with other baskets survive
+    capped = {
+        (r["src"], r["dst"])
+        for r in bipartite_project(
+            df, over="basket", node="item", max_over_degree=2
+        ).collect()
+    }
+    assert ("a", "c") not in capped
+    assert ("b", "c") in capped and ("a", "b") in capped
