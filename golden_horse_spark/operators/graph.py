@@ -3339,6 +3339,7 @@ def bipartite_project(
     over: str,
     node: str,
     max_over_degree: int | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """One-mode projection of a bipartite incidence table: nodes are
     the ``node`` column's values, and an undirected arc (a, b), a < b,
@@ -3353,7 +3354,12 @@ def bipartite_project(
     above the cap BEFORE the join — the same hub-cap reasoning as
     ``common_neighbor_pairs``/``ngram_jaccard_pairs``' df_cap, and
     like those it changes the result (documented: capped hubs
-    contribute no pairs), so it is opt-in."""
+    contribute no pairs), so it is opt-in.
+
+    ``weighted=True`` returns ``(src, dst, w)`` with w = the number of
+    shared over-values (the co-occurrence count — the standard
+    weighted projection), via a groupBy-count instead of the distinct:
+    same shuffle bill."""
     inc = edges.select(F.col(over).alias("_o"), F.col(node).alias("_n"))
     if max_over_degree is not None:
         ok = (
@@ -3364,9 +3370,11 @@ def bipartite_project(
         )
         inc = inc.join(ok, "_o", "left_semi")
     l, r = inc.alias("l"), inc.alias("r")
-    return (
+    pairs = (
         l.join(r, "_o")
         .where(F.col("l._n") < F.col("r._n"))
         .select(F.col("l._n").alias("src"), F.col("r._n").alias("dst"))
-        .distinct()
     )
+    if weighted:
+        return pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    return pairs.distinct()

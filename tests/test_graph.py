@@ -2992,3 +2992,17 @@ def test_bipartite_project_matches_manual_join(spark):
     }
     assert ("a", "c") not in capped
     assert ("b", "c") in capped and ("a", "b") in capped
+
+
+def test_bipartite_project_weighted(spark):
+    from golden_horse_spark.operators.graph import bipartite_project
+
+    inc = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(inc, "basket long, item string")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in bipartite_project(
+            df, over="basket", node="item", weighted=True
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
