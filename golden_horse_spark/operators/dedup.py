@@ -1296,3 +1296,52 @@ def dedup_lines(
             "n_removed_lines"
         ),
     )
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int,
+    bands: int | None = None,
+) -> dict:
+    """MinHash-LSH parameter planner (the banding s-curve of Leskovec/
+    Rajaraman/Ullman MMDS §3.4): for signatures of ``num_hashes``
+    split into b bands of r rows, a pair with Jaccard s collides with
+    probability ``1 − (1 − s^r)^b``. Given a target ``threshold``,
+    pick the divisor banding whose s-curve inflection ``(1/b)^(1/r)``
+    sits closest to it (or evaluate an explicit ``bands``), and
+    report the collision probabilities at and around the threshold —
+    the numbers that justify a (num_hashes, bands) choice in a dedup
+    config instead of folklore defaults.
+
+    Pure closed-form driver-side math (no Spark); returns
+    ``{bands, rows, inflection, p_at_threshold, p_below (0.8·t),
+    p_above (1.2·t capped at 1)}``."""
+    if not (0 < threshold < 1):
+        raise ValueError("lsh_plan: threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("lsh_plan: num_hashes must be >= 1")
+
+    def curve(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    if bands is None:
+        cands = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+        bands = min(
+            cands,
+            key=lambda b: abs(
+                (1.0 / b) ** (b / num_hashes) - threshold
+            ),
+        )
+    if num_hashes % bands != 0:
+        raise ValueError("lsh_plan: bands must divide num_hashes")
+    r = num_hashes // bands
+    lo = 0.8 * threshold
+    hi = min(1.0, 1.2 * threshold)
+    return {
+        "bands": bands,
+        "rows": r,
+        "inflection": (1.0 / bands) ** (1.0 / r),
+        "p_at_threshold": curve(threshold, bands, r),
+        "p_below": curve(lo, bands, r),
+        "p_above": curve(hi, bands, r),
+    }

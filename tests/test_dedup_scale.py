@@ -1063,3 +1063,29 @@ def test_prefix_jaccard_plan_is_equi_join(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_plan_closed_form():
+    from golden_horse_spark.operators.dedup import lsh_plan
+
+    # explicit banding: 16 hashes, 4 bands of 4 — closed-form replay
+    p = lsh_plan(0.7, 16, bands=4)
+    assert (p["bands"], p["rows"]) == (4, 4)
+    s = 0.7
+    assert abs(p["p_at_threshold"] - (1 - (1 - s**4) ** 4)) < 1e-12
+    assert abs(p["inflection"] - 0.25**0.25) < 1e-12
+    # auto-banding picks the divisor whose inflection is nearest t
+    auto = lsh_plan(0.5, 16)
+    best = min(
+        (b for b in (1, 2, 4, 8, 16)),
+        key=lambda b: abs((1 / b) ** (b / 16) - 0.5),
+    )
+    assert auto["bands"] == best
+    # the s-curve discriminates: above-threshold pairs collide far more
+    assert auto["p_above"] > auto["p_at_threshold"] > auto["p_below"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="divide"):
+        lsh_plan(0.5, 16, bands=3)
+    with _pt.raises(ValueError, match="threshold"):
+        lsh_plan(1.5, 16)
