@@ -3378,3 +3378,84 @@ def bipartite_project(
     if weighted:
         return pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
     return pairs.distinct()
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998) →
+    ``(node, degree, n_triangles, lcc)`` with lcc = 2·T(v) /
+    (deg·(deg−1)) and degree-1 nodes at 0.0 — the node-level
+    complement to the global wedge count already in the profile
+    (degree and T(v) are exact longs, so the float lcc is derivable
+    and the integers pin).
+
+    Same degree-ordered orientation as :func:`triangle_count` — per-
+    node out-degree bounded O(√m), wedge fan-out O(m^1.5) — but the
+    closing join KEEPS the wedge center, so each triangle emits its
+    three corners once (center u, endpoints v, w) and one exploded
+    groupBy yields exact per-node triangle counts. Three keyed
+    shuffles total (wedges, closure, corner count)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, "u")
+        .where(
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | (
+                (F.col("o1.dv") == F.col("o2.dv"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        )
+        .select(
+            F.col("u").alias("c"),
+            F.col("o1.v").alias("u"),
+            F.col("o2.v").alias("v"),
+        )
+    )
+    tri = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("c", "u", "v")).alias("n")
+    ).groupBy("n").agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.join(corners, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -3006,3 +3006,46 @@ def test_bipartite_project_weighted(spark):
         ).collect()
     }
     assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_local_clustering_vs_brute_force(spark):
+    import itertools
+    import random
+
+    import pytest
+
+    from golden_horse_spark.operators.graph import local_clustering
+
+    rng = random.Random(29)
+    nodes = list(range(9))
+    edges = {
+        tuple(sorted(p))
+        for p in itertools.combinations(nodes, 2)
+        if rng.random() < 0.4
+    }
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+        for r in local_clustering(df).collect()
+    }
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes:
+        d = len(adj[n])
+        if d == 0:
+            assert n not in got  # isolated nodes have no arcs
+            continue
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[n]), 2)
+            if tuple(sorted((x, y))) in edges
+        )
+        lcc = 2 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[n] == (d, t, pytest.approx(lcc)), n
+    # triangle row-sum consistency: sum T(v) = 3 * n_triangles
+    from golden_horse_spark.operators.graph import triangle_count
+
+    total = triangle_count(df).collect()[0]["n_triangles"]
+    assert sum(t for _, t, _ in got.values()) == 3 * total
