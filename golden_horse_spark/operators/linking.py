@@ -995,3 +995,109 @@ def monge_elkan(
     else:
         me = ab.select("_pid", F.col("_me_ab").alias("monge_elkan"))
     return keyed.join(me, "_pid", "left").drop("_pid")
+
+
+def soft_tfidf(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+    corpus: DataFrame,
+    name_col: str = "name",
+    theta: float = 0.9,
+) -> DataFrame:
+    """SoftTFIDF hybrid similarity (Cohen, Ravikumar & Fienberg,
+    IIWeb 2003 — the best-performing name comparator in their study,
+    completing the JW → Monge-Elkan → SoftTFIDF verify trio):
+
+        S(a, b) = Σ_{w ∈ CLOSE(θ)} V(w, a) · V(argmax_JW w', b) · JW(w, w')
+
+    where CLOSE(θ) = a-tokens whose best Jaro-Winkler match in b is
+    ≥ θ, and V are L2-normalized log-TF·IDF token weights computed
+    over ``corpus`` (a one-column table of names — typically the
+    union of both sides; idf = ln(N / df) over DISTINCT names).
+
+    Plan shape: token df is ONE vocabulary-sized aggregate over the
+    corpus, broadcast back; per-name weights normalize with one
+    grouped sum; the pair scoring explodes to a·b token pairs (the
+    candidate list, AFTER blocking), scores them with the same
+    Arrow-batched JW kernel, keeps pairs ≥ θ, resolves each a-token's
+    argmax by a deterministic struct max (jw, V_b, token), and one
+    grouped sum folds the score. Pairs with no θ-close tokens score
+    0.0; empty/whitespace sides NULL."""
+    if not (0 < theta <= 1):
+        raise ValueError("soft_tfidf: theta must be in (0, 1]")
+    toks_of = lambda c: F.filter(  # noqa: E731
+        F.split(F.trim(F.col(c)), r"\s+"), lambda t: t != ""
+    )
+    names = corpus.select(F.col(name_col).alias("_nm")).distinct()
+    n_names = names.count()
+    tok = names.select(
+        "_nm", F.explode(F.array_distinct(toks_of("_nm"))).alias("_t")
+    )
+    dfreq = tok.groupBy("_t").agg(F.count("*").alias("_df"))
+    # per-name weights: tf from the (non-distinct) token list,
+    # v' = ln(tf + 1) · ln(N / df), V = v'/‖v'‖₂
+    tok_tf = (
+        names.select("_nm", F.explode(toks_of("_nm")).alias("_t"))
+        .groupBy("_nm", "_t")
+        .agg(F.count("*").alias("_tf"))
+        .join(F.broadcast(dfreq), "_t")
+        .withColumn(
+            "_v",
+            F.log(F.col("_tf") + 1.0)
+            * F.log(F.lit(float(n_names)) / F.col("_df")),
+        )
+    )
+    norms = tok_tf.groupBy("_nm").agg(
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_nrm")
+    )
+    weights = (
+        tok_tf.join(norms, "_nm")
+        .select(
+            "_nm",
+            "_t",
+            F.when(F.col("_nrm") > 0, F.col("_v") / F.col("_nrm"))
+            .otherwise(F.lit(0.0))
+            .alias("_w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keyed = pairs.withColumn("_pid", F.monotonically_increasing_id())
+    ta = (
+        keyed.select("_pid", F.col(col_a).alias("_nm"))
+        .join(weights, "_nm")
+        .select("_pid", F.col("_t").alias("_ta"), F.col("_w").alias("_wa"))
+    )
+    tb = (
+        keyed.select("_pid", F.col(col_b).alias("_nm"))
+        .join(weights, "_nm")
+        .select("_pid", F.col("_t").alias("_tb"), F.col("_w").alias("_wb"))
+    )
+    scored = (
+        ta.join(tb, "_pid")
+        .withColumn("_jw", jaro_winkler_col(F.col("_ta"), F.col("_tb")))
+        .where(F.col("_jw") >= theta)
+    )
+    best = scored.groupBy("_pid", "_ta", "_wa").agg(
+        F.max(F.struct("_jw", "_wb", "_tb")).alias("_b")
+    )
+    contrib = best.select(
+        "_pid",
+        (F.col("_wa") * F.col("_b._wb") * F.col("_b._jw")).alias("_c"),
+    )
+    score = contrib.groupBy("_pid").agg(F.sum("_c").alias("soft_tfidf"))
+    has_toks = keyed.select(
+        "_pid",
+        (F.size(toks_of(col_a)) > 0) & (F.size(toks_of(col_b)) > 0),
+    ).toDF("_pid", "_ok")
+    return (
+        keyed.join(score, "_pid", "left")
+        .join(has_toks, "_pid")
+        .withColumn(
+            "soft_tfidf",
+            F.when(~F.col("_ok"), F.lit(None).cast("double")).otherwise(
+                F.coalesce("soft_tfidf", F.lit(0.0))
+            ),
+        )
+        .drop("_pid", "_ok")
+    )

@@ -1192,3 +1192,69 @@ def test_monge_elkan_vs_python(spark):
     }
     a0, b0 = "IBM Corp", "Corp of IBM"
     assert abs(asym[(a0, b0)] - me_py(a0, b0)) < 1e-12
+
+
+def test_soft_tfidf_vs_python(spark):
+    import math
+
+    from golden_horse_spark.operators.linking import (
+        _jaro_winkler_py,
+        soft_tfidf,
+    )
+
+    corpus_names = [
+        "acme corp", "acme inc", "globex corp", "initech llc",
+        "stark industries", "wayne enterprises corp",
+    ]
+
+    def weights_py(name):
+        from collections import Counter
+
+        n = len(corpus_names)
+        dfc = Counter()
+        for nm in corpus_names:
+            for t in set(nm.split()):
+                dfc[t] += 1
+        tf = Counter(name.split())
+        v = {
+            t: math.log(c + 1.0) * math.log(n / dfc[t])
+            for t, c in tf.items()
+        }
+        nrm = math.sqrt(sum(x * x for x in v.values()))
+        return {t: (x / nrm if nrm > 0 else 0.0) for t, x in v.items()}
+
+    def stf_py(a, b, theta=0.9):
+        wa, wb = weights_py(a), weights_py(b)
+        if not a.split() or not b.split():
+            return None
+        s = 0.0
+        for t, va in wa.items():
+            cands = [
+                (_jaro_winkler_py(t, u), wb[u], u) for u in wb
+            ]
+            jw, vb, _ = max(cands)
+            if jw >= theta:
+                s += va * vb * jw
+        return s
+
+    cases = [
+        ("acme corp", "acme inc"),
+        ("acme corp", "globex corp"),
+        ("acme corp", "acme corp"),
+        ("stark industries", "wayne enterprises corp"),
+    ]
+    pairs = spark.createDataFrame(cases, "a string, b string")
+    corpus = spark.createDataFrame(
+        [(n,) for n in corpus_names], "name string"
+    )
+    got = {
+        (r["a"], r["b"]): r["soft_tfidf"]
+        for r in soft_tfidf(pairs, "a", "b", corpus).collect()
+    }
+    for a, b in cases:
+        want = stf_py(a, b)
+        assert abs(got[(a, b)] - want) < 1e-9, (a, b, got[(a, b)], want)
+    # self-similarity of an L2-normalized name = 1
+    assert abs(got[("acme corp", "acme corp")] - 1.0) < 1e-9
+    # rare-token agreement (acme) outweighs stop-token agreement (corp)
+    assert got[("acme corp", "acme inc")] > got[("acme corp", "globex corp")]
