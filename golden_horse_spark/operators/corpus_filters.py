@@ -38,6 +38,8 @@ exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -458,7 +460,11 @@ def c4_clean(
             F.size(F.split(t, r"\s+")) >= F.lit(min_words_per_line)
         )
         for tok in line_blocklist:
-            ok = ok & ~F.lower(x).contains(tok.lower())
+            # C4 §2.2 removes lines containing the WORD (not substring)
+            # "javascript" — word-boundary match, so "javascripted"
+            # survives the line rule (page-level phrase rules below
+            # stay substring, as in the paper)
+            ok = ok & ~F.lower(x).rlike(r"\b" + re.escape(tok.lower()) + r"\b")
         return ok
 
     kept = F.filter(lines, _line_ok)

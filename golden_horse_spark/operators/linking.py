@@ -959,8 +959,17 @@ def monge_elkan(
     pair, the price every Monge-Elkan implementation pays. Empty/
     whitespace-only sides score NULL (no tokens to match — SQL
     comparator convention). Every step is relational, so a DuckDB
-    twin replays it with its own jaro_winkler_similarity."""
-    keyed = pairs.withColumn("_pid", F.monotonically_increasing_id())
+    twin replays it with its own jaro_winkler_similarity.
+
+    The ``_pid`` join key comes from ``monotonically_increasing_id``,
+    which depends on physical row order; the keyed frame is pinned
+    with a lazy ``localCheckpoint`` so the tok_a branch, tok_b branch
+    and the final join-back all read the SAME materialized ids even
+    when ``pairs`` is the output of a shuffle whose recomputation
+    order is not contractual (task retry / branch recompute)."""
+    keyed = pairs.withColumn(
+        "_pid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
 
     def _direction(left_col, right_col, out):
         tok_a = keyed.select(
@@ -1004,6 +1013,7 @@ def soft_tfidf(
     corpus: DataFrame,
     name_col: str = "name",
     theta: float = 0.9,
+    require_in_corpus: bool = True,
 ) -> DataFrame:
     """SoftTFIDF hybrid similarity (Cohen, Ravikumar & Fienberg,
     IIWeb 2003 — the best-performing name comparator in their study,
@@ -1023,7 +1033,14 @@ def soft_tfidf(
     Arrow-batched JW kernel, keeps pairs ≥ θ, resolves each a-token's
     argmax by a deterministic struct max (jw, V_b, token), and one
     grouped sum folds the score. Pairs with no θ-close tokens score
-    0.0; empty/whitespace sides NULL."""
+    0.0; empty/whitespace sides NULL.
+
+    ``corpus`` MUST contain every pair-side name (weights are
+    per-name, so an out-of-corpus name has no defined V and would
+    silently score 0.0); ``require_in_corpus=True`` (default)
+    enforces this with one anti-join over the distinct pair names and
+    raises on violation — pass ``False`` to accept the 0.0 convention
+    knowingly."""
     if not (0 < theta <= 1):
         raise ValueError("soft_tfidf: theta must be in (0, 1]")
     toks_of = lambda c: F.filter(  # noqa: E731
@@ -1062,7 +1079,33 @@ def soft_tfidf(
         )
         .localCheckpoint(eager=False)
     )
-    keyed = pairs.withColumn("_pid", F.monotonically_increasing_id())
+    if require_in_corpus:
+        # fail loudly instead of silently scoring out-of-corpus names
+        # 0.0 (their tokens would vanish in the inner weights join and
+        # the result would be indistinguishable from a genuine
+        # no-close-match 0.0) — one small job over the DISTINCT
+        # post-blocking pair names, anti-joined against the corpus.
+        missing = (
+            pairs.select(F.col(col_a).alias("_nm"))
+            .union(pairs.select(F.col(col_b).alias("_nm")))
+            .where(F.trim(F.col("_nm")) != "")
+            .distinct()
+            .join(names, "_nm", "left_anti")
+            .limit(3)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "soft_tfidf: pair-side names absent from corpus "
+                f"(e.g. {[r['_nm'] for r in missing]}); pass the union "
+                "of both sides as corpus, or require_in_corpus=False "
+                "to score them 0.0"
+            )
+    # _pid from monotonically_increasing_id is order-dependent; pin it
+    # (see monge_elkan) so ta/tb/join-back agree under recomputation.
+    keyed = pairs.withColumn(
+        "_pid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     ta = (
         keyed.select("_pid", F.col(col_a).alias("_nm"))
         .join(weights, "_nm")

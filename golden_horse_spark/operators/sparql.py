@@ -576,10 +576,27 @@ def sparql_ask(triples: DataFrame, patterns, **kwargs) -> bool:
     — one row fetched, never a full materialization. Accepts every
     ``sparql_select`` option. Fully-ground pattern lists (the pure
     existence check SELECT refuses) are supported: each ground pattern
-    becomes a 0/1-row gate and ASK is true iff every gate is non-empty.
+    becomes a 0/1-row gate and ASK is true iff every gate is non-empty;
+    group-level options (where/optional/not_exists/minus/values/bind)
+    need variable bindings and raise ValueError on that path rather
+    than being silently ignored.
     """
+    kwargs.pop("distinct", None)  # ASK is existence; DISTINCT is a no-op
     all_ground = not any(_pattern_vars(p) for p in patterns)
     if all_ground:
+        # the per-pattern gate path cannot apply group-level options
+        # (they need variable bindings to act on) — refuse rather than
+        # silently ignore them on fully-ground pattern lists
+        unsupported = [
+            k for k in ("where", "optional", "not_exists", "minus",
+                        "values", "bind", "select")
+            if kwargs.get(k) not in (None, (), [], {})
+        ]
+        if unsupported:
+            raise ValueError(
+                "sparql_ask: group-level options not supported for "
+                f"fully-ground pattern lists: {unsupported}"
+            )
         for p in patterns:
             g = _scan_pattern(
                 triples, p,

@@ -265,7 +265,7 @@ def _c4_py(text, min_words=3, min_sent=5):
             continue
         if len(re.split(r"\s+", t)) < min_words:
             continue
-        if "javascript" in ln.lower():
+        if re.search(r"\bjavascript\b", ln.lower()):
             continue
         kept.append(ln)
     clean = "\n".join(kept)
@@ -321,6 +321,28 @@ def test_c4_clean_thresholds(spark):
     assert not strict["keep"] and loose["keep"]
     few = c4_clean(docs, min_words_per_line=5).collect()[0]
     assert few["n_lines_kept"] == 0
+
+
+def test_c4_clean_word_boundary_blocklist(spark):
+    # C4's line rule removes lines containing the WORD "javascript";
+    # "javascripted"/"nojavascript" must survive (ADVICE r4 fix)
+    from golden_horse_spark.operators.corpus_filters import c4_clean
+
+    text = (
+        "This page uses javascript everywhere sadly.\n"
+        "A javascripted page survives the word rule fine.\n"
+        "Enable JavaScript to continue reading now.\n"
+        "The nojavascript fallback also survives correctly here."
+    )
+    docs = spark.createDataFrame([("x", text)], "doc_id string, text string")
+    row = c4_clean(docs).collect()[0]
+    kept = row["clean_text"].split("\n")
+    assert row["n_lines_kept"] == 2
+    assert any("javascripted" in ln for ln in kept)
+    assert any("nojavascript" in ln for ln in kept)
+    assert not any(
+        "uses javascript" in ln or "Enable JavaScript" in ln for ln in kept
+    )
 
 
 def test_ccnet_buckets(spark):

@@ -1258,3 +1258,25 @@ def test_soft_tfidf_vs_python(spark):
     assert abs(got[("acme corp", "acme corp")] - 1.0) < 1e-9
     # rare-token agreement (acme) outweighs stop-token agreement (corp)
     assert got[("acme corp", "acme inc")] > got[("acme corp", "globex corp")]
+
+
+def test_soft_tfidf_out_of_corpus_guard(spark):
+    # ADVICE r4 fix: out-of-corpus names must fail loudly by default
+    # instead of silently scoring 0.0 (their tokens vanish in the
+    # weights join); require_in_corpus=False keeps the 0.0 convention.
+    import pytest as _pt
+
+    from golden_horse_spark.operators.linking import soft_tfidf
+
+    pairs = spark.createDataFrame(
+        [("acme corp", "umbrella co")], "a string, b string"
+    )
+    corpus = spark.createDataFrame(
+        [("acme corp",), ("acme inc",)], "name string"
+    )
+    with _pt.raises(ValueError, match="absent from corpus"):
+        soft_tfidf(pairs, "a", "b", corpus).collect()
+    row = soft_tfidf(
+        pairs, "a", "b", corpus, require_in_corpus=False
+    ).collect()[0]
+    assert row["soft_tfidf"] == 0.0

@@ -917,6 +917,20 @@ def test_ask(tdf):
     assert not sparql_ask(tdf, [("bob", "knows", "alice")])
     # path ASK
     assert sparql_ask(tdf, [("alice", Seq("worksAt", "locatedIn"), "berlin")])
+    # distinct in kwargs is absorbed (ASK is existence), both branches
+    assert sparql_ask(tdf, [("?p", "worksAt", "acme")], distinct=True)
+    assert sparql_ask(tdf, [("alice", "knows", "bob")], distinct=True)
+    # group-level options need bindings: the ground gate path refuses
+    # them instead of silently ignoring (ADVICE r4 fix)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fully-ground"):
+        sparql_ask(tdf, [("alice", "knows", "bob")], where="?x = 'y'")
+    with _pt.raises(ValueError, match="fully-ground"):
+        sparql_ask(
+            tdf, [("alice", "knows", "bob")],
+            not_exists=[("alice", "likes", "?z")],
+        )
 
 
 def test_zero_or_one(tdf):
