@@ -15,17 +15,24 @@ when the runtime ships Iceberg jars; this sandbox has none, so the same
 layout is produced with parquet + a JSON manifest). The manifest records
 the input fingerprint (stage config + upstream manifest hash), so a
 restart skips stages whose manifest matches — kill the job after stage N
-and rerun: stages 1..N load from disk, only N+1.. recompute.
+and rerun: stages 1..N load from disk, only N+1.. recompute. Manifests
+and per-partition completion records are written crash-atomically
+(tmp + ``os.replace``); the partitioned triples stage resumes at
+PARTITION granularity — completed ``part=`` values carry their own
+completion record and are anti-joined away on restart, so a SIGKILL
+mid-write costs only the unfinished partitions (see ``StageWriter``).
 
 ``metrics`` is itself a table: one row per (stage, partition) with row
 counts — the per-partition lineage the rule requires, computed with
-``spark_partition_id()`` so it reflects true physical partitions.
+``spark_partition_id()`` for unpartitioned stages and with the
+partition-column value for the partitioned triples table.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict, Optional
@@ -79,8 +86,37 @@ class PipelineConfig:
     profile: bool = False
 
 
+def _atomic_write_json(path: Path, obj: dict) -> None:
+    """Crash-atomic JSON write: tmp file in the same directory +
+    ``os.replace`` (atomic on POSIX), so a reader never observes a torn
+    manifest — a kill mid-write leaves either the old file or a stray
+    ``.tmp`` that resume logic ignores."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(json.dumps(obj, indent=1))
+    os.replace(tmp, path)
+
+
 class StageWriter:
-    """Parquet-backed stage store with manifest-based resume."""
+    """Parquet-backed stage store with manifest-based resume.
+
+    Two granularities (SURVEY §4.2):
+
+    * unpartitioned stages — stage-granular: a crash before the
+      (atomic) manifest lands means the whole stage recomputes; the
+      half-written data directory is overwritten.
+    * ``partition_by`` stages (the triples graph table) —
+      PARTITION-granular: every completed partition value gets its own
+      atomic completion record under ``<stage>.parts/``; on restart the
+      completed partitions are anti-joined away from the recompute and
+      only the remainder is written (dynamic partition overwrite, so
+      finished partitions' files are never touched). A SIGKILL at any
+      point — mid-job, between the job and the markers, mid-marker-loop
+      — recovers to the identical table with no duplicated partitions,
+      because (a) a partition without a marker is always rewritten
+      (dynamic overwrite replaces any partial files it has), and (b) a
+      partition with a marker is provably complete (markers are written
+      only after the job that produced the partition committed).
+    """
 
     def __init__(self, spark: SparkSession, root: str, resume: bool = True):
         self.spark = spark
@@ -89,6 +125,9 @@ class StageWriter:
 
     def _paths(self, stage: str):
         return self.root / stage, self.root / f"{stage}.manifest.json"
+
+    def _parts_dir(self, stage: str) -> Path:
+        return self.root / f"{stage}.parts"
 
     def fingerprint(self, stage: str, upstream: str) -> str:
         return hashlib.sha256(f"{stage}|{upstream}".encode()).hexdigest()[:16]
@@ -102,36 +141,134 @@ class StageWriter:
             man = json.loads(man_path.read_text())
             if man.get("fingerprint") == fingerprint and man.get("status") == "complete":
                 return self.spark.read.parquet(str(data_path))
-        df = compute()
-        writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(str(data_path))
-        # empty-stage guard: AQE's empty-relation optimization can emit
-        # ZERO part files (not even a schema footer), which breaks every
-        # later read with UNABLE_TO_INFER_SCHEMA. Write one empty,
-        # schema-bearing file so downstream stages see an empty table.
-        if not any(data_path.glob("**/*.parquet")):
-            # partitioned empties drop the partition column from the
-            # schema-bearing file — it comes back as a (empty) read of
-            # the directory either way
-            self.spark.createDataFrame([], df.schema).repartition(1) \
-                .write.mode("overwrite").parquet(str(data_path))
+            return self._compute_partitioned(
+                stage, fingerprint, compute, partition_by
+            )
+        df = compute()
+        df.write.mode("overwrite").parquet(str(data_path))
+        self._empty_guard(data_path, df.schema)
         out = self.spark.read.parquet(str(data_path))
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition"))
             .count()
             .collect()
         )
-        man = {
-            "stage": stage,
-            "fingerprint": fingerprint,
-            "status": "complete",
-            "rows": sum(r["count"] for r in per_part),
-            "partitions": {str(r["partition"]): r["count"] for r in per_part},
-        }
-        man_path.write_text(json.dumps(man, indent=1))
+        self._finish_manifest(
+            stage, fingerprint,
+            {str(r["partition"]): r["count"] for r in per_part},
+        )
         return out
+
+    # -- partition-granular path (triples stage) ----------------------
+
+    def done_parts(self, stage: str, fingerprint: str) -> Dict[str, int]:
+        """Partition values with a completion record matching this
+        fingerprint (a knob/upstream change invalidates every record)."""
+        pdir = self._parts_dir(stage)
+        done: Dict[str, int] = {}
+        if not pdir.is_dir():
+            return done
+        for f in pdir.glob("*.json"):
+            try:
+                rec = json.loads(f.read_text())
+            except (ValueError, OSError):  # torn non-atomic leftovers
+                continue
+            if rec.get("fingerprint") == fingerprint:
+                done[str(rec["value"])] = int(rec["rows"])
+        return done
+
+    def _compute_partitioned(
+        self, stage: str, fingerprint: str, compute: Callable[[], DataFrame],
+        partition_by: str,
+    ) -> DataFrame:
+        data_path, _ = self._paths(stage)
+        pdir = self._parts_dir(stage)
+        pdir.mkdir(parents=True, exist_ok=True)
+        done = self.done_parts(stage, fingerprint) if self.resume else {}
+        df = compute()
+        ptype = df.schema[partition_by].dataType
+        conf = self.spark.conf
+        prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            if done:
+                # resume: anti-join away completed partitions (broadcast —
+                # the partition-value list is bounded by n_parts, tiny next
+                # to the data) and overwrite ONLY the remainder's
+                # directories; completed partitions' files are untouched.
+                done_df = self.spark.createDataFrame(
+                    [(json.loads(v) if ptype.simpleString() != "string" else v,)
+                     for v in done],
+                    schema=f"`{partition_by}` {ptype.simpleString()}",
+                )
+                remaining = df.join(
+                    F.broadcast(done_df), partition_by, "left_anti"
+                )
+                conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                remaining.write.mode("overwrite") \
+                    .partitionBy(partition_by).parquet(str(data_path))
+            else:
+                # first attempt (or full invalidation): static overwrite
+                # clears stale directories from any previous fingerprint,
+                # and stale completion records are dropped with them.
+                for f in pdir.glob("*.json"):
+                    f.unlink()
+                conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+                df.write.mode("overwrite") \
+                    .partitionBy(partition_by).parquet(str(data_path))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        self._empty_guard(data_path, df.schema)
+        out = self.spark.read.parquet(str(data_path))
+        # completion records from the data that actually landed (exact
+        # per-partition counters for lineage), one atomic file each —
+        # idempotent: re-marking an already-done partition rewrites the
+        # same record.
+        counts = out.groupBy(partition_by).count().collect()
+        for r in counts:
+            val = r[partition_by]
+            _atomic_write_json(
+                pdir / f"{partition_by}={val}.json",
+                {
+                    "stage": stage,
+                    "column": partition_by,
+                    "value": val,
+                    "rows": r["count"],
+                    "fingerprint": fingerprint,
+                },
+            )
+        self._finish_manifest(
+            stage, fingerprint,
+            {str(r[partition_by]): r["count"] for r in counts},
+        )
+        return out
+
+    def _empty_guard(self, data_path: Path, schema) -> None:
+        # empty-stage guard: AQE's empty-relation optimization can emit
+        # ZERO part files (not even a schema footer), which breaks every
+        # later read with UNABLE_TO_INFER_SCHEMA. Write one empty,
+        # schema-bearing file so downstream stages see an empty table.
+        # (partitioned empties drop the partition column from the
+        # schema-bearing file — it comes back as an empty read of the
+        # directory either way)
+        if not any(data_path.glob("**/*.parquet")):
+            self.spark.createDataFrame([], schema).repartition(1) \
+                .write.mode("overwrite").parquet(str(data_path))
+
+    def _finish_manifest(
+        self, stage: str, fingerprint: str, partitions: Dict[str, int]
+    ) -> None:
+        _, man_path = self._paths(stage)
+        _atomic_write_json(
+            man_path,
+            {
+                "stage": stage,
+                "fingerprint": fingerprint,
+                "status": "complete",
+                "rows": sum(partitions.values()),
+                "partitions": partitions,
+            },
+        )
 
     def manifest(self, stage: str) -> Optional[dict]:
         _, man_path = self._paths(stage)

@@ -139,6 +139,138 @@ def test_empty_corpus_pipeline_completes(spark, weights_path, tmp_path_factory):
     assert stages2["triples"].count() == 0
 
 
+_ALIAS_SURFACES = ("张三", "李四", "北京", "上海", "刘德华",
+                   "清华大学", "中国", "国家博物馆", "王小明")
+
+
+def _crash_run(out, weights_path, kill_after):
+    """Run the pipeline in a subprocess that SIGKILLs itself after
+    ``kill_after`` per-partition triples completion records."""
+    import os
+    import subprocess
+    import sys
+
+    cfg = {
+        "n_docs": 120, "seed": 5, "partitions": 4,
+        "output_dir": str(out), "weights_path": weights_path,
+        "alias_limit": 2000,
+        "extra_alias_surfaces": list(_ALIAS_SURFACES),
+        "triple_parts": 8,
+    }
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env = {
+        **os.environ,
+        "GH_KILL_AFTER_MARKERS": str(kill_after),
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "crash_driver.py"),
+         json.dumps(cfg)],
+        env=env, capture_output=True, timeout=900, text=True,
+    )
+    assert proc.returncode == -9, (proc.returncode, proc.stderr[-2000:])
+    return cfg
+
+
+def _restart_and_check(spark, weights_path, out, reference_rows):
+    """Resume the killed run in-process; assert value-identical triples,
+    matching per-partition counters, and no torn artifacts."""
+    docs = synthesize_documents(spark, 120, seed=5, partitions=4)
+    cfg = PipelineConfig(
+        output_dir=str(out), weights_path=weights_path, alias_limit=2000,
+        extra_alias_surfaces=_ALIAS_SURFACES, triple_parts=8,
+    )
+    stages = run_pipeline(spark, docs, cfg)
+    got = {tuple(r) for r in stages["triples"].collect()}
+    assert got == reference_rows
+    # per-partition completion records agree with the actual table and
+    # the manifest — and every part dir is marked exactly once
+    man = json.loads((Path(out) / "triples.manifest.json").read_text())
+    assert man["status"] == "complete"
+    counts = {
+        r["part"]: r["count"]
+        for r in stages["triples"].groupBy("part").count().collect()
+    }
+    markers = {}
+    for f in (Path(out) / "triples.parts").glob("*.json"):
+        rec = json.loads(f.read_text())
+        assert rec["value"] not in markers, "duplicated completion record"
+        markers[rec["value"]] = rec["rows"]
+    assert markers == counts
+    assert {int(k): v for k, v in man["partitions"].items()} == counts
+    part_dirs = {
+        int(p.name.split("=")[1])
+        for p in (Path(out) / "triples").glob("part=*")
+    }
+    assert part_dirs == set(counts)
+    # crash-atomicity: no torn .tmp manifests anywhere
+    assert not list(Path(out).glob("**/*.tmp"))
+    return stages
+
+
+def test_crash_before_any_marker_recovers(
+    pipeline_out, spark, weights_path, tmp_path_factory
+):
+    """SIGKILL between the triples data job and the first completion
+    record: restart must rebuild the stage (no marker = not trusted) and
+    land the identical table."""
+    _, _, ref_stages, _ = pipeline_out
+    reference = {tuple(r) for r in ref_stages["triples"].collect()}
+    out = tmp_path_factory.mktemp("crash0")
+    _crash_run(out, weights_path, kill_after=0)
+    # the kill point: data fully written, zero markers, no manifest
+    assert not (Path(out) / "triples.manifest.json").exists()
+    assert not list((Path(out) / "triples.parts").glob("*.json"))
+    # simulate a leftover from a kill mid-JOB too: a torn data file in a
+    # part dir — the full rewrite (static overwrite) must clear it
+    torn = Path(out) / "triples" / "part=0" / "part-torn.snappy.parquet"
+    torn.parent.mkdir(parents=True, exist_ok=True)
+    torn.write_bytes(b"\x00not parquet")
+    _restart_and_check(spark, weights_path, out, reference)
+    assert not torn.exists()
+
+
+def test_crash_mid_marker_loop_resumes_partition_granular(
+    pipeline_out, spark, weights_path, tmp_path_factory
+):
+    """SIGKILL after 2 of the per-partition completion records: restart
+    must keep the marked partitions' files UNTOUCHED (partition-granular
+    resume, not a stage rebuild), rewrite only unmarked partitions
+    (clearing any torn file they hold), and land the identical table."""
+    _, _, ref_stages, _ = pipeline_out
+    reference = {tuple(r) for r in ref_stages["triples"].collect()}
+    out = tmp_path_factory.mktemp("crash2")
+    _crash_run(out, weights_path, kill_after=2)
+    marked = {
+        json.loads(f.read_text())["value"]
+        for f in (Path(out) / "triples.parts").glob("*.json")
+    }
+    assert len(marked) == 2
+    assert not (Path(out) / "triples.manifest.json").exists()
+    # snapshot the marked partitions' data files (name, size, mtime_ns)
+    def _snap(part):
+        return sorted(
+            (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for p in (Path(out) / "triples" / f"part={part}").glob("*.parquet")
+        )
+    before = {p: _snap(p) for p in marked}
+    # torn leftover in an UNMARKED partition: dynamic overwrite of that
+    # partition must replace its directory wholesale (pick a partition
+    # that actually has rows — an empty part value never gets a dir)
+    existing = {
+        int(p.name.split("=")[1])
+        for p in (Path(out) / "triples").glob("part=*")
+    }
+    unmarked = sorted(existing - marked)[0]
+    torn = Path(out) / "triples" / f"part={unmarked}" / "part-torn.parquet"
+    torn.parent.mkdir(parents=True, exist_ok=True)
+    torn.write_bytes(b"\x00not parquet")
+    _restart_and_check(spark, weights_path, out, reference)
+    assert not torn.exists()
+    for p in marked:
+        assert _snap(p) == before[p], f"marked part={p} was rewritten"
+
+
 def test_dedup_docs_stage(spark, weights_path, tmp_path_factory):
     """cfg.dedup_docs inserts a resumable fuzzy-dedup stage: duplicate
     documents emit no downstream rows, exactly one representative per
