@@ -894,13 +894,34 @@ def _keep_min_representative(
     return labeled.withColumn("keep", F.col(id_col) == F.col("component"))
 
 
+def resolve_bands(
+    num_hashes: int,
+    bands: int | None = None,
+    threshold: float | None = None,
+) -> int:
+    """Banding resolution shared by :func:`fuzzy_dedup` and the
+    pipeline's docs_dedup stage: an explicit ``bands`` always wins;
+    otherwise a ``threshold`` picks the planner's banding
+    (:func:`lsh_plan` — the divisor whose s-curve inflection sits
+    closest to the target similarity); with neither, the legacy
+    default of 4 bands."""
+    if bands is not None:
+        if num_hashes % bands != 0:
+            raise ValueError("resolve_bands: bands must divide num_hashes")
+        return bands
+    if threshold is not None:
+        return lsh_plan(threshold, num_hashes)["bands"]
+    return 4
+
+
 def fuzzy_dedup(
     docs: DataFrame,
     text_col: str = "text",
     doc_id: str = "doc_id",
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
     k: int = 3,
+    threshold: float | None = None,
     hash_fn: str = "xxhash64",
     signatures: DataFrame | None = None,
     pairs: DataFrame | None = None,
@@ -928,7 +949,14 @@ def fuzzy_dedup(
     the SAME docs) to reuse the whole candidate subtree — the
     dedup-of-compute pattern when a reporting query also materializes
     signatures/pairs.
+
+    Banding: pass ``threshold=`` (target Jaccard similarity) to let
+    :func:`lsh_plan` choose the banding whose s-curve inflection sits
+    at the target — the principled default; an explicit ``bands=``
+    overrides the planner, and with neither the legacy 4-band split is
+    used (see :func:`resolve_bands`).
     """
+    bands = resolve_bands(num_hashes, bands, threshold)
     if pairs is None:
         # thread a custom id column through to the minhash stages (they
         # key on 'doc_id' by convention): project to exactly (doc_id,

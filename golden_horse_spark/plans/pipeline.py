@@ -77,9 +77,19 @@ class PipelineConfig:
     # operators.dedup.fuzzy_dedup). They are part of the stage
     # FINGERPRINT: changing any of them invalidates a previous
     # docs_dedup checkpoint and forces recompute on resume.
+    # Banding: dedup_docs_threshold (target Jaccard) drives the
+    # lsh_plan auto-banding by default; dedup_docs_bands, when set,
+    # overrides the planner (see operators.dedup.resolve_bands). The
+    # fingerprint records the RESOLVED band count, so switching between
+    # a threshold and the explicit bands it resolves to does NOT
+    # invalidate, while any change that alters the banding does.
+    # default 0.5 ⇒ the planner picks b=4, r=2 (inflection exactly
+    # 0.5) — the same split the legacy hardcoded default used, so the
+    # planner-driven path is the default WITHOUT changing results.
     dedup_docs_num_hashes: int = 8
-    dedup_docs_bands: int = 4
+    dedup_docs_bands: Optional[int] = None
     dedup_docs_k: int = 3
+    dedup_docs_threshold: Optional[float] = 0.5
     # write a kg_profile health report (triples.kg_profile: counts,
     # predicate histogram, out-degree Gini) beside the metrics table.
     # Off by default: it is a read-only QA artifact, not lineage.
@@ -290,7 +300,7 @@ def run_pipeline(
     docs = store.load_or_compute("documents", fp0, lambda: documents)
 
     if cfg.dedup_docs:
-        from ..operators.dedup import dedup_exact, fuzzy_dedup
+        from ..operators.dedup import dedup_exact, fuzzy_dedup, resolve_bands
 
         def _dedup() -> DataFrame:
             if "text" in docs.columns:
@@ -314,16 +324,21 @@ def run_pipeline(
             keep = fuzzy_dedup(
                 flat,
                 num_hashes=cfg.dedup_docs_num_hashes,
-                bands=cfg.dedup_docs_bands,
+                bands=resolved_bands,
                 k=cfg.dedup_docs_k,
             ).where(F.col("keep")).select("doc_id")
             return docs.join(keep, "doc_id", "left_semi")
 
+        resolved_bands = resolve_bands(
+            cfg.dedup_docs_num_hashes,
+            cfg.dedup_docs_bands,
+            cfg.dedup_docs_threshold,
+        )
         fp0 = store.fingerprint(
             "docs_dedup",
             fp0 + ":exact+fuzzy"
             f":nh={cfg.dedup_docs_num_hashes}"
-            f",b={cfg.dedup_docs_bands},k={cfg.dedup_docs_k}",
+            f",b={resolved_bands},k={cfg.dedup_docs_k}",
         )
         docs = store.load_or_compute("docs_dedup", fp0, _dedup)
 
