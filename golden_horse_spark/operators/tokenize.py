@@ -63,12 +63,47 @@ def _symbols(word: Column) -> Column:
     return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
 
 
+def _bpe_train_local(
+    rows: list[tuple[list[str], int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side BPE merge loop over a collected symbol histogram —
+    the SAME algorithm as the distributed loop below, replayed in pure
+    Python: identical pair counting, identical deterministic tie-break
+    (max count, then lexicographically smallest pair — Python's
+    code-point string order equals Spark's UTF8 byte order on these),
+    identical greedy left-to-right non-overlapping fold. Equivalence is
+    property-tested against the distributed path
+    (tests/test_tokenize.py)."""
+    data = [(list(s), int(c)) for s, c in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in data:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + c
+        if not pc:
+            break
+        a, b = min(pc, key=lambda k: (-pc[k], k[0], k[1]))
+        merges.append((a, b, pc[(a, b)]))
+        merged = a + b
+        for i, (syms, c) in enumerate(data):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            data[i] = (out, c)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 16,
     num_partitions: int | None = None,
     histogram: DataFrame | None = None,
+    local_vocab_limit: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus → ordered list of
     ``(left, right, pair_count)``, rank = list position.
@@ -77,6 +112,20 @@ def bpe_train(
     per merge — this is the model being trained, like k-means
     centroids), never the histogram. Pass ``histogram=`` to reuse a
     precomputed/persisted ``(word, count)`` table.
+
+    Adaptive execution (the broadcast-threshold idea applied to
+    training): the ONE corpus-scale pass — the word histogram — always
+    runs distributed; when the resulting vocabulary has at most
+    ``local_vocab_limit`` rows (known for free from the checkpoint
+    materialization), the merge ITERATION runs driver-side over the
+    collected histogram — a bounded, vocabulary-sized collect, the same
+    class of driver artifact as the merge table itself — eliminating
+    ~2 job waves per merge of fixed scheduler cost. Above the limit
+    (web-scale vocabularies, Heaps' law at 10^12 docs) every round
+    stays on the cluster. Both paths are the same algorithm with the
+    same deterministic tie-breaks and produce identical merges
+    (property-tested); set ``local_vocab_limit=0`` to force the
+    distributed path.
     """
     spark = docs.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -86,6 +135,10 @@ def bpe_train(
         .repartition(p, "syms")
         .localCheckpoint()
     )
+    if hist.count() <= local_vocab_limit:
+        return _bpe_train_local(
+            [(r["syms"], r["count"]) for r in hist.collect()], num_merges
+        )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         pairs = (
@@ -256,66 +309,104 @@ def unigram_train(
     max_piece_len: int = 6,
     seed_size: int = 8000,
     n_iter: int = 4,
+    local_vocab_limit: int = 1_000_000,
 ) -> DataFrame:
     """Train the unigram-LM piece vocabulary over a ``(word, count)``
     histogram → DataFrame ``(piece, count, logprob)`` of exactly
     ``min(vocab_size, |inventory|)`` pieces (all single chars always
     included). See the module-level note for the hard-EM design and its
-    scale shape."""
+    scale shape.
+
+    Adaptive execution (same policy as :func:`bpe_train`): with at most
+    ``local_vocab_limit`` histogram rows, the seed inventory and every
+    EM iteration run driver-side over the collected histogram — a
+    bounded vocabulary-sized collect replacing ~2 job waves per
+    iteration of fixed scheduler cost; larger vocabularies keep the
+    distributed mapInPandas E-step. Identical arithmetic either way
+    (the SAME ``_viterbi_pieces`` kernel and tie-breaks), so the
+    trained vocabulary is path-invariant (property-tested). Set
+    ``local_vocab_limit=0`` to force the distributed path."""
     import math
 
     spark = hist.sparkSession
+    mpl = max_piece_len
+    local_rows = None
+    if local_vocab_limit and hist.count() <= local_vocab_limit:
+        local_rows = [
+            (r["word"], int(r["count"])) for r in hist.collect()
+        ]
     # ---- seed inventory: every substring ≤ max_piece_len, freq-weighted
-    subs = hist.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, length(word)), i -> "
-                f"transform(sequence(i, least(length(word), i + {max_piece_len - 1})), "
-                "j -> substring(word, i, j - i + 1))))"
-            )
-        ).alias("piece"),
-        F.col("count"),
-    ).groupBy("piece").agg(F.sum("count").alias("count"))
-    chars = subs.where(F.length("piece") == 1)
-    multi = (
-        subs.where(F.length("piece") > 1)
-        .orderBy(F.col("count").desc(), "piece")
-        .limit(seed_size)
-    )
-    vocab = {
-        r["piece"]: int(r["count"])
-        for r in chars.unionByName(multi).collect()
-    }
+    if local_rows is not None:
+        sc: dict = {}
+        for w, c in local_rows:
+            L = len(w)
+            for i in range(L):
+                for j in range(i + 1, min(L, i + mpl) + 1):
+                    piece = w[i:j]
+                    sc[piece] = sc.get(piece, 0) + c
+        multis = sorted(
+            ((p, c) for p, c in sc.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:seed_size]
+        vocab = {p: c for p, c in sc.items() if len(p) == 1}
+        vocab.update(dict(multis))
+    else:
+        subs = hist.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(i, least(length(word), i + {max_piece_len - 1})), "
+                    "j -> substring(word, i, j - i + 1))))"
+                )
+            ).alias("piece"),
+            F.col("count"),
+        ).groupBy("piece").agg(F.sum("count").alias("count"))
+        chars = subs.where(F.length("piece") == 1)
+        multi = (
+            subs.where(F.length("piece") > 1)
+            .orderBy(F.col("count").desc(), "piece")
+            .limit(seed_size)
+        )
+        vocab = {
+            r["piece"]: int(r["count"])
+            for r in chars.unionByName(multi).collect()
+        }
 
     def _logp(counts: dict) -> dict:
         total = sum(counts.values())
         return {p: math.log(c / total) for p, c in counts.items() if c > 0}
 
     logp = _logp(vocab)
-    mpl = max_piece_len
     for it in range(n_iter):
-        b = spark.sparkContext.broadcast(logp)
+        if local_rows is not None:
+            agg0: dict = {}
+            for word, cnt in local_rows:
+                for piece in _viterbi_pieces(word, logp, mpl):
+                    agg0[piece] = agg0.get(piece, 0) + cnt
+            counts = agg0
+        else:
+            b = spark.sparkContext.broadcast(logp)
 
-        def estep(batches):
-            lp = b.value
-            for pdf in batches:
-                agg: dict = {}
-                for word, cnt in pdf[["word", "count"]].itertuples(
-                    index=False, name=None
-                ):
-                    for piece in _viterbi_pieces(word, lp, mpl):
-                        agg[piece] = agg.get(piece, 0) + int(cnt)
-                yield pd.DataFrame(
-                    {"piece": list(agg), "n": list(agg.values())}
-                )
+            def estep(batches):
+                lp = b.value
+                for pdf in batches:
+                    agg: dict = {}
+                    for word, cnt in pdf[["word", "count"]].itertuples(
+                        index=False, name=None
+                    ):
+                        for piece in _viterbi_pieces(word, lp, mpl):
+                            agg[piece] = agg.get(piece, 0) + int(cnt)
+                    yield pd.DataFrame(
+                        {"piece": list(agg), "n": list(agg.values())}
+                    )
 
-        counts = {
-            r["piece"]: int(r["n"])
-            for r in hist.mapInPandas(estep, "piece string, n long")
-            .groupBy("piece")
-            .agg(F.sum("n").alias("n"))
-            .collect()
-        }
+            counts = {
+                r["piece"]: int(r["n"])
+                for r in hist.mapInPandas(estep, "piece string, n long")
+                .groupBy("piece")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            }
         # coverage floor: single chars survive with count ≥ 1
         new = {}
         for p in vocab:
@@ -337,7 +428,8 @@ def unigram_train(
             new.update(dict(multis[:keep]))
         vocab = new
         logp = _logp(vocab)
-        b.unpersist()
+        if local_rows is None:
+            b.unpersist()
     rows = sorted(vocab.items(), key=lambda x: (-x[1], x[0]))
     total = sum(vocab.values())
     import math as _m
