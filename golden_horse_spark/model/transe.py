@@ -46,6 +46,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..plans.pin import pin as _pin  # noqa: F401  (used via .transform)
+
 __all__ = ["transe_init", "transe_sgd_pass", "transe_train"]
 
 
@@ -178,7 +180,7 @@ def transe_train(
             F.pmod(F.xxhash64(F.concat_ws("|", "h", "r", "t")), F.lit(p)),
         )
         .repartition(p, "pid")
-        .localCheckpoint()
+        .transform(_pin)
     )
     sc = spark.sparkContext
     losses = []

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 def connected_components(
@@ -53,7 +54,7 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .repartition(p, "b")
-        .localCheckpoint()
+        .transform(_pin)
     )
 
     # initial label: min(self, neighbors)
@@ -62,7 +63,7 @@ def connected_components(
         .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .withColumnRenamed("a", "node")
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
 
     for _ in range(max_iter):
@@ -78,7 +79,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"), F.max("comp").alias("old_max"))
             .withColumn("changed", F.col("comp") != F.col("old_max"))
-            .localCheckpoint()
+            .transform(_pin)
         )
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "comp")
@@ -275,7 +276,7 @@ def pairwise_er(
             F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
         )
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     c2 = lambda c: F.sum(F.expr(f"({c} * ({c} - 1)) div 2")).cast("long")  # noqa: E731
     tp = cells.agg(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 # ------------------------------------------------------------- exact (E)
@@ -241,7 +242,7 @@ def minhash_dup_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(_pin_lazy)
     if max_bucket is not None:
         banded = banded.withColumn(
             "_w", F.count("*").over(Window.partitionBy("band", "key"))
@@ -526,7 +527,7 @@ def prefix_jaccard_pairs(
             F.sort_array(F.collect_list("_rk")).alias("_toks"),
             F.count("*").alias("n"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     # prefix length p = n − ⌈t·n⌉ + 1 in exact ppm integer arithmetic
     plen = (
@@ -872,7 +873,7 @@ def _keep_min_representative(
     # self-union, which would execute the (expensive) pair-generation
     # subtree twice; at cluster scale this is a stage-table write,
     # locally a localCheckpoint (measured 2× on the sf0.1 probe)
-    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    pairs = pairs.select("id_a", "id_b").transform(_pin)
     # size the CC co-partition width to the PAIR GRAPH, not the corpus:
     # the dup graph is orders smaller than the input (tiny islands), so
     # session-default-wide rounds are pure scheduling overhead — 588

@@ -23,6 +23,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Test seam for the per-round shuffle-budget claims: set to a list (in
+# tests) and the iterative operators append ``(tag, n_exchanges)`` for
+# every ROUND PLAN as scheduled — the audited df is the round body
+# BEFORE its checkpoint, reading the previous round's pinned state,
+# i.e. exactly the recurring unit the docstring budgets describe.
+# None (default) = no-op, zero planning cost in production.
+_plan_audit: list | None = None
+
+
+def _audit_plan(tag: str, df: DataFrame) -> None:
+    if _plan_audit is not None:
+        from ..plans.audit import n_exchanges
+
+        # probe a CLONE (fresh QueryExecution): planning the df itself
+        # here would cache an AQE physical plan on it, and the
+        # partitioning-preserving checkpoint that follows would then
+        # capture UnknownPartitioning — the audit must not perturb the
+        # very property it measures
+        _plan_audit.append((tag, n_exchanges(df.select("*"))))
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Partitioning-preserving eager localCheckpoint (plans/pin.py):
+    under AQE, a bare localCheckpoint drops hashpartitioning metadata
+    and every co-partitioned round join/agg in this module pays
+    redundant Exchanges (measured: 4 shuffles per pagerank round
+    instead of 1)."""
+    from ..plans.pin import pin_checkpoint
+
+    return pin_checkpoint(df, eager=True)
+
+
+def _pin_lazy(df: DataFrame) -> DataFrame:
+    from ..plans.pin import pin_checkpoint
+
+    return pin_checkpoint(df, eager=False)
+
 
 def pagerank(
     edges: DataFrame,
@@ -88,7 +125,7 @@ def pagerank(
         .union(e.select(F.col("d").alias("node")))
         .distinct()
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     n = nodes.count()
     # weighted: deg = Σ out-weights and each edge's share is w/deg;
@@ -102,16 +139,16 @@ def pagerank(
             e.join(deg, "s")
             .select("s", "d", (F.col("w") / F.col("deg")).alias("share"))
             .repartition(p, "s")
-            .localCheckpoint()
+            .transform(_pin)
         )
         contrib_c = F.col("rank") * F.col("share")
     else:
         deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-        ed = e.join(deg, "s").repartition(p, "s").localCheckpoint()
+        ed = e.join(deg, "s").repartition(p, "s").transform(_pin)
         # rank/deg (NOT rank·(1/deg)): keeps the uniform walk
         # bit-identical to the committed-golden oracle rows
         contrib_c = F.col("rank") / F.col("deg")
-    has_out = deg.select(F.col("s").alias("node")).repartition(p, "node").localCheckpoint()
+    has_out = deg.select(F.col("s").alias("node")).repartition(p, "node").transform(_pin)
 
     # dangling MEMBERSHIP is static (who has out-edges never changes);
     # only its rank mass moves per round — so detect once, and a
@@ -120,7 +157,7 @@ def pagerank(
     dangling_nodes = (
         nodes.join(has_out, "node", "left_anti")
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     n_dangling = dangling_nodes.count()
 
@@ -153,7 +190,7 @@ def pagerank(
                 .alias("reset"),
             )
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         ranks = reset_nodes.select("node", F.col("reset").alias("rank"))
     else:
@@ -195,11 +232,10 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank")
             joined = reset_nodes.join(contribs, "node", "left")
+        new_state = joined.select("node", new_rank)
+        _audit_plan("pagerank_round", new_state)
         ranks = (
-            joined.select(
-                "node",
-                new_rank,
-            )
+            new_state
             # NO repartition here: the contribution agg and the pinned
             # nodes table are both hash-partitioned on `node` already,
             # and an explicit repartition is a FORCED exchange Spark
@@ -210,7 +246,7 @@ def pagerank(
             # round boundary, but on a dangling-free graph (no
             # per-round action) all rounds execute as ONE job wave
             # instead of n_iter eager materializations.
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     return ranks
 
@@ -331,7 +367,7 @@ def quotient_graph(
     agg = (
         q.groupBy("src", "dst")
         .agg(F.sum("w").alias("weight"), F.sum("_unl").alias("_unl"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     bad = agg.where(F.col("src").isNull()).collect()
     if bad:
@@ -478,7 +514,7 @@ def k_truss(
         .where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     # ---- initial supports: oriented triangle enumeration, kept as
     # (x, y, z) canonical triples ----
@@ -498,7 +534,7 @@ def k_truss(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, "u")
@@ -545,7 +581,7 @@ def k_truss(
             F.coalesce("support", F.lit(0)).cast("long").alias("support"),
         )
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     thr = k - 2
     while True:
@@ -578,7 +614,7 @@ def k_truss(
                 F.col("t")[1].alias("y"),
                 F.col("t")[2].alias("z"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         dec_edges = destroyed.select(
             F.explode(
@@ -605,7 +641,7 @@ def k_truss(
                 ).alias("support"),
             )
             .repartition(p, "a")
-            .localCheckpoint()
+            .transform(_pin)
         )
     return cur
 
@@ -646,14 +682,14 @@ def k_core(
         )
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     deg = (
         sym.groupBy("a")
         .agg(F.count("*").alias("deg"))
         .withColumnRenamed("a", "node")
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     for _ in range(max_iter):
         peeled = deg.where(F.col("deg") < k).select("node")
@@ -671,7 +707,7 @@ def k_core(
             .agg(F.count("*").alias("_dec"))
             .withColumnRenamed("b", "node")
         )
-        deg = (
+        new_deg = (
             deg.where(F.col("deg") >= k)
             .join(dec, "node", "left")
             .select(
@@ -679,8 +715,9 @@ def k_core(
                 (F.col("deg") - F.coalesce(F.col("_dec"), F.lit(0)))
                 .alias("deg"),
             )
-            .localCheckpoint(eager=False)
         )
+        _audit_plan("k_core_round", new_deg)
+        deg = new_deg.transform(_pin_lazy)
     return deg.select("node")
 
 
@@ -724,7 +761,7 @@ def core_numbers(
         )
         .distinct()
         .repartition(p, "b")  # probe side: joined on the NEIGHBOR key
-        .localCheckpoint()
+        .transform(_pin)
     )
     from pyspark.sql import Window
 
@@ -733,7 +770,7 @@ def core_numbers(
         .agg(F.count("*").alias("core"))
         .withColumnRenamed("a", "node")
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     w = Window.partitionBy("a").orderBy(F.col("nc").desc(), "b")
     for _ in range(max_iter):
@@ -750,7 +787,7 @@ def core_numbers(
         new_cores = (
             cores.join(hidx, "node")
             .select("node", F.least(F.col("core"), F.col("h")).alias("core"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         # ONE action per round: materializes the lazy checkpoint and
         # decides convergence (estimates only ever decrease, so any
@@ -800,7 +837,7 @@ def bfs_distances(
         )
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     # seed schema derives from the edge table (as pagerank does for
     # sources) — a hardcoded 'node long' coerced string/int node ids and
@@ -816,7 +853,7 @@ def bfs_distances(
             ]
         ),
     )
-    dist = first.repartition(p, "node").localCheckpoint()
+    dist = first.repartition(p, "node").transform(_pin)
     frontier = dist
     for h in range(1, max_hops + 1):
         nxt = (
@@ -826,11 +863,11 @@ def bfs_distances(
             .join(dist, "node", "left_anti")
             .withColumn("dist", F.lit(h))
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if nxt.count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt).transform(_pin)
         frontier = nxt
     return dist
 
@@ -885,7 +922,7 @@ def common_neighbor_pairs(
         )
         .distinct()
     )
-    sym = sym.repartition(p, "a").localCheckpoint()
+    sym = sym.repartition(p, "a").transform(_pin)
     # the cap limits WEDGE CENTERS only; adjacency for the anti-join
     # must stay uncapped, else hub-incident edges would resurface as
     # "predicted" links
@@ -1019,13 +1056,13 @@ def label_propagation(
             .agg(F.sum("ew").cast(_dec).alias("ew"))  # parallel edges sum
         )
         self_w = F.lit(self_weight).cast(_dec)
-    sym = sym.repartition(p, "s").localCheckpoint()
+    sym = sym.repartition(p, "s").transform(_pin)
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     for _ in range(n_iter):
         votes = sym.join(
@@ -1044,7 +1081,7 @@ def label_propagation(
                 .alias("top")
             )
             .select("node", F.col("top.label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     return labels
 
@@ -1237,14 +1274,14 @@ def hits(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    arcs_s = e.repartition(p, "s").localCheckpoint()
-    arcs_d = arcs_s.repartition(p, "d").localCheckpoint()
+    arcs_s = e.repartition(p, "s").transform(_pin)
+    arcs_d = arcs_s.repartition(p, "d").transform(_pin)
     nodes = (
         arcs_s.select(F.col("s").alias("node"))
         .union(arcs_s.select(F.col("d").alias("node")))
         .distinct()
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     num = "double" if normalize == "l1" else "long"
     one = F.lit(1.0) if normalize == "l1" else F.lit(1).cast("long")
@@ -1261,7 +1298,8 @@ def hits(
             auth = auth.crossJoin(F.broadcast(tot)).select(
                 "node", (F.col("score") / F.col("_t")).alias("score")
             )
-        auth = auth.localCheckpoint(eager=False)
+        _audit_plan("hits_auth_half", auth)
+        auth = auth.transform(_pin_lazy)
         hub = (
             arcs_d.join(auth, arcs_d["d"] == auth["node"])
             .groupBy(F.col("s").alias("node"))
@@ -1272,7 +1310,8 @@ def hits(
             hub = hub.crossJoin(F.broadcast(tot)).select(
                 "node", (F.col("score") / F.col("_t")).alias("score")
             )
-        hub = hub.localCheckpoint(eager=False)
+        _audit_plan("hits_hub_half", hub)
+        hub = hub.transform(_pin_lazy)
     zero = F.lit(0.0) if normalize == "l1" else F.lit(0).cast("long")
     return (
         nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
@@ -1416,7 +1455,7 @@ def louvain(
                 half.select(F.col("b").alias("s"), F.col("a").alias("d"), "w")
             )
             .repartition(p, "s")
-            .localCheckpoint()
+            .transform(_pin)
         )
         selfw = lvl.where(F.col("a") == F.col("b")).select(
             F.col("a").alias("node"), F.col("w").alias("ws")
@@ -1436,14 +1475,14 @@ def louvain(
                 ).cast(_dec).alias("k"),
             )
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         two_m = float(strength.agg(F.sum("k")).first()[0])
         if two_m <= 0:
             break
         labels = strength.select(
             "node", F.col("node").alias("label")
-        ).localCheckpoint(eager=False)
+        ).transform(_pin_lazy)
         level_moves = 0
         zero_streak = 0
         for sweep in range(max_sweeps):
@@ -1505,7 +1544,8 @@ def louvain(
                     "node", F.col("top.cd").alias("label"), "cur"
                 )
             )
-            picked = picked.localCheckpoint()
+            _audit_plan("louvain_sweep", picked)
+            picked = picked.transform(_pin)
             moved = picked.where(F.col("label") != F.col("cur")).count()
             labels = _sever(
                 labels.where(~mover)
@@ -1531,7 +1571,7 @@ def louvain(
             mapping = mapping.join(
                 lab, mapping.comm == lab._n
             ).select("orig", F.col("_l").alias("comm"))
-        mapping = mapping.localCheckpoint()
+        mapping = mapping.transform(_pin)
         if level_moves == 0:
             break
         # contraction: communities become supernodes, weights sum,
@@ -1618,7 +1658,7 @@ def _ball_init(sym, p, sketch, lg_k, k):
         init = nodes.groupBy("node").agg(
             F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk")
         )
-    return init.repartition(p, "node").localCheckpoint()
+    return init.repartition(p, "node").transform(_pin)
 
 
 def _ball_union_agg(sketch, k):
@@ -1658,7 +1698,7 @@ def _sym_arcs(edges, src, dst, directed, p):
         )
     # counter(v) gathers along REVERSED arcs (v pulls from w over (v,w)),
     # so partition the arc table by the probe side d once and pin it
-    return arcs.distinct().repartition(p, "d").localCheckpoint()
+    return arcs.distinct().repartition(p, "d").transform(_pin)
 
 
 def neighborhood_function(
@@ -1722,7 +1762,7 @@ def neighborhood_function(
             gathered.union(counters.select("node", "sk"))
             .groupBy("node")
             .agg(_ball_union_agg(sketch, k))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         t = counters.agg(F.sum(est).cast("long").alias("t")).first()["t"]
         totals.append(int(t))
@@ -1848,7 +1888,7 @@ def hyperball_profile(
             F.lit(1).cast("long").alias("ball"),  # b_0(v) = |{v}| = 1
             F.lit(0.0).alias("hc"),
         )
-        .localCheckpoint()
+        .transform(_pin)
     )
     totals = [state.count()]  # N(0) = n nodes
     for t in range(1, max_hops + 1):
@@ -1879,7 +1919,7 @@ def hyperball_profile(
                 ).cast("double")
                 / F.lit(float(t))
             ).alias("hc"),
-        ).localCheckpoint(eager=False)
+        ).transform(_pin_lazy)
         totals.append(
             int(state.agg(F.sum("ball").cast("long")).first()[0])
         )
@@ -1947,7 +1987,7 @@ def strongly_connected_components(
         raw.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     # node universe from the RAW edges: a node incident only to
     # self-loops has no arc after the a != b cut but is still its own
@@ -1957,7 +1997,7 @@ def strongly_connected_components(
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     done = []  # per-round (node, component) deltas, each checkpointed
     arcs = arcs0
@@ -1971,7 +2011,7 @@ def strongly_connected_components(
             )
             .join(active.select(F.col("node").alias("b")), "b", "left_semi")
             .repartition(p, "a")
-            .localCheckpoint()
+            .transform(_pin)
         )
         # 1. TRIM: peel in/out-degree-0 nodes iteratively
         while True:
@@ -1987,12 +2027,12 @@ def strongly_connected_components(
                     "left_semi",
                 )
                 .repartition(p, "node")
-                .localCheckpoint()
+                .transform(_pin)
             )
             trimmed = (
                 active.join(keep, "node", "left_anti")
                 .select("node", F.col("node").alias("component"))
-                .localCheckpoint()
+                .transform(_pin)
             )
             if trimmed.count() == 0:
                 break
@@ -2008,7 +2048,7 @@ def strongly_connected_components(
                     "left_semi",
                 )
                 .repartition(p, "a")
-                .localCheckpoint()
+                .transform(_pin)
             )
         if active.count() == 0:
             break
@@ -2016,7 +2056,7 @@ def strongly_connected_components(
         colors = (
             active.select("node", F.col("node").alias("color"))
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         while True:
             cand = (
@@ -2038,7 +2078,7 @@ def strongly_connected_components(
                     ).alias("ncolor"),
                 )
                 .repartition(p, "node")
-                .localCheckpoint()
+                .transform(_pin)
             )
             improved = merged.where(
                 F.col("ncolor") < F.col("color")
@@ -2059,13 +2099,13 @@ def strongly_connected_components(
             .where(F.col("color_a") == F.col("color_b"))
             .select("a", "b", F.col("color_a").alias("fc"))
             .repartition(p, "b")
-            .localCheckpoint()
+            .transform(_pin)
         )
         settled = (
             colors.where(F.col("node") == F.col("color"))
             .select(F.col("color").alias("fc"), "node")
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         frontier = settled
         while True:
@@ -2082,21 +2122,21 @@ def strongly_connected_components(
                 .distinct()
                 .join(settled, ["fc", "node"], "left_anti")
                 .repartition(p, "node")
-                .localCheckpoint()
+                .transform(_pin)
             )
             if nxt.count() == 0:
                 break
-            settled = settled.unionByName(nxt).localCheckpoint()
+            settled = settled.unionByName(nxt).transform(_pin)
             frontier = nxt
         done.append(
             settled.select(
                 "node", F.col("fc").alias("component")
-            ).localCheckpoint()
+            ).transform(_pin)
         )
         active = (
             active.join(settled.select("node"), "node", "left_anti")
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
     else:
         raise RuntimeError(
@@ -2203,7 +2243,7 @@ def shortest_paths(
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if arcs.where(F.col("w") < 0).count() > 0:
         raise ValueError("shortest_paths: negative weights unsupported")
@@ -2212,7 +2252,7 @@ def shortest_paths(
     dist = (
         roots.select("root", F.col("root").alias("node"), zero.alias("dist"))
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if dist.count() == 0:
         raise ValueError("shortest_paths: empty source set")
@@ -2243,7 +2283,7 @@ def shortest_paths(
             .where(F.col("cur").isNull() | (F.col("nd") < F.col("cur")))
             .select("root", "node", F.col("nd").alias("dist"))
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if improved.count() == 0:
             break
@@ -2251,7 +2291,7 @@ def shortest_paths(
             dist.join(improved.select("root", "node"), ["root", "node"], "left_anti")
             .unionByName(improved)
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         frontier = improved
     return dist
@@ -2303,7 +2343,7 @@ def random_walks(
         base.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     from pyspark.sql import Window
 
@@ -2316,13 +2356,13 @@ def random_walks(
             - 1,
         )
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     deg = (
         adj.groupBy("a")
         .agg(F.count("*").alias("dg"))
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     roots = _roots(arcs, sources, "random_walks", all_nodes=False)
     state = (
@@ -2335,7 +2375,7 @@ def random_walks(
             F.col("root").alias("node"),
         )
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if state.count() == 0:
         raise ValueError("random_walks: empty source set")
@@ -2380,7 +2420,7 @@ def random_walks(
                 F.col("b").alias("node"),
             )
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if state.isEmpty():
             break
@@ -2521,7 +2561,7 @@ def node2vec_walks(
         base.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(pn, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     roots = _roots(arcs, sources, "node2vec_walks", all_nodes=False)
     state = (
@@ -2534,7 +2574,7 @@ def node2vec_walks(
             F.col("root").alias("prev"),
         )
         .repartition(pn, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if state.count() == 0:
         raise ValueError("node2vec_walks: empty source set")
@@ -2615,7 +2655,7 @@ def node2vec_walks(
                 F.col("node").alias("prev"),
             )
             .repartition(pn, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if state.isEmpty():
             break
@@ -2682,7 +2722,7 @@ def betweenness_centrality(
         arcs.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     roots = _roots(arcs, sources, "betweenness_centrality")
     # ---- forward: per-level (root, node, sigma) ----
@@ -2693,7 +2733,7 @@ def betweenness_centrality(
             F.lit(1).cast("long").alias("sigma"),
         )
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if lvl0.count() == 0:
         raise ValueError("betweenness_centrality: empty source set")
@@ -2708,7 +2748,7 @@ def betweenness_centrality(
             .agg(F.sum("sigma").alias("sigma"))
             .join(settled, ["root", "node"], "left_anti")
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if nxt.count() == 0:
             break
@@ -2720,7 +2760,7 @@ def betweenness_centrality(
         "root", "node", "sigma",
         F.lit(0.0).alias("delta"),
         F.lit(0).cast("long").alias("phi"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     states = [deepest]
     below = deepest
     for h in range(len(levels) - 2, -1, -1):
@@ -2765,7 +2805,7 @@ def betweenness_centrality(
                 F.coalesce("phi", F.lit(0).cast("long")).alias("phi"),
             )
             .repartition(p, "node")
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         states.append(state)
         below = state
@@ -2829,7 +2869,7 @@ def reachability(
         arcs.where(F.col("a") != F.col("b"))
         .distinct()
         .repartition(p, "a")
-        .localCheckpoint()
+        .transform(_pin)
     )
     roots = _roots(arcs, sources, "reachability")
     first = (
@@ -2837,7 +2877,7 @@ def reachability(
             "root", F.col("root").alias("node"), F.lit(0).alias("dist")
         )
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if first.count() == 0:
         raise ValueError("reachability: empty source set")
@@ -2852,7 +2892,7 @@ def reachability(
             .join(settled, ["root", "node"], "left_anti")
             .withColumn("dist", F.lit(h))
             .repartition(p, "node")
-            .localCheckpoint()
+            .transform(_pin)
         )
         if nxt.count() == 0:
             break
@@ -2924,7 +2964,7 @@ def negative_triples(
         )
     pool = pool.withColumn(
         "rk", F.row_number().over(Window.orderBy("entity")) - 1
-    ).localCheckpoint()
+    ).transform(_pin)
     n_pool = pool.count()
     if n_pool == 0:
         raise ValueError("negative_triples: empty entity pool")
@@ -3017,7 +3057,7 @@ def wl_labels(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct().localCheckpoint()
+    e = e.distinct().transform(_pin)
     nodes = e.select(F.col("s").alias("node")).union(
         e.select(F.col("d").alias("node"))
     ).distinct()
@@ -3031,7 +3071,7 @@ def wl_labels(
         )
     else:
         labels = nodes.select("node", F.lit("0").alias("label"))
-    labels = labels.localCheckpoint()
+    labels = labels.transform(_pin)
     for _ in range(rounds):
         nbr = e.join(labels, e["d"] == labels["node"]).select(
             F.col("s").alias("node"), F.col("label").alias("nl")
@@ -3051,7 +3091,7 @@ def wl_labels(
                     )
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(_pin)
         )
     return labels
 
@@ -3296,14 +3336,14 @@ def katz_centrality(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
         .repartition(p, "s")
-        .localCheckpoint()
+        .transform(_pin)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
         .repartition(p, "node")
-        .localCheckpoint()
+        .transform(_pin)
     )
     one = F.lit(1).cast("long") if exact else F.lit(1.0)
     x = nodes.select("node", one.alias("x"))
@@ -3323,7 +3363,7 @@ def katz_centrality(
         x = (
             nodes.join(contrib, "node", "left")
             .select("node", step.alias("x"))
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     if exact:
         return x.select(

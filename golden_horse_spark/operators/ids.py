@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 def sequential_ids(
@@ -39,7 +40,7 @@ def sequential_ids(
         .withColumn("_pid", F.spark_partition_id())
     )
     # one materialization backs both the count pass and the id join
-    part = part.localCheckpoint(eager=False)
+    part = part.transform(_pin_lazy)
     sizes = {
         r["_pid"]: r["n"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()

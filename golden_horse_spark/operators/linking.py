@@ -25,6 +25,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 CANDIDATE_COLS = ["mention_id", "entity_id", "score", "block_id"]
 
@@ -187,8 +188,8 @@ def fuzzy_candidates(
     # least 1 non zero entry" on rows both sides individually never
     # produce). Both sides are bounded (distinct surfaces ∪ alias dict),
     # so materializing them is also the cheaper plan (CV udf runs once).
-    mv = mv.localCheckpoint(eager=False)
-    av = av.localCheckpoint(eager=False)
+    mv = mv.transform(_pin_lazy)
+    av = av.transform(_pin_lazy)
     joined = lsh.approxSimilarityJoin(mv, av, jaccard_max_distance, "jaccard")
     return joined.select(
         F.col("datasetA.mention_id").alias("mention_id"),
@@ -646,7 +647,7 @@ def fs_em_weights(
     m = [0.9] * k
     u = [_cl(init[c] if init[c] is not None else 0.5) for c in agree_cols]
     pi = prevalence
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(_pin_lazy)
     for _ in range(n_iter):
         # E-step expression: log-odds accumulation, NULL fields skip
         log_odds = F.lit(math.log(pi) - math.log(1.0 - pi))
@@ -810,7 +811,7 @@ def meta_blocking(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("weight"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     if scheme == "wep":
         tot = edges.agg(
             F.sum("weight").alias("s"), F.count("*").alias("c")
@@ -969,7 +970,7 @@ def monge_elkan(
     order is not contractual (task retry / branch recompute)."""
     keyed = pairs.withColumn(
         "_pid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
 
     def _direction(left_col, right_col, out):
         tok_a = keyed.select(
@@ -1077,7 +1078,7 @@ def soft_tfidf(
             .otherwise(F.lit(0.0))
             .alias("_w"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     if require_in_corpus:
         # fail loudly instead of silently scoring out-of-corpus names
@@ -1105,7 +1106,7 @@ def soft_tfidf(
     # (see monge_elkan) so ta/tb/join-back agree under recomputation.
     keyed = pairs.withColumn(
         "_pid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     ta = (
         keyed.select("_pid", F.col(col_a).alias("_nm"))
         .join(weights, "_nm")

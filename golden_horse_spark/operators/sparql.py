@@ -55,6 +55,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 def _is_var(term) -> bool:
@@ -792,7 +793,7 @@ def sparql_construct(
         )
     bind = bind.select(*sorted(used)).distinct()
     if len(template) > 1:
-        bind = bind.localCheckpoint(eager=False)
+        bind = bind.transform(_pin_lazy)
     arms = []
     for s, p, o in template:
         arms.append(

@@ -41,6 +41,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 def asof_join(
@@ -522,7 +523,7 @@ def funnel(
         events.where(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("_u"))
         .agg(F.min(ts_col).alias("_t"))
-        .localCheckpoint(eager=False)  # each survivor frame computes once
+        .transform(_pin_lazy)  # each survivor frame computes once
     )
     out = None
     for i, st in enumerate(steps, start=1):
@@ -536,7 +537,7 @@ def funnel(
                 .where(F.col("_ts") > F.col("_t"))
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_t"))
-                .localCheckpoint(eager=False)
+                .transform(_pin_lazy)
             )
         row = cur.agg(F.count("*").alias("n_users")).select(
             F.lit(i).alias("step"),

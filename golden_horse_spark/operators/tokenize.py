@@ -37,6 +37,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 # end-of-word sentinel: single char keeps symbol arrays compact; U+2581
 # (the SentencePiece "lower one eighth block") never appears in the
@@ -133,7 +134,7 @@ def bpe_train(
     hist = (
         hist.select(_symbols(F.col("word")).alias("syms"), "count")
         .repartition(p, "syms")
-        .localCheckpoint()
+        .transform(_pin)
     )
     if hist.count() <= local_vocab_limit:
         return _bpe_train_local(
@@ -194,7 +195,7 @@ def bpe_train(
             .otherwise(F.col("syms"))
             .alias("syms"),
             "count",
-        ).localCheckpoint(eager=False)
+        ).transform(_pin_lazy)
     return merges
 
 

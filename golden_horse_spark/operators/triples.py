@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 TRIPLE_COLS = ["subj", "pred", "obj", "doc_id", "part"]
 
@@ -53,7 +54,7 @@ def materialize_triples(
         # strategy — measured 4.5 s typical vs 27 s outlier); eager
         # materialization hands AQE exact sizes before the join strategy
         # is chosen
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     # mentioned_in + has_type fused into ONE pass over `linked`: both
     # deduplicate on (subj, pred, obj, doc_id), so a single explode +
