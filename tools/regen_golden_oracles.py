@@ -41,6 +41,12 @@ PARTIAL_GOLDEN = {
     # stress-centrality digit histogram (exact integers via the φ
     # recursion, but SP-DAG path counting is not SQL-expressible)
     "q_graph_profile": lambda row: row["stat"] in ("nf", "hc", "stress"),
+    # r5: Soundex phonetic blocking (no DuckDB soundex) + SoftTFIDF
+    # (float ln/sqrt weight chain) — the last pytest-only linking
+    # operators, now gated via committed-golden rows
+    "q_fuzzy_candidates": lambda row: str(row["block_id"]).startswith(
+        ("soundex:", "stfidf")
+    ),
 }
 OUT_PARTIAL = REPO / "fixtures" / "golden_partial_rows.json"
 
