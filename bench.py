@@ -27,6 +27,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+from golden_horse_spark.plans.pin import pin as _pin, pin_lazy as _pin_lazy  # noqa: E402
+
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_order_revenue",
@@ -118,7 +120,7 @@ def run_pipeline_bench(spark) -> dict:
         sentences = (
             documents_to_sentences(docs)
             .repartition(max(2 * n_cores, 8))
-            .localCheckpoint()
+            .transform(_pin)
         )
         # global dedup-of-compute: the synthetic corpus (like any web
         # corpus) repeats most sentence texts, so the NER kernel runs once
@@ -408,9 +410,9 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
         (F.col("id") * 8 + 3).alias("src"),
         ((F.col("id") - 1) * 8 + 2).alias("dst"),
     )
-    digraph = rings.union(back_bridges).localCheckpoint()
+    digraph = rings.union(back_bridges).transform(_pin)
     t0 = _t.time()
-    scc = strongly_connected_components(digraph).localCheckpoint()
+    scc = strongly_connected_components(digraph).transform(_pin)
     n_scc_nodes = scc.count()
     scc_sec = round(_t.time() - t0, 2)
     gc.collect()
@@ -447,7 +449,7 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     t0 = _t.time()
     bst = betweenness_centrality(
         edges, sources=[n_nodes], directed=False, max_hops=4
-    ).localCheckpoint()
+    ).transform(_pin)
     n_bst = bst.count()
     brandes_sec = round(_t.time() - t0, 2)
     gc.collect()
@@ -470,7 +472,7 @@ def run_graph_bench(spark, n_nodes: int = 2_000_000) -> dict:
     from golden_horse_spark.operators.graph import k_truss
 
     t0 = _t.time()
-    truss = k_truss(edges, k=4).localCheckpoint()
+    truss = k_truss(edges, k=4).transform(_pin)
     n_truss = truss.count()
     truss_sec = round(_t.time() - t0, 2)
     gc.collect()
@@ -580,7 +582,7 @@ def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -
             ).alias("ts"),
             (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 10.0).alias("value"),
         )
-        .localCheckpoint()  # pin the synthesized input out of both timings
+        .transform(_pin)  # pin the synthesized input out of both timings
     )
     clicks = ev.where(F.col("event_id") % 8 == 0).select("user_id", "ts", "value")
 
@@ -619,7 +621,7 @@ def run_temporal_bench(spark, n_events: int = 2_000_000, n_keys: int = 20_000) -
     coal_sec = round(_t.time() - t0, 2)
 
     base = ev.select(F.col("event_id").alias("k"), F.col("value").alias("v"))
-    dim0 = scd2_init(base, 0).localCheckpoint()
+    dim0 = scd2_init(base, 0).transform(_pin)
     changes = base.where(F.col("k") % 3 == 0).select(
         "k", (F.col("v") + 1.0).alias("v")
     ).unionByName(
@@ -694,7 +696,7 @@ def run_dedup_bench(spark, n_docs: int = 100_000) -> dict:
                 " ",
             ).alias("text"),
         )
-        .localCheckpoint()  # pin the synthesized input out of the timing
+        .transform(_pin)  # pin the synthesized input out of the timing
     )
 
     # cold + 2 warm iterations, min-of-warm (pipeline-bench convention).
@@ -746,7 +748,7 @@ def run_media_bench(spark, n_docs: int = 2_000) -> dict:
     from golden_horse_spark.sources.documents import synthesize_documents
 
     docs = synthesize_documents(spark, n_docs, seed=11)
-    media = synthesize_media(spark, docs).localCheckpoint()
+    media = synthesize_media(spark, docs).transform(_pin)
     n_media = media.count()
     secs = []
     kept = 0
@@ -832,7 +834,7 @@ def run_sparql_bench(spark, n_triples: int = 5_000_000) -> dict:
         bought.unionByName(in_cat).unionByName(in_region)
         .unionByName(item_types).unionByName(onto)
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .localCheckpoint()
+        .transform(_pin)
     )
     n_kg = kg.count()
 
@@ -849,7 +851,7 @@ def run_sparql_bench(spark, n_triples: int = 5_000_000) -> dict:
     bgp_sec = round(_t.time() - t0, 2)
 
     t0 = _t.time()
-    closed = rdfs_closure(kg).localCheckpoint()
+    closed = rdfs_closure(kg).transform(_pin)
     n_closed = closed.count()
     rdfs_sec = round(_t.time() - t0, 2)
     assert n_closed > n_kg
