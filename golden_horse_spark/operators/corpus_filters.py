@@ -463,8 +463,27 @@ def c4_clean(
             # C4 §2.2 removes lines containing the WORD (not substring)
             # "javascript" — word-boundary match, so "javascripted"
             # survives the line rule (page-level phrase rules below
-            # stay substring, as in the paper)
-            ok = ok & ~F.lower(x).rlike(r"\b" + re.escape(tok.lower()) + r"\b")
+            # stay substring, as in the paper). Round-5 review fix,
+            # twice over: (a) a boundary is anchored only on sides of
+            # the token that START/END with a word character — an
+            # unconditional \b around a token like "{" REQUIRES an
+            # adjacent word char and silently matches nothing; (b) \b
+            # itself is ENGINE-DEPENDENT (Java's is Unicode-aware, so
+            # 中文javascript代码 was NOT word-bounded on the Spark side,
+            # while DuckDB's RE2 \b is ASCII and matched — a latent
+            # oracle divergence), so the boundary is spelled as an
+            # explicit ASCII class `(^|[^0-9A-Za-z_])…([^0-9A-Za-z_]|$)`
+            # that means the same thing in Java, RE2, and python
+            # (re.ASCII \b) — CJK-adjacent occurrences ARE bounded.
+            t = tok.lower()
+            wcls = "0-9A-Za-z_"
+            wset = "0123456789abcdefghijklmnopqrstuvwxyz_"
+            pat = (
+                (f"(^|[^{wcls}])" if t[:1] in set(wset) else "")
+                + re.escape(t)
+                + (f"([^{wcls}]|$)" if t[-1:] in set(wset) else "")
+            )
+            ok = ok & ~F.lower(x).rlike(pat)
         return ok
 
     kept = F.filter(lines, _line_ok)

@@ -905,14 +905,20 @@ def resolve_bands(
     otherwise a ``threshold`` picks the planner's banding
     (:func:`lsh_plan` — the divisor whose s-curve inflection sits
     closest to the target similarity); with neither, the legacy
-    default of 4 bands."""
+    default of 4 bands — validated for divisibility exactly like an
+    explicit ``bands=4`` (a silent 4 over e.g. ``num_hashes=6`` would
+    band only h0..h3 and quietly degrade recall)."""
+    if bands is None and threshold is None:
+        bands = 4
     if bands is not None:
         if num_hashes % bands != 0:
-            raise ValueError("resolve_bands: bands must divide num_hashes")
+            raise ValueError(
+                "resolve_bands: bands must divide num_hashes "
+                f"(bands={bands}, num_hashes={num_hashes}); pass bands= "
+                "explicitly or threshold= for planner-chosen banding"
+            )
         return bands
-    if threshold is not None:
-        return lsh_plan(threshold, num_hashes)["bands"]
-    return 4
+    return lsh_plan(threshold, num_hashes)["bands"]
 
 
 def fuzzy_dedup(

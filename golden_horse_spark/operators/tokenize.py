@@ -331,6 +331,11 @@ def unigram_train(
 
     spark = hist.sparkSession
     mpl = max_piece_len
+    # pin the histogram BEFORE the size gate (same as bpe_train): the
+    # count() materializes the checkpoint, so the local path's collect
+    # and the distributed path's per-iteration reuse both read the
+    # materialized rows instead of re-running the histogram subtree
+    hist = hist.transform(_pin)
     local_rows = None
     if local_vocab_limit and hist.count() <= local_vocab_limit:
         local_rows = [

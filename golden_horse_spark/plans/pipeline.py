@@ -19,7 +19,7 @@ and rerun: stages 1..N load from disk, only N+1.. recompute. Manifests
 and per-partition completion records are written crash-atomically
 (tmp + ``os.replace``); the partitioned triples stage resumes at
 PARTITION granularity — completed ``part=`` values carry their own
-completion record and are anti-joined away on restart, so a SIGKILL
+completion record and are filter-pruned away on restart, so a SIGKILL
 mid-write costs only the unfinished partitions (see ``StageWriter``).
 
 ``metrics`` is itself a table: one row per (stage, partition) with row
@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict, Optional
@@ -83,9 +84,14 @@ class PipelineConfig:
     # fingerprint records the RESOLVED band count, so switching between
     # a threshold and the explicit bands it resolves to does NOT
     # invalidate, while any change that alters the banding does.
-    # default 0.5 ⇒ the planner picks b=4, r=2 (inflection exactly
-    # 0.5) — the same split the legacy hardcoded default used, so the
-    # planner-driven path is the default WITHOUT changing results.
+    # default 0.5 with the default num_hashes=8 ⇒ the planner picks
+    # b=4, r=2 (inflection exactly 0.5) — the same split the legacy
+    # hardcoded default used, so the DEFAULT config's results are
+    # unchanged. A non-default num_hashes now gets planner banding
+    # instead of the old hardcoded 4 — a deliberate behavior change
+    # (the resolved band count is in the stage fingerprint, so such a
+    # config invalidates its old checkpoint and recomputes honestly);
+    # set dedup_docs_bands=4 explicitly to reproduce the legacy split.
     dedup_docs_num_hashes: int = 8
     dedup_docs_bands: Optional[int] = None
     dedup_docs_k: int = 3
@@ -106,6 +112,18 @@ def _atomic_write_json(path: Path, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+def _marker_name(column: str, value) -> str:
+    """Filesystem-safe, collision-free completion-record filename for an
+    arbitrary partition value: a readable sanitized prefix plus a hash
+    of the CANONICAL JSON value (so ``a/b``, spaces, booleans and NULL
+    all land as flat files that round-trip exactly — ``str(value)`` is
+    neither filesystem-safe nor JSON-parseable in general)."""
+    canon = json.dumps(value)
+    safe = re.sub(r"[^0-9A-Za-z_.-]", "_", str(value))[:40]
+    h = hashlib.sha256(canon.encode()).hexdigest()[:10]
+    return f"{column}={safe}-{h}.json"
+
+
 class StageWriter:
     """Parquet-backed stage store with manifest-based resume.
 
@@ -117,7 +135,7 @@ class StageWriter:
     * ``partition_by`` stages (the triples graph table) —
       PARTITION-granular: every completed partition value gets its own
       atomic completion record under ``<stage>.parts/``; on restart the
-      completed partitions are anti-joined away from the recompute and
+      completed partitions are filter-pruned away from the recompute and
       only the remainder is written (dynamic partition overwrite, so
       finished partitions' files are never touched). A SIGKILL at any
       point — mid-job, between the job and the markers, mid-marker-loop
@@ -174,7 +192,10 @@ class StageWriter:
 
     def done_parts(self, stage: str, fingerprint: str) -> Dict[str, int]:
         """Partition values with a completion record matching this
-        fingerprint (a knob/upstream change invalidates every record)."""
+        fingerprint (a knob/upstream change invalidates every record).
+        Keys are the CANONICAL JSON encoding of the partition value
+        (``json.dumps``) so every JSON-representable value — strings,
+        ints, booleans, NULL — round-trips exactly on restart."""
         pdir = self._parts_dir(stage)
         done: Dict[str, int] = {}
         if not pdir.is_dir():
@@ -185,7 +206,7 @@ class StageWriter:
             except (ValueError, OSError):  # torn non-atomic leftovers
                 continue
             if rec.get("fingerprint") == fingerprint:
-                done[str(rec["value"])] = int(rec["rows"])
+                done[json.dumps(rec.get("value"))] = int(rec["rows"])
         return done
 
     def _compute_partitioned(
@@ -197,25 +218,30 @@ class StageWriter:
         pdir.mkdir(parents=True, exist_ok=True)
         done = self.done_parts(stage, fingerprint) if self.resume else {}
         df = compute()
-        ptype = df.schema[partition_by].dataType
         conf = self.spark.conf
         prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode")
+        # not-a-completed-partition predicate on the partition column —
+        # a plain deterministic predicate, so it partition-prunes both
+        # the recompute's write AND the post-write counting scan (NULL
+        # partition values are handled explicitly: isin() is NULL on
+        # NULL input, never True/False)
+        not_done = F.lit(True)
+        if done:
+            done_vals = [json.loads(k) for k in done]
+            nonnull = [v for v in done_vals if v is not None]
+            col = F.col(partition_by)
+            if nonnull:
+                not_done = ~F.coalesce(col.isin(nonnull), F.lit(False))
+            if any(v is None for v in done_vals):
+                not_done = not_done & col.isNotNull()
         try:
             if done:
-                # resume: anti-join away completed partitions (broadcast —
-                # the partition-value list is bounded by n_parts, tiny next
-                # to the data) and overwrite ONLY the remainder's
-                # directories; completed partitions' files are untouched.
-                done_df = self.spark.createDataFrame(
-                    [(json.loads(v) if ptype.simpleString() != "string" else v,)
-                     for v in done],
-                    schema=f"`{partition_by}` {ptype.simpleString()}",
-                )
-                remaining = df.join(
-                    F.broadcast(done_df), partition_by, "left_anti"
-                )
+                # resume: filter away completed partitions (the value
+                # list is bounded by n_parts, a tiny in-predicate) and
+                # overwrite ONLY the remainder's directories; completed
+                # partitions' files are untouched.
                 conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                remaining.write.mode("overwrite") \
+                df.filter(not_done).write.mode("overwrite") \
                     .partitionBy(partition_by).parquet(str(data_path))
             else:
                 # first attempt (or full invalidation): static overwrite
@@ -231,14 +257,18 @@ class StageWriter:
         self._empty_guard(data_path, df.schema)
         out = self.spark.read.parquet(str(data_path))
         # completion records from the data that actually landed (exact
-        # per-partition counters for lineage), one atomic file each —
-        # idempotent: re-marking an already-done partition rewrites the
-        # same record.
-        counts = out.groupBy(partition_by).count().collect()
+        # per-partition counters for lineage), one atomic file each.
+        # Only the partitions written THIS attempt are counted — the
+        # count scan partition-prunes to them via ``not_done``, so a
+        # resume never re-reads completed partitions (their counts come
+        # from their existing markers); at 100 TB stage sizes that is
+        # the difference between a bounded restart and a full re-scan.
+        counts = out.filter(not_done).groupBy(partition_by).count().collect()
+        parts_map: Dict[str, int] = dict(done)
         for r in counts:
             val = r[partition_by]
             _atomic_write_json(
-                pdir / f"{partition_by}={val}.json",
+                pdir / _marker_name(partition_by, val),
                 {
                     "stage": stage,
                     "column": partition_by,
@@ -247,10 +277,8 @@ class StageWriter:
                     "fingerprint": fingerprint,
                 },
             )
-        self._finish_manifest(
-            stage, fingerprint,
-            {str(r[partition_by]): r["count"] for r in counts},
-        )
+            parts_map[json.dumps(val)] = r["count"]
+        self._finish_manifest(stage, fingerprint, parts_map)
         return out
 
     def _empty_guard(self, data_path: Path, schema) -> None:

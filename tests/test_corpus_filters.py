@@ -265,7 +265,10 @@ def _c4_py(text, min_words=3, min_sent=5):
             continue
         if len(re.split(r"\s+", t)) < min_words:
             continue
-        if re.search(r"\bjavascript\b", ln.lower()):
+        # re.ASCII: Java rlike and DuckDB RE2 word boundaries are
+        # ASCII-\w-based; python's default \b is Unicode-aware and
+        # would diverge on CJK-adjacent occurrences
+        if re.search(r"\bjavascript\b", ln.lower(), re.ASCII):
             continue
         kept.append(ln)
     clean = "\n".join(kept)
@@ -367,3 +370,36 @@ def test_ccnet_buckets(spark):
     assert got[100] == "head" and got[101] == "middle" and got[102] == "tail"
     with _pt.raises(ValueError, match="edges"):
         ccnet_buckets(df, edges=(0.5, 0.4))
+
+
+def test_c4_blocklist_boundary_edge_tokens(spark):
+    """Round-5 review fix: word-boundary anchors are applied only on the
+    sides of a blocklist token that start/end with an ASCII word
+    character — a token like ``{`` has no word edge, so it matches as a
+    substring (the previous unconditional ``\\b{\\b`` matched NOTHING
+    and silently kept the line); and boundary semantics are ASCII on
+    every engine (Java rlike == DuckDB RE2 == the ``re.ASCII`` python
+    reference), so a CJK-adjacent occurrence like ``中文javascript代码``
+    IS word-bounded (CJK chars are non-word in ASCII semantics)."""
+    from golden_horse_spark.operators.corpus_filters import c4_clean
+
+    txt = (
+        "A line with code token { here fine.\n"
+        "A perfectly clean line stays here.\n"
+    )
+    df = spark.createDataFrame([("d", txt)], "doc_id string, text string")
+    out = c4_clean(df, line_blocklist=("{",)).collect()[0]
+    kept = out["clean_text"].split("\n")
+    assert not any("{" in ln for ln in kept)
+    assert any("perfectly clean" in ln for ln in kept)
+
+    txt2 = (
+        "中文javascript代码 removal happens correctly here.\n"
+        "Clean sentence number two stays.\n"
+    )
+    out2 = c4_clean(
+        spark.createDataFrame([("d", txt2)], "doc_id string, text string")
+    ).collect()[0]
+    kept2 = out2["clean_text"].split("\n")
+    assert not any("javascript" in ln for ln in kept2)
+    assert any("number two" in ln for ln in kept2)

@@ -1145,3 +1145,21 @@ def test_lsh_plan_closed_form():
         lsh_plan(0.5, 16, bands=3)
     with _pt.raises(ValueError, match="threshold"):
         lsh_plan(1.5, 16)
+
+
+def test_resolve_bands_legacy_default_validates_divisibility():
+    """Round-5 review fix: the legacy no-bands-no-threshold default of 4
+    now validates divisibility exactly like an explicit ``bands=4`` —
+    ``resolve_bands(6)`` previously returned 4 silently, banding only
+    h0..h3 (degraded recall, no signal) while ``resolve_bands(6, 4)``
+    raised for the identical configuration."""
+    from golden_horse_spark.operators.dedup import resolve_bands
+
+    assert resolve_bands(8) == 4
+    assert resolve_bands(12) == 4
+    with pytest.raises(ValueError):
+        resolve_bands(6)
+    with pytest.raises(ValueError):
+        resolve_bands(6, bands=4)
+    b = resolve_bands(6, threshold=0.5)
+    assert 6 % b == 0

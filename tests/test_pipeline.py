@@ -452,3 +452,72 @@ def test_pipeline_profile_stage(spark, weights_path, tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "kgp" / "kg_profile"))
+
+
+def test_partitioned_stage_handles_awkward_partition_values(spark, tmp_path):
+    """StageWriter is shared, documented-generic infrastructure — the
+    partition-granular markers must survive partition values whose
+    ``str()`` is not JSON (booleans, NULL) and string values that are
+    not filesystem-safe (path separators, spaces). Round-5 review
+    finding: marker files were named ``part=<str(val)>.json`` (so
+    ``a/b`` pointed into a nonexistent subdirectory) and resume
+    reconstituted values via ``json.loads(str(val))`` (so ``True`` /
+    ``None`` crashed on restart)."""
+    from golden_horse_spark.plans.pipeline import StageWriter
+
+    rows = [("a/b", 1), ("c d", 2), ("plain", 3), (None, 4)]
+
+    def compute():
+        return spark.createDataFrame(rows, "part string, v int")
+
+    root = tmp_path / "awkward"
+    w = StageWriter(spark, str(root))
+    fp = w.fingerprint("st", "u1")
+    out1 = w.load_or_compute("st", fp, compute, partition_by="part")
+    assert {(r["part"], r["v"]) for r in out1.collect()} == set(rows)
+    assert len(w.done_parts("st", fp)) == 4
+    # manifest-hit resume round-trips
+    out2 = StageWriter(spark, str(root)).load_or_compute(
+        "st", fp, compute, partition_by="part"
+    )
+    assert {(r["part"], r["v"]) for r in out2.collect()} == set(rows)
+    # force the marker-resume branch (manifest gone, markers present):
+    # previously crashed reconstituting values; now all partitions are
+    # provably done, nothing is rewritten, manifest is rebuilt from the
+    # completion records
+    (root / "st.manifest.json").unlink()
+    w3 = StageWriter(spark, str(root))
+    out3 = w3.load_or_compute("st", fp, compute, partition_by="part")
+    assert {(r["part"], r["v"]) for r in out3.collect()} == set(rows)
+    man = json.loads((root / "st.manifest.json").read_text())
+    assert man["status"] == "complete" and man["rows"] == 4
+
+
+def test_partitioned_stage_boolean_partition_column(spark, tmp_path):
+    """Boolean partition values: str(True) is not JSON — the markers
+    must store a JSON-round-trippable value so restart never crashes.
+    (Spark's partition-directory inference reads boolean partition
+    values back as the STRINGS 'true'/'false' — the markers record
+    what the read-back table actually contains, and the resume filter
+    compares boolean source column vs those strings via Spark's
+    implicit cast, so restart is crash-free and value-consistent.)"""
+    from golden_horse_spark.plans.pipeline import StageWriter
+
+    rows = [(True, 1), (False, 2), (True, 3)]
+    expect = {("true", 1), ("false", 2), ("true", 3)}
+
+    def compute():
+        return spark.createDataFrame(rows, "part boolean, v int")
+
+    root = tmp_path / "boolpart"
+    w = StageWriter(spark, str(root))
+    fp = w.fingerprint("st", "u1")
+    out1 = w.load_or_compute("st", fp, compute, partition_by="part")
+    assert {(r["part"], r["v"]) for r in out1.collect()} == expect
+    done = w.done_parts("st", fp)
+    assert len(done) == 2 and sum(done.values()) == 3
+    (root / "st.manifest.json").unlink()
+    out2 = StageWriter(spark, str(root)).load_or_compute(
+        "st", fp, compute, partition_by="part"
+    )
+    assert {(r["part"], r["v"]) for r in out2.collect()} == expect
