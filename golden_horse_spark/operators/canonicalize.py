@@ -85,6 +85,17 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # one-hop min-label propagation converges in O(component
+        # diameter) rounds; exiting silently with changed labels would
+        # return SPLIT components as if correct (round-5 review fix) —
+        # a >max_iter-diameter chain (long near-dup/sameAs paths) must
+        # fail loudly, not corrupt every downstream merge invariant
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — component diameter exceeds max_iter; raise "
+            "max_iter for long-chain graphs"
+        )
     return labels.select("node", F.col("comp").alias("component"))
 
 
@@ -155,8 +166,19 @@ def bcubed(
     return j.agg(
         F.sum("n").cast("long").alias("n_items"),
         F.count("*").cast("long").alias("n_cells"),
-        F.sum(F.expr("(1000000 * n * n) div csz")).cast("long").alias("p_pin"),
-        F.sum(F.expr("(1000000 * n * n) div gsz")).cast("long").alias("r_pin"),
+        # (10⁶·n²) div size, computed as q·10⁶ + (r·10⁶) div size with
+        # q = n² div size, r = n² mod size — identical value (Euclidean
+        # decomposition), but every intermediate stays < 2⁶³ for cells
+        # up to n ≈ 3·10⁹ items instead of overflowing long at
+        # n ≈ 3·10⁶ as the direct 10⁶·n² product did (round-5 review
+        # fix; DuckDB's hugeint twin computes the direct form, which
+        # equals this exactly)
+        F.sum(F.expr(
+            "((n * n) div csz) * 1000000 + (((n * n) % csz) * 1000000) div csz"
+        )).cast("long").alias("p_pin"),
+        F.sum(F.expr(
+            "((n * n) div gsz) * 1000000 + (((n * n) % gsz) * 1000000) div gsz"
+        )).cast("long").alias("r_pin"),
         (F.sum(F.col("n") * F.col("n") / F.col("csz")) / F.sum("n")).alias(
             "precision"
         ),
@@ -212,6 +234,12 @@ def merge_components(
         .join(lab, F.col("d") == lab["_n"], "left")
         .select("cs", F.coalesce("_c", "d").alias("cd"))
         .where(F.col("cs") != F.col("cd"))
+        # pin: the emptiness probe below materializes this (two lookup
+        # joins against the corpus-scale assignment); without the pin
+        # the CC rounds would recompute that lineage from scratch —
+        # the hot incremental path paid the assignment joins twice per
+        # micro-batch (round-5 review fix)
+        .transform(_pin_lazy)
     )
     if contracted.limit(1).count() == 0:
         new_nodes = (
@@ -278,7 +306,16 @@ def pairwise_er(
         .agg(F.count("*").alias("n"))
         .transform(_pin_lazy)
     )
-    c2 = lambda c: F.sum(F.expr(f"({c} * ({c} - 1)) div 2")).cast("long")  # noqa: E731
+    # C(c,2) with the even factor halved BEFORE multiplying: the
+    # product then peaks at c²/2, pushing long overflow from
+    # c ≈ 3.0·10⁹ to c ≈ 4.3·10⁹ — the point where C(c,2) itself
+    # exceeds int64, i.e. exact for every cluster size the output type
+    # can represent at all (round-5 review; bound documented, a larger
+    # range would need a decimal output schema)
+    c2 = lambda c: F.sum(F.expr(  # noqa: E731
+        f"CASE WHEN {c} % 2 = 0 THEN ({c} div 2) * ({c} - 1) "
+        f"ELSE {c} * (({c} - 1) div 2) END"
+    )).cast("long")
     tp = cells.agg(
         c2("n").alias("tp"), F.sum("n").cast("long").alias("n_items")
     )

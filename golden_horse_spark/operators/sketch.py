@@ -35,23 +35,47 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.pin import pin as _pin
+
+
+def _misra_gries_add(counters: dict, key, inc: int, k: int) -> None:
+    """WEIGHTED Misra–Gries step (Berinde et al. / the mergeable-
+    summaries form): add ``inc`` occurrences of ``key`` into a
+    ≤``k``-counter summary. When the summary is full, subtract the
+    largest decrement that keeps every counter non-negative
+    (min(inc, current minimum)) from ALL counters including the
+    provisional new one, and drop zeros — each decrement event removes
+    equal mass from ≥ k+1 distinct keys, so every key's undercount is
+    ≤ n/(k+1), the classic MG guarantee. The single shared
+    implementation behind both the batch sketch
+    (:func:`heavy_hitter_candidates`) and the streaming one
+    (``streaming.stream.streaming_heavy_hitters``)."""
+    if key in counters:
+        counters[key] += inc
+    elif len(counters) < k:
+        counters[key] = inc
+    else:
+        dec = min(inc, min(counters.values()))
+        counters[key] = inc  # provisional: add then rebalance
+        for ck in list(counters):
+            counters[ck] -= dec
+            if counters[ck] <= 0:
+                del counters[ck]
+
 
 def _misra_gries_update(counters: dict, values, k: int) -> dict:
-    """Classic k-counter Misra–Gries step: after streaming any value
-    sequence through, ``counters`` retains every value whose count in
-    the stream so far exceeds n/(k+1). Incremental — pass the same dict
-    across chunks of one stream."""
-    for v in values:
-        if v in counters:
-            counters[v] += 1
-        elif len(counters) < k:
-            counters[v] = 1
-        else:
-            dead = [key for key in counters if counters[key] == 1]
-            for key in counters:
-                counters[key] -= 1
-            for key in dead:
-                del counters[key]
+    """k-counter Misra–Gries over a pandas Series chunk: after
+    streaming any value sequence through, ``counters`` retains every
+    value whose count in the stream so far exceeds n/(k+1).
+    Incremental — pass the same dict across chunks of one stream.
+    Values are pre-aggregated with ``value_counts`` (C-speed) and fed
+    through the shared weighted step — batch-weighted MG admits the
+    same guarantee as the per-item classic (summary merge theorem),
+    with far fewer python-level iterations per chunk."""
+    if not isinstance(values, pd.Series):
+        values = pd.Series(list(values), dtype=object)
+    for v, cnt in values.value_counts(dropna=False).items():
+        _misra_gries_add(counters, v, int(cnt), k)
     return counters
 
 
@@ -84,9 +108,35 @@ def heavy_hitters(
     """EXACT φ-heavy-hitters: every value of ``col`` whose row count
     exceeds ``threshold_frac``·N, with its exact count — ``(col, cnt)``,
     deterministic and partitioning-invariant (tested). See module
-    docstring for the two-pass guarantee."""
-    n = df.count()
-    cands = heavy_hitter_candidates(df, col, threshold_frac)
+    docstring for the two-pass guarantee.
+
+    N rides ALONG the sketch sweep (one marker row per partition beside
+    the MG survivors, summed from the bounded summary) instead of a
+    separate ``df.count()`` — at the module's 10^12-row design point a
+    third full pass just for one scalar is the difference between two
+    scans and three (round-5 review fix)."""
+    if not 0 < threshold_frac < 1:
+        raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
+    k = int(1.0 / threshold_frac) + 1
+    field = df.schema[col]
+    sk_schema = f"`{col}` {field.dataType.simpleString()}, `_pn` long"
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            _misra_gries_update(counters, pdf[col], k)
+        # survivors plus ONE partition-count marker row (col NULL —
+        # a NULL candidate could never equi-match in the verify join)
+        yield pd.DataFrame(
+            {col: list(counters.keys()) + [None],
+             "_pn": [0] * len(counters) + [n]}
+        )
+
+    sk = df.select(col).mapInPandas(sketch, sk_schema).transform(_pin)
+    n = sk.agg(F.sum("_pn")).first()[0] or 0
+    cands = sk.where(F.col(col).isNotNull()).select(col).distinct()
     return (
         df.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
@@ -175,7 +225,22 @@ def count_min_estimate(
     absent from the sketch (possible only for keys the data never
     hashed anywhere near) estimate 0 via the left join. NULL probes are
     dropped (the sketch never counts NULL keys — see count_min_table);
-    folding matches the sketch side (pmod)."""
+    folding matches the sketch side (pmod).
+
+    ``depth`` must not exceed the depth the sketch was BUILT with —
+    probing rows the sketch never populated would left-join to null →
+    0 → min 0, silently breaking the est ≥ true guarantee for every
+    key (round-5 review fix: validated here against the sketch's
+    actual max row, a one-scalar aggregate over the ≤ depth·width-row
+    sketch)."""
+    if not 1 <= depth <= len(CMS_PARAMS):
+        raise ValueError(f"depth must be in [1, {len(CMS_PARAMS)}]")
+    top = sketch.agg(F.max("row")).first()[0]
+    if top is not None and depth > top + 1:
+        raise ValueError(
+            f"probe depth {depth} exceeds the sketch's built depth "
+            f"{top + 1} — estimates over unpopulated rows would be 0"
+        )
     x = F.pmod(F.col(col).cast("long"), F.lit(CMS_P))
     buckets = F.array(
         *[_cms_bucket(x, a, b, width) for a, b in CMS_PARAMS[:depth]]

@@ -154,9 +154,17 @@ def stream_comention_pairs(
                     F.col("l.event_ts") + F.expr(f"INTERVAL {join_window}"),
                 )
             )
+            # strict order on the mention's POSITION struct — unique per
+            # mention within a doc, so every distinct pair is emitted
+            # exactly once (round-5 review fix: the previous
+            # (etype, surface, span_idx, start) '#'-concat key omitted
+            # sent_idx/end, so two same-surface mentions at the same
+            # start of DIFFERENT sentences compared equal and their
+            # pair was silently dropped; string concat is also not
+            # injective when surfaces contain '#')
             & (
-                F.concat_ws("#", "l.etype", "l.surface", F.col("l.span_idx").cast("string"), F.col("l.start").cast("string"))
-                < F.concat_ws("#", "r.etype", "r.surface", F.col("r.span_idx").cast("string"), F.col("r.start").cast("string"))
+                F.struct("l.span_idx", "l.sent_idx", "l.start", "l.end")
+                < F.struct("r.span_idx", "r.sent_idx", "r.start", "r.end")
             ),
         )
         .select(
@@ -212,11 +220,13 @@ def running_surface_stats(mentions: DataFrame) -> DataFrame:
     ``n_docs`` semantics (state is bounded, so cross-batch distinctness
     cannot be exact in general): the carried ``last_doc`` marker dedupes
     the common straddle case — a doc whose mentions of this surface span
-    consecutive micro-batches is counted ONCE. The count is exact
-    whenever each doc's mentions arrive contiguously per surface (true
-    for the file-stream pipeline: the sentence→mention explode preserves
-    doc order within a batch); under arbitrary doc interleaving it is an
-    upper bound. Locked by a straddle test in test_streaming.
+    consecutive micro-batches is counted ONCE. The kernel SORTS each
+    batch's group rows by doc_id (within-group arrival order after the
+    state shuffle is implementation-defined, so correctness must not
+    depend on it), making the count exact whenever doc_ids are
+    non-decreasing ACROSS batches (true for the file-stream pipeline:
+    new docs get later ids); under arbitrary cross-batch re-interleaving
+    it is an upper bound. Locked by a straddle test in test_streaming.
 
     Scale: state is partitioned by the group key (surface); hot surfaces
     are single-key state rows (O(1) each), not growing lists. Emits one
@@ -230,13 +240,24 @@ def running_surface_stats(mentions: DataFrame) -> DataFrame:
         total, docs, first, last = (
             state.get if state.exists else (0, 0, None, None)
         )
-        for pdf in pdfs:
-            total += len(pdf)
-            batch_docs = pdf["doc_id"]
+        # collect the group's batch rows (bounded by the micro-batch)
+        # and SORT by doc_id: applyInPandasWithState guarantees neither
+        # chunk boundaries nor within-group row order after the state
+        # shuffle, so "most recent doc" must be ORDER-DEFINED, not
+        # arrival-defined (round-5 review fix — iloc[-1] of an
+        # arbitrary-order chunk could repeat-count an interleaved doc
+        # and poison the straddle marker for the next batch). doc_ids
+        # ascend over a file stream's lifetime, so sorted-max is the
+        # newest doc and the exactness contract below holds per batch
+        # regardless of partitioning.
+        chunks = [pdf["doc_id"] for pdf in pdfs]
+        batch_docs = pd.concat(chunks).sort_values() if chunks else None
+        if batch_docs is not None and len(batch_docs):
+            total += len(batch_docs)
             docs += batch_docs.nunique() - (
                 1 if last is not None and (batch_docs == last).any() else 0
             )
-            batch_min = batch_docs.min()
+            batch_min = batch_docs.iloc[0]
             first = batch_min if first is None else min(first, batch_min)
             last = batch_docs.iloc[-1]
         state.update((int(total), int(docs), first, last))
@@ -293,18 +314,10 @@ def streaming_heavy_hitters(
     k = max(1, math.ceil(1.0 / phi))
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _mg_add(counters: dict, key, inc: int, cap: int) -> None:
-        if key in counters:
-            counters[key] += inc
-        elif len(counters) < cap:
-            counters[key] = inc
-        else:
-            dec = min(inc, min(counters.values()))
-            counters[key] = inc  # provisional: add then rebalance
-            for ck in list(counters):
-                counters[ck] -= dec
-                if counters[ck] <= 0:
-                    del counters[ck]
+    # the ONE weighted-MG step shared with the batch sketch — a
+    # guarantee fix there is a guarantee fix here (round-5 review:
+    # two hand-rolled MG implementations had quietly diverged)
+    from ..operators.sketch import _misra_gries_add as _mg_add
 
     def summarize(iterator):
         import pandas as pd
@@ -406,15 +419,39 @@ def run_to_sink(
 ) -> None:
     """Drain all available input into a parquet sink (exactly-once via
     the checkpoint), then stop. Restart-safe: rerunning resumes from the
-    checkpoint and skips already-committed files."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    checkpoint and skips already-committed files.
+
+    File sinks are append-only, so for ``update``/``complete`` streams
+    (the stateful operators in this module — running_surface_stats,
+    streaming_heavy_hitters, streaming_count_min) this driver switches
+    to a foreachBatch parquet writer: each micro-batch's emitted rows
+    land in ``<output_dir>/batch=<id>``, overwritten on checkpoint
+    replay (idempotent, so exactly-once per batch directory). For
+    update mode the directory tree is the UPDATE LOG — the latest row
+    per key across batches is the current value; for complete mode the
+    highest batch id is the full current snapshot (round-5 review fix:
+    previously this raised AnalysisException for three of the module's
+    own operators)."""
+    if output_mode == "append":
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        def _write(bdf: DataFrame, bid: int) -> None:
+            bdf.write.mode("overwrite").parquet(f"{output_dir}/batch={bid}")
+
+        q = (
+            stream_df.writeStream.foreachBatch(_write)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
 
 
@@ -483,6 +520,15 @@ def streaming_entity_resolution(
     replayed after a crash re-merges the same edges, which is IDEMPOTENT
     (merging already-merged edges changes nothing), so the rename seam
     is safe.
+
+    The swap itself is crash-atomic via rename-aside (never a window
+    with NO complete state on disk): write ``.next`` → rename the live
+    dir aside to ``.old`` → rename ``.next`` live → delete ``.old``.
+    A crash between the two renames leaves a complete ``.next`` that
+    the next batch recovers (round-5 review fix: the previous
+    rmtree-then-rename left a window where a kill destroyed the entire
+    accumulated assignment and the next batch silently restarted from
+    scratch).
     """
     import os
     import shutil
@@ -492,6 +538,13 @@ def streaming_entity_resolution(
     spark = edges_stream.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        nxt, old = state_dir + ".next", state_dir + ".old"
+        if not os.path.exists(state_dir) and os.path.exists(nxt):
+            # crashed between the aside-rename and the live-rename:
+            # .next is a COMPLETE post-merge state — adopt it (the
+            # checkpoint will replay the interrupted batch, and
+            # re-merging merged edges is a no-op)
+            os.rename(nxt, state_dir)
         batch_df = batch_df.select(src, dst)
         if batch_df.limit(1).count() == 0:
             return
@@ -500,11 +553,14 @@ def streaming_entity_resolution(
             out = merge_components(assignment, batch_df, src=src, dst=dst)
         else:
             out = connected_components(batch_df, src=src, dst=dst)
-        nxt = state_dir + ".next"
         out.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a crash mid-swap
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, old)
         os.rename(nxt, state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     q = (
         edges_stream.writeStream.foreachBatch(_merge)

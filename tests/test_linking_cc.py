@@ -1280,3 +1280,37 @@ def test_soft_tfidf_out_of_corpus_guard(spark):
         pairs, "a", "b", corpus, require_in_corpus=False
     ).collect()[0]
     assert row["soft_tfidf"] == 0.0
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """One-hop min-label propagation needs O(diameter) rounds; exiting
+    max_iter with labels still changing must FAIL LOUDLY (round-5
+    review fix: it previously returned silently-split components,
+    corrupting every downstream merge invariant)."""
+    from golden_horse_spark.operators.canonicalize import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(chain, "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5)
+    ok = connected_components(edges, max_iter=40)
+    comps = {r["component"] for r in ok.collect()}
+    assert comps == {0}
+
+
+def test_bcubed_pin_exact_for_multimillion_item_cell(spark):
+    """The p_pin/r_pin longs must stay EXACT for contingency cells
+    beyond ~3M items (round-5 review fix: the direct 10^6*n*n product
+    wrapped int64 at n ≈ 3.04M; the Euclidean decomposition is exact
+    to n ≈ 3e9). One 3.2M-item perfectly-matched cluster: pin = 10^6*n."""
+    from golden_horse_spark.operators.canonicalize import bcubed
+
+    n = 3_200_000
+    labels = spark.range(n).select(
+        F.lit("c").alias("pred_label"), F.lit("g").alias("gold_label")
+    )
+    row = bcubed(labels).collect()[0]
+    assert row["n_items"] == n
+    assert row["p_pin"] == n * 1_000_000
+    assert row["r_pin"] == n * 1_000_000
+    assert row["precision"] == 1.0 and row["recall"] == 1.0

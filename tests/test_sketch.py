@@ -256,3 +256,26 @@ def test_count_min_negative_and_null_keys(spark):
     }
     assert None not in est
     assert est[-5] >= 3 and est[7] >= 2
+
+
+def test_count_min_estimate_depth_guard(spark):
+    """Probing more rows than the sketch was built with would silently
+    return est=0 for every key (round-5 review fix): the estimator now
+    validates the probe depth against the sketch's actual max row."""
+    from golden_horse_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    sk = count_min_table(df, "k", depth=4, width=64)
+    with pytest.raises(ValueError, match="built depth"):
+        count_min_estimate(sk, df, "k", depth=6, width=64)
+    with pytest.raises(ValueError, match="depth must be"):
+        count_min_estimate(sk, df, "k", depth=9, width=64)
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk, df, "k", depth=3, width=64).collect()
+    }
+    true = {i: len([x for x in range(50) if x % 7 == i]) for i in range(7)}
+    assert all(est[k] >= true[k] for k in true)

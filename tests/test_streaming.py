@@ -651,3 +651,116 @@ def test_streaming_entity_resolution_matches_full_cc(spark, tmp_path_factory):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_er_recovers_dangling_next_state(spark, tmp_path_factory):
+    """Crash-atomicity of the ER state swap (round-5 review fix): a
+    kill between the aside-rename and the live-rename leaves only a
+    complete ``.next`` — the next batch must ADOPT it, not silently
+    restart the assignment from scratch."""
+    import os
+    import random
+
+    from golden_horse_spark.operators.canonicalize import connected_components
+    from golden_horse_spark.streaming.stream import streaming_entity_resolution
+
+    base = tmp_path_factory.mktemp("ser_crash")
+    in_dir, state, ckpt = base / "in", base / "state", base / "ckpt"
+    in_dir.mkdir()
+    rng = random.Random(7)
+    wave1 = [(a, b) for a, b in
+             ((rng.randint(0, 30), rng.randint(0, 30)) for _ in range(25))
+             if a != b]
+    wave2 = [(a, b) for a, b in
+             ((rng.randint(15, 50), rng.randint(15, 50)) for _ in range(25))
+             if a != b]
+    schema = "src int, dst int"
+
+    def run_wave(edges):
+        spark.createDataFrame(edges, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        streaming_entity_resolution(
+            spark.readStream.schema(schema).parquet(str(in_dir)),
+            str(state), str(ckpt),
+        )
+
+    run_wave(wave1)
+    # simulate the crash window: state renamed aside and gone, the
+    # completed .next still on disk
+    os.rename(str(state), str(state) + ".next")
+    assert not os.path.exists(str(state))
+    run_wave(wave2)
+    got = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    exp = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame(wave1 + wave2, schema)
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_comention_pair_kept_for_same_surface_same_start(spark):
+    """Two same-surface mentions at the same sentence-relative start of
+    DIFFERENT sentences are distinct mentions — their pair must be
+    emitted (round-5 review fix: the old concat tiebreak key omitted
+    sent_idx/end, compared them equal, and dropped the pair)."""
+    from golden_horse_spark.streaming.stream import stream_comention_pairs
+
+    rows = [
+        ("d1", 0, 0, 0, 2, "北京", "LOC"),
+        ("d1", 0, 1, 0, 2, "北京", "LOC"),
+    ]
+    mentions = spark.createDataFrame(
+        rows,
+        "doc_id string, span_idx int, sent_idx int, start int, end int, "
+        "surface string, etype string",
+    ).withColumn("event_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    pairs = stream_comention_pairs(mentions).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["surface_a"] == pairs[0]["surface_b"] == "北京"
+    # and a '#' inside a surface cannot alias two different mentions
+    rows2 = [
+        ("d2", 0, 0, 0, 3, "a#b", "ORG"),
+        ("d2", 0, 0, 5, 8, "a", "ORG"),
+    ]
+    m2 = spark.createDataFrame(
+        rows2,
+        "doc_id string, span_idx int, sent_idx int, start int, end int, "
+        "surface string, etype string",
+    ).withColumn("event_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    assert len(stream_comention_pairs(m2).collect()) == 1
+
+
+def test_run_to_sink_update_mode_writes_batch_dirs(spark, tmp_path_factory):
+    """run_to_sink drives update-mode stateful streams via the
+    foreachBatch path (round-5 review fix: the file-sink-only form
+    raised AnalysisException for the module's own stateful
+    operators)."""
+    from golden_horse_spark.streaming.stream import (
+        run_to_sink,
+        running_surface_stats,
+    )
+
+    base = tmp_path_factory.mktemp("rts_update")
+    in_dir = base / "in"
+    in_dir.mkdir()
+    schema = "surface string, doc_id string"
+    spark.createDataFrame(
+        [("北京", "d1"), ("北京", "d2"), ("上海", "d1")], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    run_to_sink(
+        running_surface_stats(stream),
+        str(base / "out"), str(base / "ckpt"),
+        output_mode="update",
+    )
+    got = {
+        r["surface"]: (r["total_mentions"], r["n_docs"])
+        for r in spark.read.parquet(str(base / "out")).collect()
+    }
+    assert got == {"北京": (2, 2), "上海": (1, 1)}
