@@ -28,11 +28,16 @@ from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(fp, n_docs, keeper): keeper = min doc_id per normalized-text md5."""
+    """(fp, n_docs, keeper): keeper = min doc_id per normalized-text md5.
+
+    NULL-text docs have no fingerprint and are excluded — md5(NULL) is
+    NULL, and grouping on it would report every failed-extraction doc
+    as one giant bogus dup group (round-5 review fix)."""
     from .text_analysis import fingerprint
 
     return (
         docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
@@ -42,14 +47,19 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep exactly one doc per fingerprint (the min doc_id)."""
+    """Keep exactly one doc per fingerprint (the min doc_id).
+
+    NULL-text docs all share a NULL fingerprint but are NOT duplicates
+    of each other — every one is kept (round-5 review fix: the window
+    grouped them into one partition and silently deleted all but
+    one)."""
     from .text_analysis import fingerprint
 
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         docs.withColumn("fp", fingerprint(F.col(text_col)))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where((F.col("rn") == 1) | F.col("fp").isNull())
         .drop("rn", "fp")
     )
 
@@ -201,6 +211,15 @@ def minhash_dup_pairs(
     exactly the docs-side ``size(shingles) > 0`` filter (a real shingle
     colliding with the filler hash on every one of num_hashes planes is
     cryptographically negligible)."""
+    if num_hashes < 1 or bands < 1 or num_hashes % bands != 0:
+        # round-5 review fix: a silent non-dividing banding either
+        # quietly ignored trailing hashes (recall loss) or — with
+        # rows_per_band = 0 — banded every doc into md5('') buckets
+        # that the max_bucket cap then dropped entirely (zero pairs)
+        raise ValueError(
+            f"minhash_dup_pairs: bands must divide num_hashes "
+            f"(num_hashes={num_hashes}, bands={bands})"
+        )
     if signatures is None:
         docs = docs.where(F.expr(f"size({shingles_expr(text_col, k)}) > 0"))
         sig = minhash_signatures(docs, text_col, num_hashes, k, hash_fn)
@@ -435,6 +454,7 @@ def ngram_jaccard_pairs(
     sh = (
         docs.select(
             "doc_id",
+            *([block_on] if block_on else []),
             F.explode(F.array_distinct(F.expr(shingles_expr(text_col, k)))).alias("s"),
         )
     )
@@ -448,8 +468,13 @@ def ngram_jaccard_pairs(
         sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
+    # round-5 review fix: block_on was accepted and documented but
+    # never applied — the postings join now keys on (shingle, block),
+    # so cross-block pairs are impossible and the fan-out bound the
+    # blocking promises actually holds
+    join_keys = ["s"] + ([block_on] if block_on else [])
     common = (
-        l.join(r, "s")
+        l.join(r, join_keys)
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
@@ -649,7 +674,12 @@ def embedding_near_dup_pairs(
     raw = [r[0] for r in e0.select(vec_col).limit(sample).collect()]
     raw = [v for v in raw if v is not None]
     if raw:  # drop ragged strays — np.array would raise on them
-        d0 = len(raw[0])
+        # majority length, not the first row's (round-5 review fix: one
+        # corrupt short vector sampled first would have set the corpus
+        # dim to ITS length and silently dropped every real vector)
+        from collections import Counter
+
+        d0 = Counter(len(v) for v in raw).most_common(1)[0][0]
         raw = [v for v in raw if len(v) == d0]
     x = np.array(raw, dtype=np.float64)
     spark = embeddings.sparkSession
@@ -657,7 +687,13 @@ def embedding_near_dup_pairs(
         nrm = np.sqrt((x * x).sum(1))
         x = x[nrm > 0] / nrm[nrm > 0, None]
     if not x.size:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        # empty-corpus schema must match the normal path's id type
+        # (round-5 review fix: hardcoded longs broke string-id callers
+        # only on the empty edge case)
+        idt = e0.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}, cosine double"
+        )
     cents = _lloyd(x, n_cells, seed)
 
     if len(cents) <= unroll_max_cells:

@@ -82,6 +82,13 @@ def rank_codes(
                 10_000,
             ).alias("b")
         ).collect()[0]["b"]
+        if not cuts:
+            # all-NULL column or empty frame: percentile_approx returns
+            # NULL — every row lands in cell 0, same as the exact
+            # path's NULLS FIRST behavior (round-5 review fix: the
+            # literal-array build crashed on NoneType)
+            df = df.withColumn(prefix + c, F.lit(0).cast("int"))
+            continue
         arr = F.array(*[F.lit(float(b)) for b in cuts])
         df = df.withColumn(
             prefix + c,

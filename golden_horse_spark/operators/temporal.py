@@ -106,6 +106,11 @@ def asof_join(
         F.lit(right_side).alias("_side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', "
+            f"got {direction!r}"
+        )
     t_order = F.col("_t").desc() if direction == "forward" else F.col("_t").asc()
     # final _r tie-break: among right rows sharing (key, ts) the greatest
     # value struct sorts last and wins last() — deterministic across
@@ -379,7 +384,10 @@ def compact_changelog(
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         log.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col(op_col) != tombstone))
+        # null-safe: a malformed NULL op is NOT a delete — plain != is
+        # NULL on NULL input and the filter would silently tombstone
+        # the key (round-5 review fix)
+        .where((F.col("_rn") == 1) & ~F.col(op_col).eqNullSafe(tombstone))
         .drop("_rn")
     )
 
@@ -422,10 +430,13 @@ def allen_join(
     explode to the fixed-width time bins their interval covers (the
     left side widened by ``max_gap`` so near-disjoint pairs still
     share a bin), the pair space is an EQUI-join on (key, bin) — never
-    a nested-loop theta join — and the multi-bin double-counts drop in
-    one full-row ``distinct``. Cost: one exchange for the join + one
-    for the distinct; fan-out is ceil(len/bin_width)+1 rows per
-    interval, so pick ``bin_width`` near the typical interval length.
+    a nested-loop theta join — and each pair survives from exactly ONE
+    canonical bin (the bin of the later gap-widened range start), so
+    multi-bin double-counts never need a distinct: the join's exchange
+    is the only shuffle, and genuinely duplicate input rows are
+    preserved (range_join semantics). Fan-out is
+    ceil(len/bin_width)+1 rows per interval, so pick ``bin_width``
+    near the typical interval length.
 
     Column contract mirrors ``range_join``: bound columns are named by
     the four parameters, every other column name must be disjoint
@@ -466,25 +477,48 @@ def allen_join(
             )
         ),
     )
-    pairs = lb.join(rb, keys + ["_bin"]).drop("_bin").distinct()
+    joined = lb.join(rb, keys + ["_bin"])
     # re-derive the numeric bounds on the joined frame (names are
     # unambiguous by the column contract)
-    ls, le = _num(pairs, l_start), _num(pairs, l_end)
-    rs, re = _num(pairs, r_start), _num(pairs, r_end)
-    qualify = (rs - le <= F.lit(g)) & (ls - re <= F.lit(g))
+    ls, le = _num(joined, l_start), _num(joined, l_end)
+    rs, re = _num(joined, r_start), _num(joined, r_end)
+    # canonical-bin dedup (round-5 review fix): a pair co-occurring in
+    # k bins is emitted ONLY from the bin holding max of the two
+    # (gap-widened) range starts — always within both sides' bin
+    # ranges when they intersect, so exactly one copy survives. Unlike
+    # the previous full-row distinct this (a) preserves genuinely
+    # duplicate input rows (two identical fact assertions stay two
+    # pairs, matching range_join) and (b) deletes the distinct's
+    # whole-pair-stream exchange — the join's is the only shuffle.
+    canon = F.greatest(
+        F.floor((ls - F.lit(g)) / w).cast("long"),
+        F.floor(rs / w).cast("long"),
+    )
+    pairs = joined.where(F.col("_bin") == canon).drop("_bin")
     if max_gap is None:
         # touch-or-intersect only: strict inequality would drop 'meets'
         qualify = (ls <= re) & (rs <= le)
+    else:
+        qualify = (rs - le <= F.lit(g)) & (ls - re <= F.lit(g))
+    # precedence: the structural equal-boundary relations
+    # (starts/started_by/finishes/finished_by) are tested BEFORE
+    # meets/met_by — for PROPER intervals the two families are
+    # mutually exclusive so the order is irrelevant, but a degenerate
+    # point interval satisfies both (l=[3,3] vs r=[3,5] is both
+    # 'starts' and le==rs), and the boundary algebra classifies it by
+    # its shared endpoint structure, not as a bare touch (round-5
+    # review fix; the DuckDB twin and the pytest reference mirror this
+    # exact order)
     rel = (
         F.when((ls == rs) & (le == re), F.lit("equals"))
         .when(le < rs, F.lit("before"))
         .when(re < ls, F.lit("after"))
-        .when(le == rs, F.lit("meets"))
-        .when(re == ls, F.lit("met_by"))
         .when((ls == rs) & (le < re), F.lit("starts"))
         .when((ls == rs) & (le > re), F.lit("started_by"))
         .when((le == re) & (ls > rs), F.lit("finishes"))
         .when((le == re) & (ls < rs), F.lit("finished_by"))
+        .when(le == rs, F.lit("meets"))
+        .when(re == ls, F.lit("met_by"))
         .when((ls > rs) & (le < re), F.lit("during"))
         .when((ls < rs) & (le > re), F.lit("contains"))
         .when(ls < rs, F.lit("overlaps"))

@@ -1163,3 +1163,84 @@ def test_resolve_bands_legacy_default_validates_divisibility():
         resolve_bands(6, bands=4)
     b = resolve_bands(6, threshold=0.5)
     assert 6 % b == 0
+
+
+def test_minhash_dup_pairs_validates_banding(spark):
+    """Non-dividing bandings silently degraded recall (trailing hashes
+    ignored) or emptied results (rows_per_band=0 → every doc banded
+    into md5('') buckets that the cap drops) — round-5 review fix."""
+    from golden_horse_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e"), ("d2", "a b c d e")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dup_pairs(docs, num_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dup_pairs(docs, num_hashes=4, bands=8)
+
+
+def test_dedup_exact_null_text_docs_are_not_duplicates(spark):
+    """md5(NULL) is NULL — NULL-text docs must all survive dedup_exact
+    (they are failed extractions, not duplicates of one another) and
+    must not appear as a bogus dup group (round-5 review fix)."""
+    from golden_horse_spark.operators.dedup import dedup_exact, exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [("d1", "same text here"), ("d2", "same text here"),
+         ("d3", None), ("d4", None), ("d5", None)],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_exact(docs).collect()}
+    assert kept == {"d1", "d3", "d4", "d5"}
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_block_on_restricts_pairs(spark):
+    """block_on was accepted but never applied (round-5 review fix):
+    identical docs in DIFFERENT blocks must not pair."""
+    from golden_horse_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [("d1", t, "en"), ("d2", t, "en"), ("d3", t, "de")],
+        "doc_id string, text string, lang string",
+    )
+    unblocked = ngram_jaccard_pairs(docs, min_jaccard=0.9)
+    assert unblocked.count() == 3  # all three mutual pairs
+    blocked = ngram_jaccard_pairs(docs, min_jaccard=0.9, block_on="lang")
+    got = {(r["doc_a"], r["doc_b"]) for r in blocked.collect()}
+    assert got == {("d1", "d2")}
+
+
+def test_embedding_near_dup_corrupt_first_sample_vector(spark):
+    """The sampled corpus dim is the MAJORITY length, not the first
+    row's (round-5 review fix: a corrupt short vector sampled first set
+    the dim to its length and every real vector was dropped)."""
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(0, [1.0, 2.0])] + [
+        (i, [1.0, 0.5, 0.25, 0.1]) for i in range(1, 10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "id long, vec array<double>"
+    ).coalesce(1)
+    pairs = embedding_near_dup_pairs(
+        emb, id_col="id", vec_col="vec", min_cosine=0.99, n_cells=2,
+        sample=10,
+    )
+    assert pairs.count() >= 36  # 9 identical-direction vectors pair up
+
+
+def test_embedding_near_dup_empty_schema_matches_id_type(spark):
+    """Empty-corpus early return must carry the caller's id type
+    (round-5 review fix: hardcoded longs broke string-id unions on the
+    empty edge case)."""
+    from golden_horse_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame([], "id string, vec array<double>")
+    out = embedding_near_dup_pairs(
+        emb, id_col="id", vec_col="vec", min_cosine=0.9
+    )
+    assert dict(out.dtypes)["id_a"] == "string" and out.count() == 0

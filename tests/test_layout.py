@@ -119,3 +119,16 @@ def test_layout_plan_shape_single_range_exchange(spark):
     # exactly one exchange below the layout (the window's single-task
     # exchange is SinglePartition, not hashpartitioning on data keys)
     assert "hashpartitioning" not in plan
+
+
+def test_rank_codes_approx_all_null_column(spark):
+    """percentile_approx over an all-NULL column returns NULL — the
+    approx path must fall back to cell 0 like the exact path's NULLS
+    FIRST, not crash building the literal array (round-5 review fix)."""
+    from golden_horse_spark.operators.layout import rank_codes
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,)], "x double"
+    )
+    out = rank_codes(df, ["x"], bits=4, exact=False)
+    assert [r["_code_x"] for r in out.collect()] == [0, 0, 0]

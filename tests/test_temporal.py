@@ -453,14 +453,17 @@ def _allen_py(l, r, max_gap=None):
         return "before"
     if re < ls:
         return "after"
-    if le == rs:
-        return "meets"
-    if re == ls:
-        return "met_by"
+    # structural equal-boundary relations precede meets/met_by: for
+    # proper intervals the families are disjoint; a degenerate point
+    # interval satisfies both and classifies by its shared endpoint
     if ls == rs:
         return "starts" if le < re else "started_by"
     if le == re:
         return "finishes" if ls > rs else "finished_by"
+    if le == rs:
+        return "meets"
+    if re == ls:
+        return "met_by"
     if ls > rs and le < re:
         return "during"
     if ls < rs and le > re:
@@ -717,3 +720,72 @@ def test_exchange_budgets_are_facts(spark):
     assert n_exchanges(
         pack_chunks(d2, budget=4, n_shards=2, partition_cols=("split",))
     )["shuffle"] == 1
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    """A misspelled direction silently fell back to backward semantics
+    (round-5 review fix)."""
+    from golden_horse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "k string, ts long")
+    right = spark.createDataFrame([("k", 5, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="Forward")
+
+
+def test_compact_changelog_null_op_is_not_a_tombstone(spark):
+    """A malformed NULL op on the newest row must keep the key in the
+    snapshot (round-5 review fix: plain != evaluated NULL and the key
+    silently vanished as if deleted)."""
+    from golden_horse_spark.operators.temporal import compact_changelog
+
+    log = spark.createDataFrame(
+        [("k1", 1, "I", 10.0), ("k1", 2, None, 20.0),
+         ("k2", 1, "I", 1.0), ("k2", 2, "D", 2.0)],
+        "key string, ts long, op string, v double",
+    )
+    got = {r["key"]: r["v"] for r in
+           compact_changelog(log, key_cols=("key",), ts_col="ts").collect()}
+    assert got == {"k1": 20.0}
+
+
+def test_allen_join_preserves_duplicate_input_rows(spark):
+    """Two IDENTICAL left fact rows are two facts — each must pair with
+    the matching right interval (round-5 review fix: the full-row
+    distinct merged them; the canonical-bin dedup does not)."""
+    from golden_horse_spark.operators.temporal import allen_join
+
+    left = spark.createDataFrame(
+        [("k", 100.0, 200.0), ("k", 100.0, 200.0)],
+        "k string, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [("k", 150.0, 250.0)], "k string, rs double, re double"
+    )
+    out = allen_join(left, right, on="k", l_start="ls", l_end="le",
+                     r_start="rs", r_end="re", bin_width=50.0)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["relation"] == "overlaps" for r in rows)
+
+
+def test_allen_join_degenerate_point_intervals(spark):
+    """Point intervals classify by shared endpoint STRUCTURE, not as a
+    bare touch (round-5 review fix: meets/met_by preceded the
+    starts/finishes family in the when-chain)."""
+    from golden_horse_spark.operators.temporal import allen_join
+
+    left = spark.createDataFrame(
+        [("a", 3.0, 3.0), ("b", 1.0, 3.0), ("c", 3.0, 3.0), ("d", 3.0, 5.0)],
+        "k string, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [("a", 3.0, 5.0), ("b", 3.0, 3.0), ("c", 1.0, 3.0), ("d", 3.0, 3.0)],
+        "k string, rs double, re double",
+    )
+    got = {r["k"]: r["relation"] for r in allen_join(
+        left, right, on="k", l_start="ls", l_end="le",
+        r_start="rs", r_end="re", bin_width=10.0,
+    ).collect()}
+    assert got == {"a": "starts", "b": "finished_by",
+                   "c": "finishes", "d": "started_by"}
