@@ -568,8 +568,20 @@ def blocking_metrics(
     )
     if n_total <= 0:
         raise ValueError("blocking_metrics: empty comparison space")
-    cand = candidate_pairs.select(a, b).distinct()
-    true_d = true_pairs.select(a, b).distinct()
+    # canonicalize pair ORIENTATION on both sides before comparing —
+    # blockers emit pairs in their own order (sorted-neighborhood: sort
+    # position; others: id order), and an orientation mismatch against
+    # the truth table silently zeroed pair_completeness (round-5 review
+    # fix). least/greatest is orientation-invariant for any orderable
+    # id type.
+    def _canon(df):
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias(a),
+            F.greatest(F.col(a), F.col(b)).alias(b),
+        ).distinct()
+
+    cand = _canon(candidate_pairs)
+    true_d = _canon(true_pairs)
     n_cand = cand.count()
     n_true = true_d.count()
     n_found = true_d.join(cand, [a, b], "left_semi").count()
@@ -674,23 +686,30 @@ def fs_em_weights(
                 F.sum(F.when(g.isNotNull(), 1.0 - r)).alias(f"_nu_{c}"),
             ]
         row = pairs.agg(*aggs).collect()[0]
+        # an agreement field that is NULL on EVERY pair aggregates its
+        # conditional sums to SQL NULL → python None; fold to 0.0 so
+        # the alpha-smoothed estimate applies (the init step already
+        # guards this exact case with 0.5 — round-5 review fix of a
+        # TypeError in the M-step)
+        z = lambda v: 0.0 if v is None else v  # noqa: E731
         pi = _cl(row["_sr"] / row["_n"])
         m = [
-            _cl((row[f"_rm_{c}"] + alpha) / (row[f"_nm_{c}"] + 2 * alpha))
+            _cl((z(row[f"_rm_{c}"]) + alpha) / (z(row[f"_nm_{c}"]) + 2 * alpha))
             for c in agree_cols
         ]
         u = [
-            _cl((row[f"_ru_{c}"] + alpha) / (row[f"_nu_{c}"] + 2 * alpha))
+            _cl((z(row[f"_ru_{c}"]) + alpha) / (z(row[f"_nu_{c}"]) + 2 * alpha))
             for c in agree_cols
         ]
     final = row
+    z = lambda v: 0.0 if v is None else v  # noqa: E731
     out = [
         (
             c,
-            int(round(final[f"_rm_{c}"])),
-            int(round(final[f"_nm_{c}"])),
-            int(round(final[f"_ru_{c}"])),
-            int(round(final[f"_nu_{c}"])),
+            int(round(z(final[f"_rm_{c}"]))),
+            int(round(z(final[f"_nm_{c}"]))),
+            int(round(z(final[f"_ru_{c}"]))),
+            int(round(z(final[f"_nu_{c}"]))),
             math.log(m[i]) - math.log(u[i]),
             math.log(1.0 - m[i]) - math.log(1.0 - u[i]),
         )
@@ -716,23 +735,54 @@ def sorted_neighborhood_candidates(
     Output (id_a, id_b, key_a, key_b), id_a/id_b ordered by sort
     position. Deterministic: ties in the key break on ``id_col``.
 
-    Physical shape: ONE global sort (rank = row_number over a range-
-    partitioned order — Spark plans the window with a single exchange)
-    + an explode of the ``window − 1`` offsets + one equi-join of the
-    ranked table with itself on ``rank + off`` — candidate volume is
-    exactly n·(window−1), linear in the corpus, never quadratic. The
-    classic multi-pass variant is just a union of calls with different
+    Physical shape: the global dense rank is DISTRIBUTED — a
+    ``repartitionByRange`` on (key, id) orders partitions, a pinned
+    per-partition ``row_number`` ranks within each, and partition-count
+    offsets (one bounded ≤-shuffle-partitions collect) lift the local
+    ranks to global ones. Round-5 review fix: the previous
+    ``row_number over Window.orderBy(...)`` with no partitionBy planned
+    as Exchange SinglePartition — every record through ONE task, the
+    exact antithesis of the linear-scale claim. Then an explode of the
+    ``window − 1`` offsets + one equi-join of the ranked table with
+    itself on ``rank + off`` — candidate volume is exactly
+    n·(window−1), linear in the corpus, never quadratic. The classic
+    multi-pass variant is just a union of calls with different
     ``key_col``s.
     """
     from pyspark.sql import Window as W
 
     if window < 2:
         raise ValueError("sorted_neighborhood_candidates: window must be ≥ 2")
-    ranked = records.select(
+    spark = records.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = records.select(
         F.col(id_col).alias("_id"), F.col(key_col).alias("_key")
-    ).withColumn(
+    )
+    # range-partition on the FULL sort key so duplicates of a hot key
+    # still split across partitions; pin so the pid column, the counts
+    # and the rank all read one stable layout
+    parted = (
+        base.repartitionByRange(p, F.col("_key"), F.col("_id"))
+        .transform(_pin)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    acc, offs = 0, {}
+    for pid, cnt in sizes:
+        offs[pid] = acc
+        acc += cnt
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offs.items() for x in pid_off]
+    ) if offs else F.create_map()
+    ranked = parted.withColumn(
         "_rk",
-        F.row_number().over(W.orderBy(F.col("_key"), F.col("_id"))),
+        F.row_number().over(
+            W.partitionBy("_pid").orderBy(F.col("_key"), F.col("_id"))
+        )
+        + F.coalesce(off_map[F.col("_pid")], F.lit(0)),
     )
     left = ranked.select(
         F.col("_id").alias("id_a"), F.col("_key").alias("key_a"), "_rk"
@@ -1139,9 +1189,16 @@ def soft_tfidf(
         .join(has_toks, "_pid")
         .withColumn(
             "soft_tfidf",
-            F.when(~F.col("_ok"), F.lit(None).cast("double")).otherwise(
-                F.coalesce("soft_tfidf", F.lit(0.0))
-            ),
+            # NULL-name sides make _ok NULL (size(split(NULL)) is not
+            # false), and ~NULL skipped the NULL branch so a NULL name
+            # scored 0.0 — indistinguishable from a genuine
+            # no-close-match zero and invisible to require_in_corpus
+            # (round-5 review fix: NULL _ok folds to not-ok → NULL
+            # score, matching monge_elkan/jaro_winkler_col)
+            F.when(
+                ~F.coalesce(F.col("_ok"), F.lit(False)),
+                F.lit(None).cast("double"),
+            ).otherwise(F.coalesce("soft_tfidf", F.lit(0.0))),
         )
         .drop("_pid", "_ok")
     )

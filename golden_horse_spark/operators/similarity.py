@@ -47,7 +47,14 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     qn = float(np.sqrt(np.dot(query, query))) or 1.0
-    cos = _dot(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
+    # try_divide: a zero embedding vector has no defined cosine — it
+    # becomes NULL and sorts after every real score (desc is
+    # nulls-last), instead of killing the whole query with ANSI
+    # DIVIDE_BY_ZERO (round-5 review fix, reproduced live on Spark 4's
+    # ANSI-on default; propagated to every *_topk built on this)
+    cos = F.try_divide(
+        _dot(F.col(vec_col), query), _norm(F.col(vec_col)) * F.lit(qn)
+    )
     return (
         embeddings.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))

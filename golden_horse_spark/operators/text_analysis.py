@@ -208,6 +208,12 @@ def bm25_topk(
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     tot, n_d = dl.agg(F.sum("dl"), F.count("*")).collect()[0]
+    if not tot:
+        # token-free corpus: sum over the empty frame is SQL NULL —
+        # int(None) crashed here; with 1/1 the downstream joins are
+        # empty anyway, so the result is the schema-correct empty
+        # table the sibling operators return (round-5 review fix)
+        tot, n_d = 1, 1
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -487,11 +493,20 @@ PII_PATTERNS = (
 
 def pii_counts(text: Column) -> dict:
     """Per-kind PII match counts as pure Column expressions
-    (regexp_count is JVM-side, whole-stage codegen)."""
-    return {
-        kind: F.regexp_count(text, F.lit(pat)).cast("long")
-        for kind, pat, _ in PII_PATTERNS
-    }
+    (regexp_count is JVM-side, whole-stage codegen).
+
+    Counts are SEQUENTIAL, mirroring :func:`redact_pii`: kind i is
+    counted on the text with kinds < i already masked, so a span an
+    earlier pattern consumes (a phone number inside an email address)
+    is never double-counted and Σ counts == number of masks in the
+    redacted text (round-5 review fix; the oracle twin mirrors the
+    same chain)."""
+    out = {}
+    cur = text
+    for kind, pat, token in PII_PATTERNS:
+        out[kind] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+    return out
 
 
 def redact_pii(text: Column) -> Column:
@@ -533,6 +548,17 @@ def _md5_byte(text: Column, salt: str) -> Column:
     ).cast("int")
 
 
+def _md5_int16(text: Column, salt: str) -> Column:
+    """First 16 bits (0..65535) of md5(salt || '|' || text) — same
+    portable primitive, wide enough that ``% n_shards`` is near-uniform
+    for thousands of shards (the single byte capped useful shard counts
+    at 256 and biased any non-divisor — round-5 review fix; 4 hex
+    nibbles stay trivially replayable in the DuckDB twin)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), text)), 1, 4), 16, 10
+    ).cast("int")
+
+
 def mixture_keep(
     text: Column,
     domain: Column,
@@ -548,8 +574,16 @@ def mixture_keep(
     (bias < 1/256), matching the oracle twin exactly.
     """
     expr = F.lit(round(256 * default_rate))
-    for dom, rate in sorted(rates.items()):
-        expr = F.when(domain == dom, round(256 * rate)).otherwise(expr)
+    # None sorts separately (a NULL domain is what temperature_rates
+    # emits for NULL source rows — round-5 review fix: sorted() raised
+    # TypeError on the mixed None/str keys the two functions are
+    # documented to compose over)
+    items = sorted(
+        rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    )
+    for dom, rate in items:
+        cond = domain.isNull() if dom is None else (domain == dom)
+        expr = F.when(cond, round(256 * rate)).otherwise(expr)
     return _md5_byte(text, "mix") < expr
 
 
@@ -667,11 +701,16 @@ def pack_chunks(
     """
     from pyspark.sql import Window
 
+    if not 1 <= n_shards <= 65536:
+        raise ValueError(
+            f"pack_chunks: n_shards must be in [1, 65536], got {n_shards} "
+            "(shard assignment draws 16 hash bits)"
+        )
     tok = token_count(F.col(text_col))
     if keep_col is not None:
         tok = F.when(F.col(keep_col), tok).otherwise(F.lit(0))
     out = docs.withColumn(
-        "shard", _md5_byte(F.col(text_col), "shard") % n_shards
+        "shard", _md5_int16(F.col(text_col), "shard") % n_shards
     ).withColumn("tok", tok.cast("long"))
     w = (
         Window.partitionBy(*partition_cols, "shard")
@@ -722,6 +761,11 @@ def quantile_keep(
     """
     from pyspark.sql import Window
 
+    if frac >= 1.0:
+        # keep-everything: percent_rank of the last-ordered row is
+        # exactly 1.0, so the strict < silently dropped one doc per
+        # key when curation was "disabled" (round-5 review fix)
+        return F.lit(True)
     w = Window.partitionBy(partition_col).orderBy(
         score.desc(), F.col(tiebreak_col)
     )

@@ -1314,3 +1314,95 @@ def test_bcubed_pin_exact_for_multimillion_item_cell(spark):
     assert row["p_pin"] == n * 1_000_000
     assert row["r_pin"] == n * 1_000_000
     assert row["precision"] == 1.0 and row["recall"] == 1.0
+
+
+def test_cosine_topk_zero_vector_does_not_crash(spark):
+    """Spark 4 defaults ANSI on: an all-zero embedding made the row
+    norm 0 and DIVIDE_BY_ZERO killed the whole query (round-5 review
+    fix, reproduced live): zero vectors now score NULL and sort after
+    every real result."""
+    from golden_horse_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in rows[:2]] == [1, 3]
+    assert rows[0]["cosine"] == 1.0
+    assert rows[2]["cosine"] is None
+
+
+def test_sorted_neighborhood_rank_is_distributed_and_correct(spark):
+    """The global rank must be computed WITHOUT an Exchange
+    SinglePartition (round-5 review fix: the bare orderBy window moved
+    the entire corpus through one task), and the emitted pairs must
+    still be exactly the brute-force sorted-window pairs — including
+    pairs that straddle range-partition boundaries."""
+    from golden_horse_spark.operators.linking import (
+        sorted_neighborhood_candidates,
+    )
+
+    recs = [(i, f"k{(i * 7) % 40:02d}") for i in range(80)]
+    df = spark.createDataFrame(recs, "id int, key string").repartition(8)
+    out = sorted_neighborhood_candidates(df, key_col="key", window=3)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    order = sorted(recs, key=lambda t: (t[1], t[0]))
+    want = {
+        (order[i][0], order[i + off][0])
+        for i in range(len(order))
+        for off in (1, 2)
+        if i + off < len(order)
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_fs_em_weights_all_null_field_no_crash(spark):
+    """An agreement field NULL on every pair aggregates to SQL NULL —
+    the M-step must apply the alpha-smoothed estimate, not TypeError
+    (round-5 review fix)."""
+    from golden_horse_spark.operators.linking import fs_em_weights
+
+    pairs = spark.createDataFrame(
+        [(True, None), (True, None), (False, None), (False, None)],
+        "name_agree boolean, dob_agree boolean",
+    )
+    out = {r["field"]: r for r in
+           fs_em_weights(pairs, ["name_agree", "dob_agree"], n_iter=3).collect()}
+    assert set(out) == {"name_agree", "dob_agree"}
+    assert out["dob_agree"]["n_match"] == 0
+
+
+def test_soft_tfidf_null_name_scores_null(spark):
+    """A NULL name side must score NULL like the other comparators —
+    not a 0.0 indistinguishable from a genuine no-close-match (round-5
+    review fix: ~NULL skipped the NULL branch)."""
+    from golden_horse_spark.operators.linking import soft_tfidf
+
+    corpus = spark.createDataFrame(
+        [("john smith",), ("jon smyth",)], "name string"
+    )
+    pairs = spark.createDataFrame(
+        [(None, "john smith"), ("", "john smith"), ("jon smyth", "john smith")],
+        "a string, b string",
+    )
+    rows = soft_tfidf(pairs, "a", "b", corpus,
+                      require_in_corpus=False).collect()
+    by_a = {r["a"]: r["soft_tfidf"] for r in rows}
+    assert by_a[None] is None
+    assert by_a[""] is None
+    assert by_a["jon smyth"] is not None and by_a["jon smyth"] > 0
+
+
+def test_blocking_metrics_orientation_invariant(spark):
+    """pair_completeness must not depend on the blocker's pair
+    orientation vs the truth table's (round-5 review fix: exact-order
+    semi-join silently reported recall 0)."""
+    from golden_horse_spark.operators.linking import blocking_metrics
+
+    cand = spark.createDataFrame([(2, 1)], "id_a int, id_b int")
+    truth = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    row = blocking_metrics(cand, truth, n_left=10).collect()[0]
+    assert row["n_found"] == 1 and row["pair_completeness"] == 1.0

@@ -2,6 +2,9 @@
 
 import math
 
+import pytest
+from pyspark.sql import functions as F
+
 from golden_horse_spark.operators.text_analysis import tfidf_top_terms
 
 
@@ -608,3 +611,81 @@ def test_lexical_stats(spark):
     assert got[0] == (6, 3, 1, 0.5)
     assert got[1] == (0, 0, 0, 0.0)
     assert got[2] == (3, 3, 3, 1.0)
+
+
+def test_mixture_keep_null_domain_rate(spark):
+    """temperature_rates emits a None key for NULL source rows — the
+    two functions are documented to compose, so mixture_keep must
+    accept it (round-5 review fix: sorted() raised TypeError on mixed
+    None/str keys)."""
+    from golden_horse_spark.operators.text_analysis import mixture_keep
+
+    docs = spark.createDataFrame(
+        [("a", "text one here", "web"), ("b", "text two here", None)],
+        "doc_id string, text string, source string",
+    )
+    out = docs.withColumn(
+        "keep",
+        mixture_keep(F.col("text"), F.col("source"),
+                     {None: 1.0, "web": 1.0}, default_rate=0.0),
+    )
+    assert all(r["keep"] for r in out.collect())
+
+
+def test_quantile_keep_frac_one_keeps_everything(spark):
+    """frac=1.0 disables curation — percent_rank's last row is exactly
+    1.0 and the strict < dropped one doc per key (round-5 review
+    fix)."""
+    from golden_horse_spark.operators.text_analysis import quantile_keep
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(10)],
+        "doc_id string, lang string, score double",
+    )
+    kept = docs.withColumn(
+        "keep", quantile_keep(F.col("score"), 1.0)
+    ).where("keep")
+    assert kept.count() == 10
+
+
+def test_pack_chunks_wide_shard_space(spark):
+    """Shard draws are 16-bit (round-5 review fix: the single md5 byte
+    silently capped useful shards at 256 and biased any non-divisor)."""
+    from golden_horse_spark.operators.text_analysis import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document text number {i}") for i in range(4000)],
+        "doc_id long, text string",
+    )
+    out = pack_chunks(docs, budget=64, n_shards=500)
+    n_shards_seen = out.select("shard").distinct().count()
+    assert n_shards_seen > 300
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_chunks(docs, n_shards=100000)
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """A token-free corpus crashed on int(None) of the empty dl sum
+    (round-5 review fix)."""
+    from golden_horse_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [("d1", "   "), ("d2", "")], "doc_id string, text string"
+    )
+    assert bm25_topk(docs).count() == 0
+
+
+def test_pii_counts_sequential_no_double_count(spark):
+    """A phone number embedded in an email address is consumed by the
+    email mask — n_phone must not double-count it, and n_pii must equal
+    the number of masks in the redacted text (round-5 review fix)."""
+    from golden_horse_spark.operators.text_analysis import pii_stats
+
+    docs = spark.createDataFrame(
+        [("d1", "reach me at +4915112345678@example.com today")],
+        "doc_id string, text string",
+    )
+    row = pii_stats(docs).collect()[0]
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 0
+    assert row["n_pii"] == 1
