@@ -718,6 +718,15 @@ def k_core(
         )
         _audit_plan("k_core_round", new_deg)
         deg = new_deg.transform(_pin_lazy)
+    else:
+        # peel cascades run one layer per round; exhausting the cap
+        # with peeling still active would return a SUPERSET of the
+        # true k-core as if correct (round-5 review fix — long chains
+        # peel ~2 nodes/round; fail loudly like connected_components)
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} rounds — peel "
+            "depth exceeds max_iter; raise max_iter for long chains"
+        )
     return deg.select("node")
 
 
@@ -802,6 +811,14 @@ def core_numbers(
         cores = new_cores
         if changed == 0:
             break
+    else:
+        # H-index estimates drop as little as one node per round on
+        # chain graphs; exhausting the cap mid-descent would return
+        # OVERESTIMATED core numbers silently (round-5 review fix)
+        raise RuntimeError(
+            f"core_numbers did not converge in {max_iter} rounds — "
+            "raise max_iter for long-chain graphs"
+        )
     return cores
 
 
@@ -1479,6 +1496,18 @@ def louvain(
         )
         two_m = float(strength.agg(F.sum("k")).first()[0])
         if two_m <= 0:
+            if mapping is None:
+                # zero total weight on the FIRST level (all-zero
+                # weight_col passes the negative guard): modularity is
+                # undefined, no move can improve it — return the
+                # identity partition instead of crashing on
+                # mapping.groupBy(None) (round-5 review fix)
+                nodes = (
+                    lvl.select(F.col("a").alias("orig"))
+                    .union(lvl.select(F.col("b").alias("orig")))
+                    .distinct()
+                )
+                mapping = nodes.withColumn("comm", F.col("orig"))
             break
         labels = strength.select(
             "node", F.col("node").alias("label")
@@ -2139,10 +2168,16 @@ def strongly_connected_components(
             .transform(_pin)
         )
     else:
-        raise RuntimeError(
-            f"strongly_connected_components: no fixpoint in {max_rounds} "
-            "rounds — condensation too deep; raise max_rounds"
-        )
+        # the emptiness check runs at the TOP of each round — if the
+        # max_rounds-th round's gather settled the last active nodes,
+        # the work is complete and exhaustion is not an error (round-5
+        # review fix of a spurious raise at depth exactly max_rounds)
+        if active.count() != 0:
+            raise RuntimeError(
+                f"strongly_connected_components: no fixpoint in "
+                f"{max_rounds} rounds — condensation too deep; raise "
+                "max_rounds"
+            )
     if not done:  # edgeless input (only self-loops / empty)
         return active.select(
             "node", F.col("node").alias("component")
@@ -2493,7 +2528,14 @@ def graph_embeddings(
         minCount=0,
         maxIter=n_iter,
         seed=seed,
-        numPartitions=1,
+        # the documented contract: deterministic=True serializes
+        # (numPartitions=1 + canonical sentence order); the default
+        # actually trains Hogwild-parallel (round-5 review fix: 1 was
+        # hardcoded for BOTH modes, so the promised parallel default
+        # never happened)
+        numPartitions=1 if deterministic else int(
+            sentences.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        ),
         inputCol="sentence",
         outputCol="_v",
     )
@@ -2563,6 +2605,20 @@ def node2vec_walks(
         .repartition(pn, "a")
         .transform(_pin)
     )
+    # 32-bit-draw ceiling (round-5 review): the md5 draw addresses at
+    # most 2^32 of cumulative weight — a hub whose Σ(quantized weight)
+    # exceeds that would NEVER choose its highest-ranked neighbors
+    # (silent sampling bias). Validate once against the max degree so
+    # the failure is loud; the draw replay (oracle + python twins) is
+    # exact below the ceiling.
+    max_w = max(w_ret, w_in, w_out)
+    max_deg = arcs.groupBy("a").count().agg(F.max("count")).first()[0] or 0
+    if max_deg * max_w >= 2 ** 32:
+        raise ValueError(
+            f"node2vec_walks: max degree {max_deg} x max quantized "
+            f"weight {max_w} exceeds the 32-bit draw space — reduce "
+            "the p/q extremity or pre-cap hub degrees"
+        )
     roots = _roots(arcs, sources, "node2vec_walks", all_nodes=False)
     state = (
         roots.select(
@@ -3180,7 +3236,14 @@ def transe_rank_eval(
 
         better_cmp = "<"
     t0 = (
-        test.select(subj, pred, obj)
+        # distinct: a duplicated test triple would DOUBLE every
+        # (test, candidate) score row and both copies would rank
+        # 2·n_better+1 instead of n_better+1 (round-5 review fix,
+        # matching negative_triples' input dedup). Triples whose
+        # entity/relation lacks an embedding drop in the inner joins —
+        # they cannot be scored; compare the output row count to the
+        # test count when loss matters.
+        test.select(subj, pred, obj).distinct()
         .join(
             entity_emb.select(
                 F.col(node_col).alias(fixed), F.col(vec_col).alias("_fvec")

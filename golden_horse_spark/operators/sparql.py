@@ -468,10 +468,20 @@ def sparql_select(
         names = [_vname(v) if _is_var(v) else v for v in vvars]
         if not names or not vrows:
             raise ValueError("sparql_select: VALUES needs vars and rows")
-        vdf = triples.sparkSession.createDataFrame(
-            [tuple(r) if isinstance(r, (tuple, list)) else (r,) for r in vrows],
-            ", ".join(f"{n} string" for n in names),
-        )
+        rows = [
+            tuple(r) if isinstance(r, (tuple, list)) else (r,) for r in vrows
+        ]
+        try:
+            # infer literal types so e.g. integer VALUES equi-join a
+            # long-typed KG column exactly (round-5 review fix: the
+            # hardcoded string schema rejected non-string literals and
+            # forced implicit-cast joins on typed graphs)
+            vdf = triples.sparkSession.createDataFrame(rows, list(names))
+        except (TypeError, ValueError):
+            # all-None columns defeat inference — fall back to strings
+            vdf = triples.sparkSession.createDataFrame(
+                rows, ", ".join(f"{n} string" for n in names)
+            )
         shared = sorted(set(names) & bgp_vars)
         if shared:
             out = out.join(F.broadcast(vdf), on=shared, how="inner")
@@ -981,6 +991,7 @@ def rdfs_closure(
     type_pred: str = "rdf:type",
     max_hops: int = 16,
     collect_threshold: int = 100_000,
+    _in_meta_pass: bool = False,
 ) -> DataFrame:
     """ρdf entailment closure (Muñoz/Pérez/Gutierrez ESWC'07): the
     deductive core of RDFS without the axiomatic-triple noise.
@@ -989,7 +1000,11 @@ def rdfs_closure(
     instance pass (schema first, then instance — the standard
     stratification: spo-propagation can create new dom/rng-eligible
     triples, dom/rng can create new type triples, sco inheritance is
-    last and creates only type triples, which no other rule consumes):
+    last and creates only type triples, which no other rule consumes).
+    The one exception — an ontology whose spo edges point INTO the ρdf
+    vocabulary itself (meta-schema), making rule 3 derive new schema
+    triples — is detected and closed by re-running the pass to a
+    fixpoint (see the trailing meta block):
 
     1. ``(a sco b), (b sco c) → (a sco c)``  — transitive closure
     2. ``(p spo q), (q spo r) → (p spo r)``  — transitive closure
@@ -1116,9 +1131,42 @@ def rdfs_closure(
         .unionByName(spo_new)
         .distinct()
     )
-    return out.select(
+    out = out.select(
         F.col("s").alias(subj), F.col("p").alias(pred), F.col("o").alias(obj)
     )
+    # META-SCHEMA fixpoint (round-5 review fix): the one-pass
+    # stratification assumes rule 3 never DERIVES schema triples — but
+    # an ontology declaring e.g. (myRel spo rdfs:subClassOf) makes
+    # rule 3 emit new sco rows that the already-computed sco closure
+    # never saw (rules 1/6 would silently under-entail). The trigger
+    # is a direct spo edge into the ρdf vocabulary (rule 2 has already
+    # closed spo chains, so chained cases surface as direct edges
+    # after one pass); when present, re-run the pass until the
+    # (distinct, monotone) triple set stops growing.
+    meta = (
+        t.where(
+            (F.col("p") == spo) & F.col("o").isin(*schema_preds)
+        ).limit(1).count()
+        > 0
+    )
+    if meta and not _in_meta_pass:
+        prev = out.count()
+        for _ in range(8):
+            out = rdfs_closure(
+                out, subj=subj, pred=pred, obj=obj, sco=sco, spo=spo,
+                dom=dom, rng=rng, type_pred=type_pred, max_hops=max_hops,
+                collect_threshold=collect_threshold, _in_meta_pass=True,
+            )
+            n = out.count()
+            if n == prev:
+                break
+            prev = n
+        else:
+            raise RuntimeError(
+                "rdfs_closure: meta-schema entailment did not reach a "
+                "fixpoint in 8 passes — normalize the ontology"
+            )
+    return out
 
 
 def resolve_same_as(

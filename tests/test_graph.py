@@ -1,6 +1,7 @@
 """PageRank vs a dense NumPy power iteration (operators/graph.py)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from golden_horse_spark.operators.graph import pagerank
@@ -3101,3 +3102,96 @@ def test_iterative_round_exchange_budgets(spark):
     # constant per sweep (never grows with sweep/level index) and within
     # the documented budget
     assert len(set(lv)) == 1 and lv[0][0] <= 8, lv
+
+
+def test_k_core_and_core_numbers_raise_on_nonconvergence(spark):
+    """Peel cascades / H-index descent advance as little as 1-2 nodes a
+    round on chain graphs; exhausting max_iter must FAIL LOUDLY instead
+    of returning a too-large core (round-5 review fix, matching
+    connected_components)."""
+    from golden_horse_spark.operators.graph import core_numbers, k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="k_core"):
+        k_core(chain, k=2, max_iter=50)
+    # converged: the true 2-core of a path is EMPTY
+    assert k_core(chain, k=2, max_iter=200).count() == 0
+    with pytest.raises(RuntimeError, match="core_numbers"):
+        core_numbers(chain, max_iter=50)
+    cores = core_numbers(chain, max_iter=300)
+    assert {r["core"] for r in cores.collect()} == {1}
+
+
+def test_scc_completes_at_exactly_max_rounds(spark):
+    """A single 2-cycle settles everything inside round 1 — max_rounds=1
+    must SUCCEED (round-5 review fix: the emptiness check ran only at
+    the top of the next round, so completion on the last allowed round
+    raised a spurious non-convergence error)."""
+    from golden_horse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    g = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    out = strongly_connected_components(g, max_rounds=1)
+    assert {(r["node"], r["component"]) for r in out.collect()} == {
+        (1, 1), (2, 1)
+    }
+
+
+def test_transe_rank_eval_dedups_test_triples(spark):
+    """A duplicated test triple must rank identically to the unique one
+    — not 2*n_better+1 from the doubled score stream (round-5 review
+    fix)."""
+    from golden_horse_spark.operators.graph import transe_rank_eval
+
+    ents = {"a": [1.0, 0.0], "b": [0.0, 1.0], "c": [2.0, 2.0]}
+    rels = {"r": [1.0, 1.0]}
+    edf = spark.createDataFrame(
+        list(ents.items()), "node string, vec array<double>"
+    )
+    rdf = spark.createDataFrame(
+        list(rels.items()), "node string, vec array<double>"
+    )
+    uniq = spark.createDataFrame(
+        [("a", "r", "b")], "subj string, pred string, obj string"
+    )
+    dup = spark.createDataFrame(
+        [("a", "r", "b"), ("a", "r", "b")],
+        "subj string, pred string, obj string",
+    )
+    r1 = transe_rank_eval(uniq, edf, rdf).collect()
+    r2 = transe_rank_eval(dup, edf, rdf).collect()
+    assert len(r1) == len(r2) == 1
+    assert r1[0]["rank"] == r2[0]["rank"]
+
+
+def test_louvain_zero_weight_graph_identity_partition(spark):
+    """All-zero edge weights pass the negative guard but make 2m = 0 on
+    the FIRST level — must return the identity partition, not crash on
+    mapping=None (round-5 review fix)."""
+    from golden_horse_spark.operators.graph import louvain
+
+    g = spark.createDataFrame(
+        [(1, 2, 0.0), (2, 3, 0.0)], "src int, dst int, w double"
+    )
+    out = louvain(g, weight_col="w")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["label"] == r[out.columns[0]] for r in rows) or \
+        len({r["label"] for r in rows}) == 3
+
+
+def test_node2vec_hub_degree_draw_ceiling(spark):
+    """Σ quantized weight past 2^32 would silently zero the selection
+    probability of high-ranked neighbors — the operator validates the
+    ceiling up front (round-5 review fix)."""
+    from golden_horse_spark.operators.graph import node2vec_walks
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 150)], "src int, dst int"
+    )
+    with pytest.raises(ValueError, match="32-bit"):
+        node2vec_walks(star, p=0.0001, q=1.0, walk_length=2,
+                       sources=[1])

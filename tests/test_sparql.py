@@ -1051,3 +1051,42 @@ def test_single_source_closure_random_vs_python(spark):
                 {(b,) for a, b in _arcs_py(triples, path) if a == src}
             )
             assert got == want, (trial, src, sorted(arcs), path)
+
+
+def test_sparql_values_typed_literals(spark):
+    """VALUES rows with non-string literals must join a typed KG column
+    exactly (round-5 review fix: the hardcoded string schema rejected
+    them with TypeError)."""
+    from golden_horse_spark.operators.sparql import sparql_select
+
+    t = spark.createDataFrame(
+        [(1, "likes", 2), (2, "likes", 3)],
+        "subj long, pred string, obj long",
+    )
+    out = sparql_select(
+        t,
+        patterns=[("?x", "likes", "?y")],
+        values=(("?x",), [(1,)]),
+    ).collect()
+    assert {(r["x"], r["y"]) for r in out} == {(1, 2)}
+
+
+def test_rdfs_closure_meta_schema_fixpoint(spark):
+    """An ontology mapping its own relation onto rdfs:subClassOf via
+    subPropertyOf (meta-schema): rule 3 derives new sco rows that the
+    first pass's schema closure never saw — the closure must re-run to
+    the fixpoint so rule 6 still entails through them (round-5 review
+    fix: one-pass stratification silently under-entailed)."""
+    from golden_horse_spark.operators.sparql import rdfs_closure
+
+    t = spark.createDataFrame(
+        [
+            ("myRel", "rdfs:subPropertyOf", "rdfs:subClassOf"),
+            ("A", "myRel", "B"),
+            ("x", "rdf:type", "A"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["subj"], r["pred"], r["obj"]) for r in rdfs_closure(t).collect()}
+    assert ("A", "rdfs:subClassOf", "B") in out   # rule 3
+    assert ("x", "rdf:type", "B") in out          # rule 6 through it
