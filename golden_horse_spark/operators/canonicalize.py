@@ -26,9 +26,70 @@ Scale mechanics (north_rule):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
+
+# column types the driver-side union-find fast path handles (total order
+# in Python matches Spark's for these; anything else falls back to the
+# distributed rounds)
+_LOCAL_CC_TYPES = {"bigint", "int", "smallint", "tinyint", "string"}
+
+
+def _local_cc_limit() -> int:
+    """Edge-count ceiling for the driver-side union-find fast path
+    (0 disables). The dup/alias graphs this package feeds CC are tiny
+    islands even at corpus scale, so most invocations sit far below any
+    reasonable ceiling; the distributed rounds remain the path for
+    graph-scale inputs. ~500k edges ≈ a few tens of MB on the driver."""
+    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "500000"))
+
+
+def _driver_union_find(spark, e2: DataFrame, dtype) -> DataFrame | None:
+    """Union-find over a collected edge list; component = min node of
+    each set (union links the larger root under the smaller, so every
+    root is its set's minimum — the exact label the distributed
+    hash-to-min rounds converge to). Returns None when the edge list
+    contains NULL endpoints (fall back to distributed semantics)."""
+    import pandas as pd
+
+    pdf = e2.toPandas()  # Arrow-accelerated collect
+    a_name, b_name = pdf.columns[0], pdf.columns[1]
+    if pdf[a_name].isna().any() or pdf[b_name].isna().any():
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while True:
+            p = parent.get(r, r)
+            if p == r:
+                break
+            r = p
+        while x != r:
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for a, b in zip(pdf[a_name].tolist(), pdf[b_name].tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    nodes = set(pdf[a_name].tolist())
+    nodes.update(pdf[b_name].tolist())
+    node_list = list(nodes)
+    out = pd.DataFrame(
+        {"node": node_list, "component": [find(x) for x in node_list]}
+    )
+    schema = StructType(
+        [StructField("node", dtype, True), StructField("component", dtype, True)]
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components(
@@ -37,14 +98,38 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     num_partitions: int | None = None,
+    num_edges: int | None = None,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) with component =
     min node id (lexicographic) in the component.
 
     ``num_partitions`` pins the co-partitioning width (default:
     ``spark.sql.shuffle.partitions``).
+
+    Adaptive driver fast path (the tokenizer-training pattern): below
+    ``local_edge_limit`` edges (default ``$SPARK_GRAFT_CC_LOCAL_EDGES``,
+    500k; 0 disables) the edge list is collected and solved with
+    union-find on the driver — identical labels (property-tested), no
+    per-round job waves. Pass ``num_edges`` when the caller already
+    knows the count (skips the probe); otherwise a bounded
+    ``limit(n+1).count()`` probe decides. Dup-pair / alias graphs are
+    tiny islands even at corpus scale, so production runs mostly take
+    the fast path too; graph-scale inputs exceed the cap and run the
+    distributed hash-to-min rounds below.
     """
     spark = edges.sparkSession
+    lim = _local_cc_limit() if local_edge_limit is None else local_edge_limit
+    s_type = edges.schema[src].dataType
+    d_type = edges.schema[dst].dataType
+    if lim > 0 and s_type == d_type and s_type.simpleString() in _LOCAL_CC_TYPES:
+        n = num_edges
+        if n is None:
+            n = edges.select(src, dst).limit(lim + 1).count()
+        if n <= lim:
+            out = _driver_union_find(spark, edges.select(src, dst), s_type)
+            if out is not None:
+                return out
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # symmetrize once; hash-partition on the PROBE key b so each round's
@@ -117,6 +202,11 @@ def canonical_entities(links: DataFrame) -> DataFrame:
     edges = star.select(
         F.col("root").alias("src"), F.explode("ents").alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct()
+    # materialize once: the adaptive fast path inside
+    # connected_components probes the edge count and then collects (or
+    # symmetrizes, on the distributed path) — without the pin each of
+    # those actions would re-run the mention-star aggregation above
+    edges = edges.transform(_pin_lazy)
     singletons = links.select("entity_id").distinct()
     cc = connected_components(edges)
     return (

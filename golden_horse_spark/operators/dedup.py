@@ -920,7 +920,9 @@ def _keep_min_representative(
     n_pairs = pairs.count()
     default_p = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cc_p = min(default_p, n_pairs // 1_000_000 + 1)
-    comp = connected_components(pairs, "id_a", "id_b", num_partitions=cc_p)
+    comp = connected_components(
+        pairs, "id_a", "id_b", num_partitions=cc_p, num_edges=n_pairs
+    )
     labeled = (
         ids.join(comp, ids[id_col] == comp["node"], "left")
         .select(

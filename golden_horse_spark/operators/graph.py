@@ -719,6 +719,13 @@ def k_core(
         _audit_plan("k_core_round", new_deg)
         deg = new_deg.transform(_pin_lazy)
     else:
+        # exhaustion is only an error when peeling is still ACTIVE: a
+        # cascade that completes in exactly max_iter rounds leaves the
+        # convergence probe (peeled.count()==0) to a round that never
+        # runs — probe once more before raising (round-6 ADVICE fix,
+        # mirroring strongly_connected_components' exhaustion check)
+        if deg.where(F.col("deg") < k).limit(1).count() == 0:
+            return deg.select("node")
         # peel cascades run one layer per round; exhausting the cap
         # with peeling still active would return a SUPERSET of the
         # true k-core as if correct (round-5 review fix — long chains

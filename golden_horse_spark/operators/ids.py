@@ -35,6 +35,13 @@ def sequential_ids(
     """
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
+    # materialize the input ONCE before range-partitioning (round 6):
+    # repartitionByRange runs a range-sampling job over its input, so an
+    # unmaterialized df pays its full lineage twice (sampling + the
+    # exchange itself) — measured ~2× on q_word_dict's explode+agg
+    # subtree. The checkpoint is dictionary-sized by this operator's
+    # contract, so the extra materialization is vocabulary-scale.
+    df = df.transform(_pin_lazy)
     part = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

@@ -1150,13 +1150,20 @@ def rdfs_closure(
         > 0
     )
     if meta and not _in_meta_pass:
+        # pin each pass's output before re-entering (round-6 ADVICE
+        # fix): each pass otherwise nests the previous pass's WHOLE
+        # plan (joins, broadcasts, distincts) inside its own, so
+        # planning cost grows multiplicatively across passes — the
+        # checkpoint makes every pass plan against a materialized scan,
+        # and its count() doubles as the fixpoint probe's input
+        out = out.transform(_pin)
         prev = out.count()
         for _ in range(8):
             out = rdfs_closure(
                 out, subj=subj, pred=pred, obj=obj, sco=sco, spo=spo,
                 dom=dom, rng=rng, type_pred=type_pred, max_hops=max_hops,
                 collect_threshold=collect_threshold, _in_meta_pass=True,
-            )
+            ).transform(_pin)
             n = out.count()
             if n == prev:
                 break

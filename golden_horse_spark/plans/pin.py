@@ -23,9 +23,17 @@ re-planning — exactly the plans that are intentionally pinned anyway.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _AQE_KEY = "spark.sql.adaptive.enabled"
+# one lock for ALL pin callers: streaming foreachBatch threads invoke
+# pinned operators concurrently with the driver thread, and two
+# overlapping flips could restore a stale conf value (round-6 ADVICE
+# fix). The lock serializes flip→plan→restore windows so the restored
+# value is always the true outer setting.
+_PIN_LOCK = threading.RLock()
 
 
 def pin_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -35,18 +43,20 @@ def pin_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     call time, inside the conf window.
 
     The conf flip is session-scoped for the duration of ONE plan
-    construction (microseconds, restored in ``finally``); this package
-    drives all checkpoints from the single driver thread, so no
-    concurrent query can observe the window. If a future caller plans
-    queries from multiple threads, scope the flip with
+    construction (microseconds, restored in ``finally``) and serialized
+    by ``_PIN_LOCK`` across threads, so overlapping pins can't restore
+    a stale value. A non-pin query planned concurrently from another
+    thread could still observe the microsecond window; callers that
+    plan unrelated queries from other threads should scope with
     ``SparkSession.newSession()`` instead."""
     spark = df.sparkSession
-    prev = spark.conf.get(_AQE_KEY)
-    spark.conf.set(_AQE_KEY, "false")
-    try:
-        return df.localCheckpoint(eager=eager)
-    finally:
-        spark.conf.set(_AQE_KEY, prev)
+    with _PIN_LOCK:
+        prev = spark.conf.get(_AQE_KEY)
+        spark.conf.set(_AQE_KEY, "false")
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            spark.conf.set(_AQE_KEY, prev)
 
 
 def pin(df: DataFrame) -> DataFrame:

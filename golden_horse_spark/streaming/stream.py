@@ -161,10 +161,22 @@ def stream_comention_pairs(
             # sent_idx/end, so two same-surface mentions at the same
             # start of DIFFERENT sentences compared equal and their
             # pair was silently dropped; string concat is also not
-            # injective when surfaces contain '#')
+            # injective when surfaces contain '#'). etype + surface
+            # trail as tie-breaks (round-6 ADVICE fix): a future NER
+            # kernel emitting two TYPED spans at identical offsets
+            # would otherwise compare equal in both orientations and
+            # the pair would silently vanish — the trailing fields keep
+            # the key injective per mention row and change nothing for
+            # position-distinct mentions
             & (
-                F.struct("l.span_idx", "l.sent_idx", "l.start", "l.end")
-                < F.struct("r.span_idx", "r.sent_idx", "r.start", "r.end")
+                F.struct(
+                    "l.span_idx", "l.sent_idx", "l.start", "l.end",
+                    "l.etype", "l.surface",
+                )
+                < F.struct(
+                    "r.span_idx", "r.sent_idx", "r.start", "r.end",
+                    "r.etype", "r.surface",
+                )
             ),
         )
         .select(

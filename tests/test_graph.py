@@ -3124,6 +3124,23 @@ def test_k_core_and_core_numbers_raise_on_nonconvergence(spark):
     assert {r["core"] for r in cores.collect()} == {1}
 
 
+def test_k_core_completes_at_exactly_max_iter(spark):
+    """A peel that finishes in exactly max_iter rounds leaves the
+    convergence probe to a round that never runs — the exhaustion path
+    must re-probe and return instead of raising (round-6 ADVICE fix,
+    the k_core analogue of test_scc_completes_at_exactly_max_rounds).
+    Path of 5 nodes, k=2: rounds peel {ends}, {next}, {center} — all
+    work completes in exactly 3 rounds."""
+    from golden_horse_spark.operators.graph import k_core
+
+    path5 = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src int, dst int"
+    )
+    assert k_core(path5, k=2, max_iter=3).count() == 0
+    with pytest.raises(RuntimeError, match="k_core"):
+        k_core(path5, k=2, max_iter=2)
+
+
 def test_scc_completes_at_exactly_max_rounds(spark):
     """A single 2-cycle settles everything inside round 1 — max_rounds=1
     must SUCCEED (round-5 review fix: the emptiness check ran only at

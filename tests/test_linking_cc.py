@@ -1291,11 +1291,60 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
     chain = [(i, i + 1) for i in range(30)]
     edges = spark.createDataFrame(chain, "src int, dst int")
+    # local_edge_limit=0 pins the DISTRIBUTED rounds (the round-6 driver
+    # union-find fast path always converges, so the guard is
+    # distributed-path-only by construction)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=5)
-    ok = connected_components(edges, max_iter=40)
+        connected_components(edges, max_iter=5, local_edge_limit=0)
+    ok = connected_components(edges, max_iter=40, local_edge_limit=0)
     comps = {r["component"] for r in ok.collect()}
     assert comps == {0}
+
+
+def test_cc_driver_fast_path_equals_distributed(spark):
+    """Round-6 property test: the adaptive driver union-find fast path
+    must produce IDENTICAL (node, component) labels and schema as the
+    distributed hash-to-min rounds, for int and string ids, including
+    self-loops, multi-edges and disconnected pieces."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(5):
+        n = rng.randint(4, 40)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(1, 50))
+        ]
+        for typ, conv in (("int", lambda x: x), ("string", lambda x: f"v{x:03d}")):
+            df = spark.createDataFrame(
+                [(conv(a), conv(b)) for a, b in edges],
+                f"src {typ}, dst {typ}",
+            )
+            fast = connected_components(df)  # default: local path
+            slow = connected_components(df, local_edge_limit=0)
+            assert fast.schema == slow.schema, (trial, typ)
+            got_fast = {r["node"]: r["component"] for r in fast.collect()}
+            got_slow = {r["node"]: r["component"] for r in slow.collect()}
+            assert got_fast == got_slow, (trial, typ, edges)
+
+
+def test_cc_num_edges_hint_and_limit_fallback(spark):
+    """num_edges= skips the probe but must not change results; an edge
+    count above local_edge_limit falls back to the distributed path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst int"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    hinted = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, num_edges=3).collect()
+    }
+    assert hinted == want
+    over_cap = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_edge_limit=2).collect()
+    }
+    assert over_cap == want
 
 
 def test_bcubed_pin_exact_for_multimillion_item_cell(spark):
