@@ -49,7 +49,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # env-tunable for the local[32] python-worker sweep (BENCH.md);
+        # default unchanged
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -60,7 +65,10 @@ def get_spark(
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # keep python workers (and their loaded model state) alive between
         # jobs — re-forking makes every job re-pay model load
-        .config("spark.python.worker.reuse", "true")
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"),
+        )
         .config("spark.python.worker.idleTimeoutSeconds", "600")
     )
     for k, v in (extra_conf or {}).items():

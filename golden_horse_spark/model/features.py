@@ -51,6 +51,29 @@ def escape_feature(feature: str) -> str:
     return feature.replace(":", "__COLON__")
 
 
+_FALLBACK_SEG = None
+
+
+def _fallback_segmenter():
+    """Resolve the no-argument segmenter ONCE per process (round 6): the
+    per-call ``import jieba`` attempt re-scanned sys.path on every
+    sentence when jieba is absent (a failed import is not negatively
+    cached) — ~6% of the whole NER kernel in profile. Same preference
+    order as before: jieba when importable, else the calibrated
+    reference-asset segmenter."""
+    global _FALLBACK_SEG
+    if _FALLBACK_SEG is None:
+        try:
+            import jieba  # type: ignore  # pragma: no cover
+
+            _FALLBACK_SEG = jieba  # pragma: no cover
+        except ImportError:
+            from .segment import default_segmenter
+
+            _FALLBACK_SEG = default_segmenter()
+    return _FALLBACK_SEG
+
+
 def token_features(chars: Sequence[str]) -> List[List[str]]:
     """Per-token UNESCAPED feature strings for one sentence.
 
@@ -63,11 +86,15 @@ def token_features(chars: Sequence[str]) -> List[List[str]]:
         lo = -min(offs)  # first t where all offsets are in range
         hi = n - max(offs)  # one past last valid t
         prefix = name + "="
-        for t in range(max(lo, 0), min(hi, n)):
-            if len(offs) == 1:
-                feats[t].append(prefix + chars[t + offs[0]])
-            else:
-                feats[t].append(prefix + "|".join(chars[t + o] for o in offs))
+        if len(offs) == 1:
+            o0 = offs[0]
+            for t in range(max(lo, 0), min(hi, n)):
+                feats[t].append(prefix + chars[t + o0])
+        else:  # every multi-offset template is a bigram — direct concat
+            # instead of a generator+join (round-6 kernel shave)
+            o0, o1 = offs
+            for t in range(max(lo, 0), min(hi, n)):
+                feats[t].append(prefix + chars[t + o0] + "|" + chars[t + o1])
     if n:
         feats[0].append(BOS_FEAT)
         feats[-1].append(EOS_FEAT)
@@ -94,12 +121,7 @@ def representations(
     if mode == "char":
         return list(chars)
     if segmenter is None:
-        try:
-            import jieba as segmenter  # type: ignore  # pragma: no cover
-        except ImportError:
-            from .segment import default_segmenter
-
-            segmenter = default_segmenter()
+        segmenter = _fallback_segmenter()
     sent = "".join(chars)
     out: List[str] = []
     for word in segmenter.cut(sent):
@@ -132,11 +154,14 @@ def encode_sentence(
     word_ids = [words2idx.get(r, 0) for r in reprs]
     feat_ids: List[List[int]] = []
     oov_id = features2idx.get(OOV, 0)
+    get_id = features2idx.get
     for fs in token_features(chars):
+        # one dict probe per feature instead of membership + index
+        # (round-6 kernel shave; None sentinel is safe — ids are ints)
         ids = [
-            features2idx[ef]
-            for ef in (escape_feature(f) for f in fs)
-            if ef in features2idx
+            i
+            for i in (get_id(f.replace(":", "__COLON__")) for f in fs)
+            if i is not None
         ]
         if not ids:
             ids = [oov_id]

@@ -216,6 +216,10 @@ def canonical_entities(links: DataFrame) -> DataFrame:
             F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
         )
     )
+    # (round-6 probe, rejected: eagerly pinning this output hands AQE
+    # exact sizes and turned the downstream triples join's SMJ into a
+    # broadcast — but the materialization cost ~1.8 s here vs ~1.2 s
+    # saved there on the bench corpus. Left lazy.)
 
 
 def bcubed(

@@ -370,11 +370,19 @@ def score_links(
         with_doc = candidates.join(
             mentions.select("mention_id", "doc_id"), "mention_id"
         )
-        support = with_doc.groupBy("doc_id", "entity_id").agg(
-            F.countDistinct("mention_id").alias("support")
-        )
+        # support as a WINDOW over (doc_id, entity_id) — round 6: the
+        # groupBy(countDistinct) + join-back form cost two extra
+        # exchanges (countDistinct's two-phase expand plus re-attaching
+        # the support table); size(collect_set(...)) over the full
+        # partition is the same integer, computed in the one exchange
+        # the window needs. Per-(doc, entity) candidate counts are
+        # bounded (docs have bounded mentions × bounded candidates per
+        # surface), so the per-partition set is small by construction.
+        wsup = Window.partitionBy("doc_id", "entity_id")
         scored = (
-            with_doc.join(support, ["doc_id", "entity_id"])
+            with_doc.withColumn(
+                "support", F.size(F.collect_set("mention_id").over(wsup))
+            )
             .withColumn(
                 "score",
                 w_prior * F.col("score")

@@ -273,7 +273,14 @@ def extract_mentions_global_dedup(
     )
 
     keyed = sentences.withColumn("text_key", F.xxhash64("text"))
-    distinct = keyed.select("text_key", "text").dropDuplicates(["text_key"])
+    # distinct() on BOTH columns, not dropDuplicates([text_key]) —
+    # round 6: text_key is a function of text, so the row sets are
+    # identical (modulo the same negligible 64-bit-collision caveat as
+    # the join itself), but dropDuplicates' first(text) aggregate has a
+    # string buffer and therefore planned as Sort+SortAggregate twice
+    # over every sentence text; a no-aggregate distinct is a plain
+    # HashAggregate — no sorts
+    distinct = keyed.select("text_key", "text").distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = _load_weights(weights_path)
@@ -290,6 +297,14 @@ def extract_mentions_global_dedup(
             )
 
     per_text = distinct.mapInPandas(run, per_text_schema)
+    # fan-out join left to the planner (round 6 note): locally the
+    # known-size sentences side fits the broadcast threshold and the
+    # planner broadcasts it — measured FASTER here than forcing a
+    # shuffled-hash join (a shuffle_hash hint cost two 40 MiB exchanges
+    # and AQE coalesced the compute-heavy probe stage to 14 tasks); at
+    # web scale the sentences side blows past the threshold and the
+    # same plan degrades gracefully to a shuffled join on the 8-byte
+    # key. The threshold check IS the scale adaptivity.
     return keyed.join(per_text, "text_key").select(
         "doc_id", "span_idx", "sent_idx", "start", "end", "surface",
         "etype", "ntype",

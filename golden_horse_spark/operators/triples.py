@@ -59,47 +59,46 @@ def materialize_triples(
     # mentioned_in + has_type fused into ONE pass over `linked`: both
     # deduplicate on (subj, pred, obj, doc_id), so a single explode +
     # distinct replaces two scans + two exchanges of the join subtree
-    out = (
-        linked.select(
-            "subj",
-            "doc_id",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("mentioned_in").alias("pred"),
-                        F.col("doc_id").alias("obj"),
-                    ),
-                    F.struct(
-                        F.lit("has_type").alias("pred"),
-                        F.col("etype").alias("obj"),
-                    ),
-                )
-            ).alias("po"),
-        )
-        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"), "doc_id")
-        .distinct()
+    out = linked.select(
+        "subj",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mentioned_in").alias("pred"),
+                    F.col("doc_id").alias("obj"),
+                ),
+                F.struct(
+                    F.lit("has_type").alias("pred"),
+                    F.col("etype").alias("obj"),
+                ),
+            )
+        ).alias("po"),
+    ).select(
+        "subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"),
+        "doc_id",
     )
     if co_occurrence:
         left = linked.alias("l")
         right = linked.alias("r")
-        co = (
-            left.join(
-                right,
-                (F.col("l.doc_id") == F.col("r.doc_id"))
-                & (F.col("l.span_idx") == F.col("r.span_idx"))
-                & (F.col("l.sent_idx") == F.col("r.sent_idx"))
-                & (F.col("l.subj") < F.col("r.subj")),
-            )
-            .select(
-                F.col("l.subj").alias("subj"),
-                F.lit("co_occurs_with").alias("pred"),
-                F.col("r.subj").alias("obj"),
-                F.col("l.doc_id").alias("doc_id"),
-            )
-            .distinct()
+        co = left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.span_idx") == F.col("r.span_idx"))
+            & (F.col("l.sent_idx") == F.col("r.sent_idx"))
+            & (F.col("l.subj") < F.col("r.subj")),
+        ).select(
+            F.col("l.subj").alias("subj"),
+            F.lit("co_occurs_with").alias("pred"),
+            F.col("r.subj").alias("obj"),
+            F.col("l.doc_id").alias("doc_id"),
         )
         out = out.unionByName(co)
-    return _with_part(out, n_parts)
+    # ONE distinct over the union instead of one per branch (round 6):
+    # the branches' predicate spaces are disjoint (mentioned_in/has_type
+    # vs co_occurs_with), so distinct(union) == union(distincts) — same
+    # rows, one exchange fewer
+    return _with_part(out.distinct(), n_parts)
 
 
 # --------------------------------------------------------------- RDF export

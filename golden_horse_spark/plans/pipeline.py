@@ -313,6 +313,38 @@ class StageWriter:
         return json.loads(man_path.read_text()) if man_path.exists() else None
 
 
+METRICS_SCHEMA = (
+    "stage string, partition string, rows bigint, input_snapshot string"
+)
+
+
+def _metrics_rows(store: "StageWriter", stages) -> list:
+    """Lineage rows from stage manifests. Manifest partition keys are
+    the CANONICAL-JSON partition value (``json.dumps``) for partitioned
+    stages and ``str(int)`` physical ids for unpartitioned ones; parse
+    rather than ``int()`` so a string/bool/NULL-partitioned stage
+    cannot crash the lineage table (round-6 VERDICT fix), and keep the
+    column as the canonical-JSON string — injective for every
+    JSON-representable partition value."""
+    rows = []
+    for stage in stages:
+        man = store.manifest(stage) or {}
+        for part, n in (man.get("partitions") or {}).items():
+            try:
+                canon = json.dumps(json.loads(part))
+            except ValueError:
+                canon = json.dumps(part)
+            rows.append(
+                {
+                    "stage": stage,
+                    "partition": canon,
+                    "rows": int(n),
+                    "input_snapshot": man.get("fingerprint", ""),
+                }
+            )
+    return rows
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -427,20 +459,8 @@ def run_pipeline(
               "links", "entities", "triples")
     if cfg.dedup_docs:
         stages = ("docs_dedup",) + stages
-    rows = []
-    for stage in stages:
-        man = store.manifest(stage) or {}
-        for part, n in (man.get("partitions") or {}).items():
-            rows.append(
-                {
-                    "stage": stage,
-                    "partition": int(part),
-                    "rows": int(n),
-                    "input_snapshot": man.get("fingerprint", ""),
-                }
-            )
     metrics = spark.createDataFrame(
-        rows, "stage string, partition int, rows bigint, input_snapshot string"
+        _metrics_rows(store, stages), METRICS_SCHEMA
     )
     metrics.write.mode("overwrite").parquet(str(Path(cfg.output_dir) / "metrics"))
 

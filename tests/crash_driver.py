@@ -25,8 +25,21 @@ def main() -> None:
 
     orig = P._atomic_write_json
     seen = {"markers": 0}
+    # GH_KILL_UNPARTITIONED_STAGE=<stage>: SIGKILL just before THAT
+    # stage's manifest lands (data directory written, manifest absent —
+    # the stage-granular torn state of an unpartitioned stage)
+    kill_stage = os.environ.get("GH_KILL_UNPARTITIONED_STAGE")
 
     def patched(path, obj):
+        if kill_stage:
+            if obj.get("stage") == kill_stage and "status" in obj:
+                sys.stderr.write(
+                    f"crash_driver: SIGKILL before {kill_stage} manifest\n"
+                )
+                sys.stderr.flush()
+                os.kill(os.getpid(), signal.SIGKILL)
+            orig(path, obj)
+            return
         if "column" in obj:  # a per-partition completion record
             if seen["markers"] >= kill_after:
                 sys.stderr.write(

@@ -491,6 +491,66 @@ def test_partitioned_stage_handles_awkward_partition_values(spark, tmp_path):
     assert {(r["part"], r["v"]) for r in out3.collect()} == set(rows)
     man = json.loads((root / "st.manifest.json").read_text())
     assert man["status"] == "complete" and man["rows"] == 4
+    # round-6 VERDICT fix: the lineage-row builder must survive these
+    # same awkward keys (it used int(part) — a string-partitioned stage
+    # crashed the metrics table) and stay injective per value
+    from golden_horse_spark.plans.pipeline import METRICS_SCHEMA, _metrics_rows
+
+    mrows = _metrics_rows(w3, ("st",))
+    assert {r["partition"] for r in mrows} == {
+        json.dumps(v) for v, _ in rows
+    }
+    assert sum(r["rows"] for r in mrows) == 4
+    # the widened schema accepts every row
+    mdf = spark.createDataFrame(mrows, METRICS_SCHEMA)
+    assert mdf.count() == 4
+
+
+def test_crash_mid_unpartitioned_stage_recomputes_cleanly(
+    pipeline_out, spark, weights_path, tmp_path_factory
+):
+    """Round-6 VERDICT ask #6: SIGKILL an UNPARTITIONED stage mid-write
+    (data directory landed, manifest absent — plus a torn parquet file
+    simulating a kill mid-job): restart must treat the stage as
+    untrusted, recompute it wholesale, and land the identical final
+    table with a complete manifest and no torn leftovers."""
+    _, _, ref_stages, _ = pipeline_out
+    reference = {tuple(r) for r in ref_stages["triples"].collect()}
+    out = tmp_path_factory.mktemp("crash_unpart")
+    import os
+    import subprocess
+    import sys
+
+    cfg = {
+        "n_docs": 120, "seed": 5, "partitions": 4,
+        "output_dir": str(out), "weights_path": weights_path,
+        "alias_limit": 2000,
+        "extra_alias_surfaces": list(_ALIAS_SURFACES),
+        "triple_parts": 8,
+    }
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env = {
+        **os.environ,
+        "GH_KILL_UNPARTITIONED_STAGE": "mentions",
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "crash_driver.py"),
+         json.dumps(cfg)],
+        env=env, capture_output=True, timeout=900, text=True,
+    )
+    assert proc.returncode == -9, (proc.returncode, proc.stderr[-2000:])
+    # the kill point: mentions data written, manifest absent
+    assert (Path(out) / "mentions").is_dir()
+    assert not (Path(out) / "mentions.manifest.json").exists()
+    # torn data file from a hypothetical kill mid-JOB: the full-stage
+    # overwrite must clear it
+    torn = Path(out) / "mentions" / "part-torn.snappy.parquet"
+    torn.write_bytes(b"\x00not parquet")
+    _restart_and_check(spark, weights_path, out, reference)
+    assert not torn.exists()
+    man = json.loads((Path(out) / "mentions.manifest.json").read_text())
+    assert man["status"] == "complete"
 
 
 def test_partitioned_stage_boolean_partition_column(spark, tmp_path):
