@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def parquet_row_groups(path: str) -> int | None:
-    """Total row-group count of a parquet file or directory of files
+def parquet_layout(path: str) -> tuple[int, int] | None:
+    """(total row groups, total bytes) of a parquet file or directory
     (driver-side footer metadata only — no data read). None when the
     layout can't be inspected (non-local path, missing pyarrow)."""
     try:
@@ -46,22 +46,41 @@ def parquet_row_groups(path: str) -> int | None:
             return None
         if not files:
             return None
-        return sum(pq.ParquetFile(str(f)).metadata.num_row_groups for f in files)
+        ng = sum(pq.ParquetFile(str(f)).metadata.num_row_groups for f in files)
+        nb = sum(f.stat().st_size for f in files)
+        return ng, nb
     except Exception:
         return None
 
 
+def parquet_row_groups(path: str) -> int | None:
+    lay = parquet_layout(path)
+    return lay[0] if lay else None
+
+
+# below this compressed size the whole single-task pass is sub-second
+# and the repartition's exchange costs more than it saves (measured at
+# sf0.1: +0.5–1 s per query); above it, serialized row-group-bound
+# scans dominate. Data-derived, not machine-derived.
+MIN_SPREAD_BYTES = 2 * 1024 * 1024
+
+
 def spread(df: DataFrame, path: str | None = None, key: str | None = None,
-           num_partitions: int | None = None) -> DataFrame:
+           num_partitions: int | None = None,
+           min_bytes: int = MIN_SPREAD_BYTES) -> DataFrame:
     """Repartition ``df`` to ``num_partitions`` (default: the session's
-    default parallelism) when its source at ``path`` is row-group-bound;
-    no-op when the scan is already at least that parallel or the layout
-    is unknown to be bound (``path=None`` forces the spread)."""
+    default parallelism) when its source at ``path`` is row-group-bound
+    AND large enough to amortize the exchange; no-op when the scan is
+    already at least that parallel, too small to matter, or the layout
+    can't be proven bound (``path=None`` forces the spread)."""
     spark = df.sparkSession
     target = num_partitions or spark.sparkContext.defaultParallelism
     if path is not None:
-        ng = parquet_row_groups(path)
-        if ng is None or ng >= target:
+        lay = parquet_layout(path)
+        if lay is None:
+            return df
+        ng, nb = lay
+        if ng >= target or nb < min_bytes:
             return df
     if key is not None:
         return df.repartition(target, F.col(key))
