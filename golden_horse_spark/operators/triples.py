@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from ..plans.pin import pin as _pin, pin_lazy as _pin_lazy
-
 TRIPLE_COLS = ["subj", "pred", "obj", "doc_id", "part"]
 
 
@@ -53,8 +51,17 @@ def materialize_triples(
         # self-join with unknown stats (intermittently picked the slow
         # strategy — measured 4.5 s typical vs 27 s outlier); eager
         # materialization hands AQE exact sizes before the join strategy
-        # is chosen
-        .transform(_pin)
+        # is chosen.
+        # Plain localCheckpoint, NOT pin (round 6): the AQE-off planning
+        # window inside pin froze this subtree's entities join as a
+        # SortMergeJoin forever — with AQE on, the runtime sizes of the
+        # links/entities shuffle stages let AQE pick broadcast when (and
+        # only when) a side is actually small, which is the scale-
+        # adaptive behavior we want; linked's output partitioning
+        # (entity-hash from the last join) is useless to the downstream
+        # subj/doc-keyed consumers, so pin's partitioning preservation
+        # buys nothing here.
+        .localCheckpoint()
     )
     # mentioned_in + has_type fused into ONE pass over `linked`: both
     # deduplicate on (subj, pred, obj, doc_id), so a single explode +
